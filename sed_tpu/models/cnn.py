@@ -1,0 +1,132 @@
+"""2-D spectrogram CNNs: CnnAvgPooling (flagship) and MobileNetV1.
+
+Reference: models/spectogram_models.py.  Re-designed for XLA:TPU — NHWC
+layout so convolutions tile directly onto the MXU, functional BatchNorm state,
+logits head (sigmoid applied by the caller, matching the shipped default path
+spectogram_models.py:196-197).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax.numpy as jnp
+import flax.linen as nn
+
+from sed_tpu.models.layers import (
+    BN_EPS,
+    BN_MOMENTUM,
+    ConvBlock,
+    interpolate,
+    kaiming_uniform,
+)
+
+# Reference DEFAULT_CHANNEL_AND_POOL (spectogram_models.py:7).
+DEFAULT_CHANNEL_AND_POOL: Tuple[Tuple[int, int], ...] = ((64, 2), (128, 2), (256, 2), (512, 1))
+# Config instantiated by the training CLI (main.py:35).
+TRAIN_CHANNEL_AND_POOL: Tuple[Tuple[int, int], ...] = ((32, 2), (64, 2), (128, 2), (128, 1))
+
+
+def num_pools(model_config: Sequence[Tuple[int, int]]) -> int:
+    """Count of 2x time-pooling stages, reproducing the reference counter.
+
+    The reference initializes ``num_pools = 1 if model_config[0][1] == 2 else 1``
+    — a constant 1 regardless of the first stage (spectogram_models.py:167,
+    a latent bug that is correct for every shipped config because their first
+    stage always pools by 2) — then adds 1 per pool==2 stage after the first
+    (spectogram_models.py:168-172).  We reproduce the resulting count.
+    """
+    return 1 + sum(1 for (_, pool) in list(model_config)[1:] if pool == 2)
+
+
+class CnnAvgPooling(nn.Module):
+    """Stack of ConvBlocks -> mel-axis mean -> per-frame linear logits.
+
+    Reference: models/spectogram_models.py:163-205.  Input is NHWC
+    (batch, frames, mel_bins, channels); output is per-frame logits
+    (batch, frames', classes) upsampled by 2**num_pools to recover the input
+    frame rate (spectogram_models.py:200).
+    """
+
+    classes_num: int
+    model_config: Tuple[Tuple[int, int], ...] = DEFAULT_CHANNEL_AND_POOL
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        for out_channels, pool in self.model_config:
+            x = ConvBlock(out_channels, pool)(x, train=train)
+        x = jnp.mean(x, axis=2)  # mean over mel bins -> (batch, frames', features)
+        x = nn.Dense(self.classes_num, kernel_init=kaiming_uniform)(x)  # logits
+        return interpolate(x, 2 ** num_pools(self.model_config))
+
+    def scores(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Sigmoid confidences (reference ``logits`` helper, spectogram_models.py:204-205)."""
+        return nn.sigmoid(self(x))
+
+
+class _ConvBN(nn.Module):
+    """conv3x3 -> avgpool(stride) -> BN -> ReLU (reference conv_bn, spectogram_models.py:48-59)."""
+
+    out_channels: int
+    stride: int
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Conv(self.out_channels, (3, 3), strides=(1, 1), padding=1,
+                    use_bias=False, kernel_init=kaiming_uniform)(x)
+        if self.stride > 1:
+            x = nn.avg_pool(x, (self.stride, self.stride), (self.stride, self.stride))
+        x = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM, epsilon=BN_EPS)(x)
+        return nn.relu(x)
+
+
+class _ConvDW(nn.Module):
+    """Depthwise-separable block (reference conv_dw, spectogram_models.py:61-76)."""
+
+    out_channels: int
+    stride: int
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        in_channels = x.shape[-1]
+        x = nn.Conv(in_channels, (3, 3), strides=(1, 1), padding=1,
+                    feature_group_count=in_channels, use_bias=False,
+                    kernel_init=kaiming_uniform)(x)
+        if self.stride > 1:
+            x = nn.avg_pool(x, (self.stride, self.stride), (self.stride, self.stride))
+        x = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM, epsilon=BN_EPS)(x)
+        x = nn.relu(x)
+        x = nn.Conv(self.out_channels, (1, 1), strides=(1, 1), padding=0,
+                    use_bias=False, kernel_init=kaiming_uniform)(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM, epsilon=BN_EPS)(x)
+        return nn.relu(x)
+
+
+class MobileNetV1(nn.Module):
+    """Depthwise-separable 2-D CNN (reference: spectogram_models.py:42-125).
+
+    Unused by the reference CLI (main.py:36 keeps it commented out) but part
+    of the model family.  Emits *sigmoid confidences* in the forward pass like
+    the reference (spectogram_models.py:117) — note this is inconsistent with
+    the logits-expecting loss; parity is defined against the shipped default
+    path.  The reference forward's stray ``x.transpose(0, 1)``
+    (spectogram_models.py:105) is dropped: input here is standard NHWC
+    (batch, frames, mel_bins, channels).
+    """
+
+    classes_num: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        stack = [
+            (_ConvBN, 32, 2), (_ConvDW, 64, 1), (_ConvDW, 128, 2), (_ConvDW, 128, 1),
+            (_ConvDW, 256, 2), (_ConvDW, 256, 1), (_ConvDW, 512, 1), (_ConvDW, 512, 1),
+            (_ConvDW, 512, 1), (_ConvDW, 512, 1), (_ConvDW, 512, 1), (_ConvDW, 1024, 1),
+            (_ConvDW, 1024, 1),
+        ]
+        for block, out_channels, stride in stack:
+            x = block(out_channels, stride)(x, train=train)
+        x = jnp.mean(x, axis=2)  # (batch, frames', 1024)
+        x = nn.relu(nn.Dense(1024, kernel_init=kaiming_uniform)(x))
+        x = nn.sigmoid(nn.Dense(self.classes_num, kernel_init=kaiming_uniform)(x))
+        return interpolate(x, 2 ** 3)  # self.num_pools = 3 (spectogram_models.py:77)

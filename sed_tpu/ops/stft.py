@@ -1,0 +1,156 @@
+"""TPU-native STFT with librosa-exact semantics.
+
+The reference computes per-channel spectrograms with
+``librosa.core.stft(y, n_fft=32768, win_length=31680, hop_length=15840,
+window=np.hanning(31680), center=True, dtype=complex64, pad_mode='reflect')``
+(reference: dataset/spectogram/preprocess.py:21-36).  That call's exact
+semantics, re-derived here for XLA:
+
+  1. the *symmetric* Hann window ``np.hanning(win_length)`` (NOT librosa's
+     default periodic Hann) is zero-padded centered into the n_fft buffer
+     (left pad = (n_fft - win_length) // 2 = 544);
+  2. the signal is reflect-padded by n_fft//2 on both sides;
+  3. frames of length n_fft are taken every hop samples:
+     n_frames = 1 + len(y) // hop;
+  4. each frame is windowed and transformed with a real FFT -> n_fft//2 + 1
+     complex bins.
+
+Two FFT backends:
+  * ``fft_impl='fft'``    — XLA's native FFT op (fastest path).
+  * ``fft_impl='matmul'`` — a Cooley-Tukey two-stage matmul rFFT that runs the
+    butterflies as MXU matmuls in float32 with HIGHEST precision.  This exists
+    because XLA:TPU's large-size FFT can lose precision; the matmul
+    decomposition keeps the 1e-4 librosa-parity budget on-device, and the
+    stage shapes (128/256-point DFT matrices) map directly onto the MXU.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Literal
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from sed_tpu.configs import SpectrogramConfig, DEFAULT_SPECTROGRAM
+
+
+def symmetric_hann(win_length: int) -> np.ndarray:
+    """np.hanning: 0.5 - 0.5*cos(2*pi*n/(N-1)), zero-valued at both endpoints."""
+    n = np.arange(win_length, dtype=np.float64)
+    return 0.5 - 0.5 * np.cos(2.0 * np.pi * n / (win_length - 1))
+
+
+@functools.lru_cache(maxsize=8)
+def padded_window(win_length: int, n_fft: int) -> np.ndarray:
+    """Symmetric Hann centered in an n_fft-length zero buffer (float32)."""
+    w = symmetric_hann(win_length)
+    lpad = (n_fft - win_length) // 2
+    out = np.zeros(n_fft, dtype=np.float64)
+    out[lpad:lpad + win_length] = w
+    return out.astype(np.float32)
+
+
+def num_frames(n_samples: int, hop: int) -> int:
+    """Frame count for a center-padded STFT: 1 + floor(n / hop)."""
+    return 1 + n_samples // hop
+
+
+def frame_signal(y: jnp.ndarray, n_fft: int, hop: int) -> jnp.ndarray:
+    """(samples,) -> (n_frames, n_fft) reflect-padded overlapping frames."""
+    n = y.shape[0]
+    pad = n_fft // 2
+    ypad = jnp.pad(y, (pad, pad), mode="reflect")
+    nf = num_frames(n, hop)
+    # Static gather index matrix: (n_frames, n_fft).
+    idx = np.arange(nf)[:, None] * hop + np.arange(n_fft)[None, :]
+    return ypad[idx]
+
+
+# ---------------------------------------------------------------------------
+# Matmul rFFT: N = N1 * N2 Cooley-Tukey with DFT stages as MXU matmuls.
+# ---------------------------------------------------------------------------
+
+def _dft_matrix(n: int) -> np.ndarray:
+    """(n, n) complex128 DFT matrix W[k, m] = exp(-2j*pi*k*m/n)."""
+    k = np.arange(n)
+    return np.exp(-2j * np.pi * np.outer(k, k) / n)
+
+
+@functools.lru_cache(maxsize=4)
+def _matmul_fft_constants(n_fft: int):
+    """Precompute split-radix constants for the two-stage matmul FFT.
+
+    Factorization n_fft = n1 * n2 with both factors <= 256 so each DFT stage
+    is a small dense matmul.  Returns float32 real/imag parts.
+    """
+    n1 = 256
+    while n_fft % n1 != 0 or n_fft // n1 > 512:
+        n1 *= 2
+    n2 = n_fft // n1
+    w2 = _dft_matrix(n2)                       # inner stage (n2, n2)
+    w1 = _dft_matrix(n1)                       # outer stage (n1, n1)
+    # Twiddles W_N^{n1_idx * k2} with shape (n2 outputs k2, n1 columns).
+    k2 = np.arange(n2)[:, None]
+    n1_idx = np.arange(n1)[None, :]
+    tw = np.exp(-2j * np.pi * k2 * n1_idx / n_fft)  # (n2, n1)
+
+    def f32(c):
+        return (c.real.astype(np.float32), c.imag.astype(np.float32))
+
+    return n1, n2, f32(w2), f32(w1), f32(tw)
+
+
+def _cmul(ar, ai, br, bi):
+    return ar * br - ai * bi, ar * bi + ai * br
+
+
+def rfft_matmul(frames: jnp.ndarray, n_fft: int) -> jnp.ndarray:
+    """Real FFT of (..., n_fft) frames via two MXU matmul stages.
+
+    Uses float32 inputs with HIGHEST matmul precision; returns complex64
+    (..., n_fft // 2 + 1).
+    """
+    n1, n2, (w2r, w2i), (w1r, w1i), (twr, twi) = _matmul_fft_constants(n_fft)
+    batch = frames.shape[:-1]
+    x = frames.reshape(batch + (n2, n1)).astype(jnp.float32)  # x[n2, n1] = y[n1 + N1*n2]
+
+    hi = jax.lax.Precision.HIGHEST
+    # Inner DFT over n2 (real input): Y[k2, n1] = sum_n2 W2[k2, n2] x[n2, n1].
+    yr = jnp.einsum("kn,...nm->...km", jnp.asarray(w2r), x, precision=hi)
+    yi = jnp.einsum("kn,...nm->...km", jnp.asarray(w2i), x, precision=hi)
+    # Twiddle (elementwise on (k2, n1)).
+    yr, yi = _cmul(yr, yi, jnp.asarray(twr), jnp.asarray(twi))
+    # Outer DFT over n1: X[k2, k1] = sum_n1 Y[k2, n1] W1[n1, k1].
+    zr = (
+        jnp.einsum("...km,ml->...kl", yr, jnp.asarray(w1r), precision=hi)
+        - jnp.einsum("...km,ml->...kl", yi, jnp.asarray(w1i), precision=hi)
+    )
+    zi = (
+        jnp.einsum("...km,ml->...kl", yr, jnp.asarray(w1i), precision=hi)
+        + jnp.einsum("...km,ml->...kl", yi, jnp.asarray(w1r), precision=hi)
+    )
+    # X[N2*k1 + k2] = Z[k2, k1] -> transpose to (k1, k2) and flatten.
+    zr = jnp.swapaxes(zr, -1, -2).reshape(batch + (n_fft,))
+    zi = jnp.swapaxes(zi, -1, -2).reshape(batch + (n_fft,))
+    spec = lax.complex(zr, zi)
+    return spec[..., : n_fft // 2 + 1]
+
+
+def stft(
+    y: jnp.ndarray,
+    cfg: SpectrogramConfig = DEFAULT_SPECTROGRAM,
+    fft_impl: Literal["fft", "matmul"] = "fft",
+) -> jnp.ndarray:
+    """Single-channel STFT: (samples,) -> (n_frames, n_fft//2+1) complex64.
+
+    Output is already transposed to frames-major like the reference's ``.T``
+    (preprocess.py:34).
+    """
+    frames = frame_signal(y.astype(jnp.float32), cfg.nfft, cfg.hop_size)
+    frames = frames * jnp.asarray(padded_window(cfg.frame_size, cfg.nfft))
+    if fft_impl == "matmul":
+        return rfft_matmul(frames, cfg.nfft)
+    return jnp.fft.rfft(frames, n=cfg.nfft, axis=-1).astype(jnp.complex64)

@@ -1,0 +1,163 @@
+"""Featurizer parity tests.
+
+librosa is not installed in this environment, so the oracle is an independent
+float64 numpy implementation of the exact librosa calls the reference makes
+(librosa.core.stft with a symmetric np.hanning window, center=True, reflect
+padding — reference: dataset/spectogram/preprocess.py:21-36; and
+librosa.filters.mel + power_to_db — preprocess.py:13-18, 39-45).  The numpy
+FFT used by the oracle is an independent implementation from the XLA FFT under
+test, so FFT correctness is genuinely cross-checked.  The parity budget is the
+BASELINE.json north star: log-mel within 1e-4 (dB) of the librosa math.
+"""
+
+import numpy as np
+import pytest
+
+from sed_tpu.configs import SpectrogramConfig
+from sed_tpu.ops import mel as mel_ops
+from sed_tpu.ops import stft as stft_ops
+from sed_tpu.ops.featurizer import (
+    logmel_features,
+    multichannel_complex_to_log_mel,
+    multichannel_stft,
+)
+
+# A reduced config (same structure, smaller FFT) keeps CPU tests fast; the
+# full 32768-point config is exercised once below.
+SMALL = SpectrogramConfig(working_sample_rate=8000, time_margin=0.33)
+FULL = SpectrogramConfig()
+
+
+# ---------------------------------------------------------------------------
+# float64 numpy oracle (independent re-derivation of librosa semantics)
+# ---------------------------------------------------------------------------
+
+def oracle_stft(y, cfg):
+    n_fft, hop, win = cfg.nfft, cfg.hop_size, cfg.frame_size
+    window = np.hanning(win)
+    lpad = (n_fft - win) // 2
+    wpad = np.zeros(n_fft)
+    wpad[lpad:lpad + win] = window
+    ypad = np.pad(y.astype(np.float64), n_fft // 2, mode="reflect")
+    n_frames = 1 + len(y) // hop
+    frames = np.stack([ypad[t * hop:t * hop + n_fft] for t in range(n_frames)])
+    return np.fft.rfft(frames * wpad, n=n_fft, axis=-1)
+
+
+def oracle_logmel(y, cfg):
+    spec = oracle_stft(y, cfg)
+    power = np.abs(spec) ** 2
+    fb = mel_ops.mel_filterbank(cfg, dtype=np.float64)
+    melp = power @ fb
+    return 10.0 * np.log10(np.maximum(1e-10, melp))
+
+
+def make_signal(cfg, seconds=3.0, seed=0):
+    rng = np.random.default_rng(seed)
+    n = int(cfg.working_sample_rate * seconds)
+    t = np.arange(n) / cfg.working_sample_rate
+    sig = (
+        0.5 * np.sin(2 * np.pi * 440.0 * t)
+        + 0.2 * np.sin(2 * np.pi * 1873.0 * t + 0.3)
+        + 0.05 * rng.standard_normal(n)
+    )
+    return sig.astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# Mel filterbank
+# ---------------------------------------------------------------------------
+
+def test_slaney_mel_scale_fixed_points():
+    # Slaney scale is linear below 1 kHz: mel(f) = 3f/200.
+    np.testing.assert_allclose(mel_ops.hz_to_mel(1000.0), 15.0)
+    np.testing.assert_allclose(mel_ops.hz_to_mel(200.0 / 3.0), 1.0)
+    np.testing.assert_allclose(mel_ops.mel_to_hz(15.0), 1000.0)
+    # Log region: mel(6400) = 15 + ln(6.4)/(ln(6.4)/27) = 42.
+    np.testing.assert_allclose(mel_ops.hz_to_mel(6400.0), 42.0, rtol=1e-12)
+    np.testing.assert_allclose(mel_ops.mel_to_hz(42.0), 6400.0, rtol=1e-12)
+    # Round trips.
+    f = np.array([20.0, 500.0, 999.9, 1000.1, 12345.0, 24000.0])
+    np.testing.assert_allclose(mel_ops.mel_to_hz(mel_ops.hz_to_mel(f)), f, rtol=1e-10)
+
+
+def test_mel_filterbank_structure():
+    fb = mel_ops.mel_filterbank(FULL, dtype=np.float64)  # (16385, 64)
+    assert fb.shape == (FULL.freq_bins, FULL.mel_bins)
+    assert np.all(fb >= 0)
+    # Every filter has support and unit "area" under Slaney normalization:
+    # sum_k fb[k, m] * df == ~1 after enorm (triangle area * 2/width == 1).
+    df = FULL.working_sample_rate / 2 / (FULL.freq_bins - 1)
+    areas = fb.sum(axis=0) * df
+    assert np.all(fb.sum(axis=0) > 0)
+    np.testing.assert_allclose(areas, 1.0, rtol=0.05)
+    # Triangles peak in increasing frequency order.
+    peaks = fb.argmax(axis=0)
+    assert np.all(np.diff(peaks) > 0)
+
+
+def test_power_to_db_matches_reference_formula():
+    x = np.array([0.0, 1e-12, 1e-10, 1.0, 123.456])
+    got = np.asarray(mel_ops.power_to_db(x))
+    ref = 10 * np.log10(np.maximum(1e-10, x)) - 10 * np.log10(1.0)
+    np.testing.assert_allclose(got, ref, rtol=1e-7)
+
+
+# ---------------------------------------------------------------------------
+# STFT
+# ---------------------------------------------------------------------------
+
+def test_symmetric_hann_is_np_hanning():
+    np.testing.assert_allclose(stft_ops.symmetric_hann(31680), np.hanning(31680))
+
+
+@pytest.mark.parametrize("fft_impl", ["fft", "matmul"])
+def test_stft_matches_oracle_small(fft_impl):
+    cfg = SMALL
+    y = make_signal(cfg, seconds=2.0)
+    got = np.asarray(stft_ops.stft(y, cfg, fft_impl=fft_impl))
+    ref = oracle_stft(y, cfg)
+    assert got.shape == ref.shape
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(got, ref.astype(np.complex64), atol=2e-5 * scale)
+
+
+def test_num_frames_rule():
+    # librosa center=True frame count: 1 + len // hop.
+    assert stft_ops.num_frames(FULL.working_sample_rate * 60, FULL.hop_size) == 182
+
+
+# ---------------------------------------------------------------------------
+# End-to-end log-mel parity (the BASELINE north-star gate)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("fft_impl", ["fft", "matmul"])
+def test_logmel_parity_small(fft_impl):
+    cfg = SMALL
+    y = make_signal(cfg, seconds=2.0)
+    wave = y[:, None]  # (samples, 1 channel)
+    got = np.asarray(logmel_features(wave, cfg, fft_impl))
+    ref = oracle_logmel(y, cfg)[None]  # add channel axis
+    assert got.shape == ref.shape
+    assert np.max(np.abs(got - ref)) < 1e-4
+
+
+def test_logmel_parity_full_config():
+    """Full 48 kHz / NFFT=32768 config on a 10 s clip, 1e-4 dB budget."""
+    cfg = FULL
+    y = make_signal(cfg, seconds=10.0, seed=3)
+    wave = y[:, None]
+    got = np.asarray(logmel_features(wave, cfg, "fft"))
+    ref = oracle_logmel(y, cfg)[None]
+    assert got.shape == (1, 1 + len(y) // cfg.hop_size, cfg.mel_bins)
+    assert np.max(np.abs(got - ref)) < 1e-4
+
+
+def test_multichannel_shapes():
+    cfg = SMALL
+    y = np.stack([make_signal(cfg, 1.0, 0), make_signal(cfg, 1.0, 1)], axis=1)
+    spec = np.asarray(multichannel_stft(y, cfg))
+    assert spec.shape == (2, 1 + y.shape[0] // cfg.hop_size, cfg.freq_bins)
+    logm = np.asarray(multichannel_complex_to_log_mel(spec, cfg))
+    assert logm.shape == (2, spec.shape[1], cfg.mel_bins)
+    assert logm.dtype == np.float32
