@@ -1,0 +1,105 @@
+"""Host-side audio reading, channel policy, and resampling.
+
+Reference: dataset/dataset_utils.py:63-86 (``read_multichannel_audio``):
+soundfile.read -> force (samples, channels) -> channel policy (mono-ize by
+mean / repeat mean / truncate) -> per-channel librosa.resample to 48 kHz.
+
+Neither soundfile nor librosa exists in this environment, so this module owns
+the WAV decode itself.  Decode order of preference:
+  1. the native C++ decoder (sed_tpu.io.native) when its shared library is
+     built — PCM 16/24/32 and float32/64, fully vectorized;
+  2. scipy.io.wavfile with soundfile-compatible float normalization
+     (int16/2^15, int32/2^31, uint8 offset-binary).
+
+Resampling uses a polyphase windowed-sinc filter (scipy.signal.resample_poly
+with a Kaiser window), the same family of resampler as librosa's default
+backend; exact sample parity with librosa's soxr is not required because the
+TAU dataset is already at the 48 kHz working rate (SURVEY.md §2 C4).
+"""
+
+from __future__ import annotations
+
+import math
+from fractions import Fraction
+
+import numpy as np
+
+from sed_tpu.configs import AudioConfig, DEFAULT_AUDIO
+
+
+def _normalize_to_float(data: np.ndarray) -> np.ndarray:
+    """Integer PCM -> float64 in [-1, 1), like soundfile.read defaults."""
+    if data.dtype == np.int16:
+        return data.astype(np.float64) / 2.0**15
+    if data.dtype == np.int32:
+        return data.astype(np.float64) / 2.0**31
+    if data.dtype == np.uint8:
+        return (data.astype(np.float64) - 128.0) / 128.0
+    return data.astype(np.float64)
+
+
+def read_wav(path: str):
+    """Decode a WAV file -> (float64 (samples, channels), sample_rate)."""
+    try:
+        from sed_tpu.io.native import native_available, read_wav_native
+
+        if native_available():
+            return read_wav_native(path)
+    except ImportError:
+        pass
+    from scipy.io import wavfile
+
+    sample_rate, data = wavfile.read(path)
+    data = _normalize_to_float(np.asarray(data))
+    if data.ndim == 1:
+        data = data[:, None]
+    return data, sample_rate
+
+
+def write_wav(path: str, data: np.ndarray, sample_rate: int) -> None:
+    """Write float audio as 16-bit PCM (used by analysis scripts)."""
+    from scipy.io import wavfile
+
+    clipped = np.clip(np.asarray(data, dtype=np.float64), -1.0, 1.0)
+    wavfile.write(path, sample_rate, (clipped * 32767.0).astype(np.int16))
+
+
+def resample(x: np.ndarray, orig_sr: int, target_sr: int) -> np.ndarray:
+    """Polyphase resample of a 1-D signal (windowed-sinc, Kaiser beta=14.77).
+
+    Matches the quality class of librosa's high-quality resampler; see module
+    docstring for the parity note.
+    """
+    from scipy.signal import resample_poly
+
+    frac = Fraction(target_sr, orig_sr)
+    up, down = frac.numerator, frac.denominator
+    # Kaiser window sized like soxr/resampy high-quality mode.
+    return resample_poly(x, up, down, window=("kaiser", 14.769656459379492))
+
+
+def read_multichannel_audio(
+    audio_path: str,
+    target_fs: int | None = None,
+    cfg: AudioConfig = DEFAULT_AUDIO,
+) -> np.ndarray:
+    """Read + channel policy + resample; returns float64 (samples, channels).
+
+    Channel policy parity (dataset_utils.py:68-76): with fewer channels than
+    requested, repeat the mean channel; with ``audio_channels == 1``, mono-ize
+    by mean; with more channels, truncate.
+    """
+    audio, sample_rate = read_wav(audio_path)
+    if audio.shape[1] < cfg.audio_channels:
+        audio = np.repeat(audio.mean(axis=1, keepdims=True), cfg.audio_channels, axis=1)
+    elif cfg.audio_channels == 1:
+        audio = audio.mean(axis=1, keepdims=True)
+    elif audio.shape[1] > cfg.audio_channels:
+        audio = audio[:, : cfg.audio_channels]
+
+    if target_fs is not None and sample_rate != target_fs:
+        audio = np.stack(
+            [resample(audio[:, i], sample_rate, target_fs) for i in range(audio.shape[1])],
+            axis=1,
+        )
+    return audio

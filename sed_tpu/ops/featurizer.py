@@ -4,11 +4,13 @@ Reference pipeline (dataset/spectogram/preprocess.py:21-45):
   ``multichannel_stft``                (samples, channels) -> (channels, frames, nfft//2+1)
   ``multichannel_complex_to_log_mel``  |X|^2 -> @ mel filterbank -> power_to_db
 
-Here the same two functions are jit-compiled XLA programs; ``logmel_features``
-fuses the whole chain in one jit so XLA can fuse window/power/log elementwise
-work into the FFT/matmul pipeline, and an optional Pallas kernel
-(sed_tpu.ops.pallas_featurizer) implements the power->mel->log stage as a
-single fused MXU kernel.
+Here the same two functions are jit-compiled XLA programs, and
+``logmel_features`` fuses the whole chain in one jit.  On TPU the pipeline is
+complex-free end to end (this environment's TPU backend has no complex-dtype
+support): the matmul rFFT produces (real, imag) float32 pairs and the power
+spectrum |X|^2 = re^2 + im^2 feeds the mel matmul directly.  An optional
+Pallas kernel (sed_tpu.ops.pallas_featurizer) fuses power -> mel matmul ->
+log10 into a single MXU pass.
 """
 
 from __future__ import annotations
@@ -23,7 +25,22 @@ from sed_tpu.configs import SpectrogramConfig, DEFAULT_SPECTROGRAM
 from sed_tpu.ops import mel as mel_ops
 from sed_tpu.ops import stft as stft_ops
 
-FftImpl = Literal["fft", "matmul"]
+FftImpl = Literal["fft", "matmul", "auto"]
+
+
+def power_to_logmel(
+    power: jnp.ndarray,
+    cfg: SpectrogramConfig = DEFAULT_SPECTROGRAM,
+    use_pallas: bool = False,
+) -> jnp.ndarray:
+    """(..., freq_bins) power spectrum -> (..., mel_bins) log-mel (float32)."""
+    if use_pallas:
+        from sed_tpu.ops.pallas_featurizer import power_to_logmel_pallas
+
+        return power_to_logmel_pallas(power, cfg)
+    fb = jnp.asarray(mel_ops.mel_filterbank(cfg))
+    melp = jnp.matmul(power, fb, precision=jax.lax.Precision.HIGHEST)
+    return mel_ops.power_to_db(melp).astype(jnp.float32)
 
 
 def multichannel_stft(
@@ -35,6 +52,8 @@ def multichannel_stft(
 
     Matches reference multichannel_stft (preprocess.py:21-36): per-channel
     centered STFT with a symmetric Hann window, transposed frames-major.
+    Complex output: for the TPU-side pipeline use :func:`logmel_features`,
+    which never materializes complex values.
     """
     chans_first = jnp.swapaxes(waveform, 0, 1)  # (channels, samples)
     return jax.vmap(lambda y: stft_ops.stft(y, cfg, fft_impl))(chans_first)
@@ -48,37 +67,53 @@ def multichannel_complex_to_log_mel(
     """|X|^2 -> mel projection -> 10*log10(max(1e-10, .)), float32.
 
     Matches reference multichannel_complex_to_log_mel (preprocess.py:39-45).
-    Accepts any (..., freq_bins) array: complex spectrograms, or the
+    Accepts any (..., freq_bins) array: complex spectrograms, the
     already-normalized complex features of the 'Complex' dataset mode
     (spectograms_dataset.py:104-110), or raw rfft rows as used by the SVM
     baseline (Classical_methods/train_svm_detector.py:66-68).
     """
-    power = jnp.abs(spec).astype(jnp.float32) ** 2
-    if use_pallas:
-        from sed_tpu.ops.pallas_featurizer import power_to_logmel_pallas
+    if jnp.iscomplexobj(spec):
+        power = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
+    else:
+        power = spec.astype(jnp.float32) ** 2
+    return power_to_logmel(power.astype(jnp.float32), cfg, use_pallas)
 
-        return power_to_logmel_pallas(power, cfg)
-    fb = jnp.asarray(mel_ops.mel_filterbank(cfg))
-    mel = jnp.matmul(power, fb, precision=jax.lax.Precision.HIGHEST)
-    return mel_ops.power_to_db(mel).astype(jnp.float32)
+
+def realimag_to_log_mel(
+    real: jnp.ndarray,
+    imag: jnp.ndarray,
+    cfg: SpectrogramConfig = DEFAULT_SPECTROGRAM,
+    use_pallas: bool = False,
+) -> jnp.ndarray:
+    """Complex-free equivalent of :func:`multichannel_complex_to_log_mel`."""
+    power = real.astype(jnp.float32) ** 2 + imag.astype(jnp.float32) ** 2
+    return power_to_logmel(power, cfg, use_pallas)
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2, 3))
 def logmel_features(
     waveform: jnp.ndarray,
     cfg: SpectrogramConfig = DEFAULT_SPECTROGRAM,
-    fft_impl: FftImpl = "fft",
+    fft_impl: FftImpl = "auto",
     use_pallas: bool = False,
 ) -> jnp.ndarray:
-    """Fused featurizer: (samples, channels) -> (channels, frames, mel_bins)."""
-    spec = multichannel_stft(waveform, cfg, fft_impl)
-    return multichannel_complex_to_log_mel(spec, cfg, use_pallas)
+    """Fused featurizer: (samples, channels) -> (channels, frames, mel_bins).
+
+    Complex-free: frame -> window -> rFFT(real, imag) -> power -> mel -> dB.
+    """
+    chans_first = jnp.swapaxes(waveform, 0, 1)
+
+    def one_channel(y):
+        re, im = stft_ops.stft_realimag(y, cfg, fft_impl)
+        return realimag_to_log_mel(re, im, cfg, use_pallas)
+
+    return jax.vmap(one_channel)(chans_first)
 
 
 def logmel_features_batch(
     waveforms: jnp.ndarray,
     cfg: SpectrogramConfig = DEFAULT_SPECTROGRAM,
-    fft_impl: FftImpl = "fft",
+    fft_impl: FftImpl = "auto",
     use_pallas: bool = False,
 ) -> jnp.ndarray:
     """Batched featurizer: (batch, samples, channels) -> (batch, channels, frames, mel)."""

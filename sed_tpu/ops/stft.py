@@ -107,11 +107,13 @@ def _cmul(ar, ai, br, bi):
     return ar * br - ai * bi, ar * bi + ai * br
 
 
-def rfft_matmul(frames: jnp.ndarray, n_fft: int) -> jnp.ndarray:
+def rfft_matmul_realimag(frames: jnp.ndarray, n_fft: int):
     """Real FFT of (..., n_fft) frames via two MXU matmul stages.
 
-    Uses float32 inputs with HIGHEST matmul precision; returns complex64
-    (..., n_fft // 2 + 1).
+    Uses float32 inputs with HIGHEST matmul precision; returns a
+    (real, imag) pair of float32 (..., n_fft // 2 + 1) arrays.  Complex-free
+    on purpose: the axon TPU backend in this environment does not implement
+    complex dtypes, and the downstream featurizer only needs |X|^2 anyway.
     """
     n1, n2, (w2r, w2i), (w1r, w1i), (twr, twi) = _matmul_fft_constants(n_fft)
     batch = frames.shape[:-1]
@@ -135,22 +137,55 @@ def rfft_matmul(frames: jnp.ndarray, n_fft: int) -> jnp.ndarray:
     # X[N2*k1 + k2] = Z[k2, k1] -> transpose to (k1, k2) and flatten.
     zr = jnp.swapaxes(zr, -1, -2).reshape(batch + (n_fft,))
     zi = jnp.swapaxes(zi, -1, -2).reshape(batch + (n_fft,))
-    spec = lax.complex(zr, zi)
-    return spec[..., : n_fft // 2 + 1]
+    return zr[..., : n_fft // 2 + 1], zi[..., : n_fft // 2 + 1]
+
+
+def rfft_matmul(frames: jnp.ndarray, n_fft: int) -> jnp.ndarray:
+    """Complex-output wrapper over :func:`rfft_matmul_realimag` (host/CPU use)."""
+    re, im = rfft_matmul_realimag(frames, n_fft)
+    return lax.complex(re, im)
+
+
+def default_fft_impl() -> str:
+    """'fft' where XLA has a native FFT; 'matmul' on TPU backends without
+    complex support (this environment's axon plugin)."""
+    return "matmul" if jax.default_backend() == "tpu" else "fft"
+
+
+def _windowed_frames(y: jnp.ndarray, cfg: SpectrogramConfig) -> jnp.ndarray:
+    frames = frame_signal(y.astype(jnp.float32), cfg.nfft, cfg.hop_size)
+    return frames * jnp.asarray(padded_window(cfg.frame_size, cfg.nfft))
+
+
+def stft_realimag(
+    y: jnp.ndarray,
+    cfg: SpectrogramConfig = DEFAULT_SPECTROGRAM,
+    fft_impl: Literal["fft", "matmul", "auto"] = "auto",
+):
+    """Complex-free STFT: (samples,) -> ((frames, bins) real, (frames, bins) imag)."""
+    if fft_impl == "auto":
+        fft_impl = default_fft_impl()
+    frames = _windowed_frames(y, cfg)
+    if fft_impl == "matmul":
+        return rfft_matmul_realimag(frames, cfg.nfft)
+    spec = jnp.fft.rfft(frames, n=cfg.nfft, axis=-1)
+    return jnp.real(spec).astype(jnp.float32), jnp.imag(spec).astype(jnp.float32)
 
 
 def stft(
     y: jnp.ndarray,
     cfg: SpectrogramConfig = DEFAULT_SPECTROGRAM,
-    fft_impl: Literal["fft", "matmul"] = "fft",
+    fft_impl: Literal["fft", "matmul", "auto"] = "fft",
 ) -> jnp.ndarray:
     """Single-channel STFT: (samples,) -> (n_frames, n_fft//2+1) complex64.
 
     Output is already transposed to frames-major like the reference's ``.T``
-    (preprocess.py:34).
+    (preprocess.py:34).  Complex output — use :func:`stft_realimag` on TPU
+    backends without complex support.
     """
-    frames = frame_signal(y.astype(jnp.float32), cfg.nfft, cfg.hop_size)
-    frames = frames * jnp.asarray(padded_window(cfg.frame_size, cfg.nfft))
+    if fft_impl == "auto":
+        fft_impl = default_fft_impl()
+    frames = _windowed_frames(y, cfg)
     if fft_impl == "matmul":
         return rfft_matmul(frames, cfg.nfft)
     return jnp.fft.rfft(frames, n=cfg.nfft, axis=-1).astype(jnp.complex64)

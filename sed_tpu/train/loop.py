@@ -1,0 +1,207 @@
+"""Training orchestration and whole-recording evaluation.
+
+Reference: train.py:12-132 (eval + train).  The hot loop is the fused device
+step from sed_tpu.data.device_pipeline; this module owns epochs, logging
+(identical im/sec definition, train.py:113-115), periodic eval on whole
+validation recordings, diagnostic images, and checkpoints.
+"""
+
+from __future__ import annotations
+
+import os
+from time import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sed_tpu.configs import SpectrogramConfig, WaveformConfig
+from sed_tpu.data.device_pipeline import (
+    make_spectrogram_train_step,
+    make_waveform_train_step,
+    spectrogram_buffers_from_dataset,
+    waveform_buffers_from_dataset,
+)
+from sed_tpu.train.checkpoint import save_checkpoint
+from sed_tpu.train.loss import weighted_bce_with_logits
+from sed_tpu.train.optim import make_optimizer
+from sed_tpu.train.state import init_state, make_eval_forward
+from sed_tpu.utils.metrics import calculate_metrics
+from sed_tpu.utils.plotting import plot_sample_features
+from sed_tpu.utils.progress import ProgressPlotter
+
+
+def evaluate(
+    model,
+    state,
+    dataset,
+    mode: str,
+    pos_weight: float,
+    outputs_dir: str,
+    iteration: int,
+    limit_val_samples: Optional[int] = None,
+    make_plots: bool = True,
+    cfg=None,
+):
+    """Whole-recording eval (reference: train.py:12-74).
+
+    Spectrogram mode: each validation recording goes through the fully
+    convolutional model as one (1, frames, mel, channels) batch.  Waveform
+    mode: a recording is a batch of hop-strided frames, each scoring one logit.
+    Sigmoid is applied here since models emit logits (train.py:44).
+    Returns (losses, recall_sets, precision_sets, APs).
+    """
+    forward = make_eval_forward(model)
+    losses, recal_sets, precision_sets, aps = [], [], [], []
+    debug = []  # (input, output_scores, target, name)
+
+    for input_np, target_np, name in dataset.get_validation_sampler(limit_val_samples):
+        if mode == "spectogram":
+            # (1, channels, frames, mel) -> NHWC
+            x = jnp.transpose(jnp.asarray(input_np), (0, 2, 3, 1))
+            logits = forward(state.params, state.batch_stats, x)
+            loss = weighted_bce_with_logits(
+                logits, jnp.asarray(target_np), pos_weight, multi_frame=True
+            )
+            scores = np.asarray(jax.nn.sigmoid(logits))[0]
+            target = np.asarray(target_np)[0]
+            plot_input = np.asarray(input_np)[0]
+        else:
+            # (frames, channels, samples) -> NWC batch of frames
+            x = jnp.transpose(jnp.asarray(input_np), (0, 2, 1))
+            logits = forward(state.params, state.batch_stats, x)
+            loss = weighted_bce_with_logits(
+                logits, jnp.asarray(target_np), pos_weight, multi_frame=False
+            )
+            scores = np.asarray(jax.nn.sigmoid(logits))
+            target = np.asarray(target_np).reshape(-1, 1)
+            plot_input = np.transpose(np.asarray(input_np), (1, 0, 2))
+
+        recal_vals, precision_vals, ap = calculate_metrics(scores, target)
+        losses.append(float(loss))
+        recal_sets.append(recal_vals)
+        precision_sets.append(precision_vals)
+        aps.append(ap)
+        debug.append((plot_input, scores, target, name))
+
+    if make_plots and debug:
+        _plot_best_worst(debug, losses, aps, mode, outputs_dir, iteration, cfg)
+    return losses, recal_sets, precision_sets, aps
+
+
+def _plot_best_worst(debug, losses, aps, mode, outputs_dir, iteration, cfg):
+    """Best/worst sample images by loss and AP (reference: train.py:60-72)."""
+    n = len(debug)
+    for metric_name, values, named_indices in [
+        ("loss", losses, [("worst", -1), ("2-worst", -2), ("3-worst", -3), ("best", 0)]),
+        ("AP", aps, [("worst", 0), ("best", -1)]),
+    ]:
+        order = np.argsort(values)
+        for rank_name, idx in named_indices:
+            if abs(idx) > n - (idx >= 0):
+                continue  # fewer validation samples than ranks requested
+            sample_idx = order[idx]
+            plot_input, scores, target, name = debug[sample_idx]
+            plot_sample_features(
+                plot_input,
+                mode=mode,
+                output=scores,
+                target=target,
+                file_name=f"{name} {metric_name} {values[sample_idx]:.2f}",
+                plot_path=os.path.join(outputs_dir, "images", f"Iter-{iteration}",
+                                       f"{metric_name}-{rank_name}.png"),
+                cfg=cfg,
+            )
+
+
+def train(
+    model,
+    dataset,
+    mode: str,
+    num_steps: int,
+    lr: float,
+    log_freq: int,
+    outputs_dir: str,
+    batch_size: int = 128,
+    pos_weight: float = 5.0,
+    augment: bool = False,
+    preprocessed_mode: str = "logMel",
+    cfg=None,
+    seed: int = 0,
+    initial_state=None,
+    make_plots: bool = True,
+    limit_val_samples: Optional[int] = 3,
+):
+    """Train loop (reference: train.py:77-132) on the fused device pipeline.
+
+    Returns the final TrainState.
+    """
+    assert mode in ("spectogram", "waveform")
+    print("Training:")
+    print("\t- Using device: ", jax.devices()[0])
+    os.makedirs(os.path.join(outputs_dir, "checkpoints"), exist_ok=True)
+
+    tx = make_optimizer(lr)
+    plotter = ProgressPlotter()
+
+    if mode == "spectogram":
+        cfg = cfg or SpectrogramConfig()
+        buffers = spectrogram_buffers_from_dataset(dataset)
+        crop, mel = cfg.train_crop_size, buffers.features.shape[2]
+        channels = buffers.features.shape[0]
+        mel = cfg.mel_bins  # post-transform width (Complex mode narrows to mel)
+        sample = jnp.zeros((batch_size, crop, mel, channels), jnp.float32)
+        step_fn = make_spectrogram_train_step(
+            model, tx, cfg, pos_weight, preprocessed_mode, augment
+        )
+    else:
+        cfg = cfg or WaveformConfig()
+        buffers = waveform_buffers_from_dataset(dataset)
+        channels = buffers.waveform.shape[0]
+        sample = jnp.zeros((batch_size, cfg.frame_size, channels), jnp.float32)
+        step_fn = make_waveform_train_step(model, tx, cfg, pos_weight, augment)
+
+    state = initial_state if initial_state is not None else init_state(
+        model, jax.random.key(seed), sample, tx
+    )
+
+    rng = jax.random.key(seed + 1)
+    iterations = int(state.step)
+    epoch = 0
+    training_start_time = time()
+    last_loss = float("nan")
+
+    while iterations < num_steps:
+        for starts in dataset.epoch_start_indices(batch_size):
+            if len(starts) < batch_size:
+                continue
+            rng, step_rng = jax.random.split(rng)
+            state, loss = step_fn(state, buffers, jnp.asarray(starts), step_rng)
+            iterations += 1
+            last_loss = float(loss)
+            plotter.report_train_loss(last_loss)
+
+            if iterations % log_freq == 0:
+                im_sec = iterations * batch_size / (time() - training_start_time)
+                print(f"epoch: {epoch}, step: {iterations}, loss: {last_loss:.2f}, "
+                      f"im/sec: {im_sec:.1f}")
+
+                val_losses, recal_sets, precision_sets, aps = evaluate(
+                    model, state, dataset, mode, pos_weight, outputs_dir,
+                    iterations, limit_val_samples=limit_val_samples,
+                    make_plots=make_plots, cfg=cfg,
+                )
+                if val_losses:
+                    plotter.report_validation_metrics(
+                        val_losses, recal_sets, precision_sets, aps, iterations
+                    )
+                    if make_plots:
+                        plotter.plot(outputs_dir)
+                save_checkpoint(state, outputs_dir, iterations)
+
+            if iterations == num_steps:
+                break
+        epoch += 1
+
+    return state

@@ -1,0 +1,35 @@
+"""Recall-weighted binary cross-entropy with logits.
+
+Reference: utils/common.py:11-30 (WeightedBCE wrapping torch's
+``binary_cross_entropy_with_logits`` with ``pos_weight=recall_factor``).
+
+torch semantics reproduced exactly:
+  loss = mean( pos_weight * t * softplus(-x) + (1 - t) * softplus(x) )
+with, in multi-frame (spectrogram) mode, both tensors truncated on the frame
+axis to the common length first — the reference's workaround for the
+odd/even pooling frame-count mismatch (utils/common.py:20-22) — and, in
+single-frame (waveform) mode, the logits flattened to match the per-crop
+scalar labels (utils/common.py:26-27).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from jax.nn import softplus
+
+
+def weighted_bce_with_logits(
+    logits: jnp.ndarray,
+    targets: jnp.ndarray,
+    pos_weight: float = 5.0,
+    multi_frame: bool = True,
+) -> jnp.ndarray:
+    if multi_frame:
+        n = min(logits.shape[1], targets.shape[1])
+        logits = logits[:, :n]
+        targets = targets[:, :n]
+    else:
+        logits = logits.reshape(-1)
+    targets = targets.astype(logits.dtype)
+    loss = pos_weight * targets * softplus(-logits) + (1.0 - targets) * softplus(logits)
+    return jnp.mean(loss)

@@ -1,0 +1,217 @@
+"""Data pipeline integration tests on synthetic audio.
+
+Covers: offline preprocessing (pickle format parity), packed dataset loading,
+start-index classification, balance_classes, transforms (logMel and the
+Complex normalize-then-logmel quirk), validation sampler, and the fused
+device-resident train steps for both feature domains.
+"""
+
+import os
+import pickle
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from scipy.io import wavfile
+
+from sed_tpu.configs import SpectrogramConfig, WaveformConfig
+from sed_tpu.data.device_pipeline import (
+    make_spectrogram_train_step,
+    make_waveform_train_step,
+    spectrogram_buffers_from_dataset,
+    waveform_buffers_from_dataset,
+)
+from sed_tpu.data.preprocess import preprocess_data
+from sed_tpu.data.spectrogram_dataset import SpectrogramDataset, classify_start_indices
+from sed_tpu.data.waveform_dataset import WaveformDataset
+from sed_tpu.models.cnn import CnnAvgPooling
+from sed_tpu.models.m5 import M5
+from sed_tpu.train.optim import make_optimizer
+from sed_tpu.train.state import init_state
+
+# Small config: 8 kHz, frame 5280, hop 2640, fps 3, NFFT 8192.
+CFG = SpectrogramConfig(working_sample_rate=8000, time_margin=0.33)
+WCFG = WaveformConfig(working_sample_rate=8000, time_margin=0.33)
+
+
+@pytest.fixture(scope="module")
+def synthetic_corpus(tmp_path_factory):
+    """Six 15 s synthetic wavs with one event each + label tuples."""
+    root = tmp_path_factory.mktemp("corpus")
+    rng = np.random.default_rng(0)
+    items = []
+    for i in range(6):
+        dur, sr = 15.0, CFG.working_sample_rate
+        n = int(dur * sr)
+        sig = 0.01 * rng.standard_normal(n)
+        start = 4.0 + i * 0.5
+        end = start + 1.0
+        t = np.arange(int(sr * (end - start))) / sr
+        sig[int(start * sr):int(start * sr) + len(t)] += 0.5 * np.sin(2 * np.pi * 800 * t)
+        path = str(root / f"clip_{i}.wav")
+        wavfile.write(path, sr, sig.astype(np.float32))
+        items.append((path, np.array([start]), np.array([end]), f"clip_{i}"))
+    return items
+
+
+@pytest.fixture(scope="module")
+def preprocessed_logmel(synthetic_corpus, tmp_path_factory):
+    out = tmp_path_factory.mktemp("features")
+    features_dir = str(out / "logMel-features")
+    mean_std = str(out / "mean_std.pkl")
+    preprocess_data(synthetic_corpus, features_dir, mean_std,
+                    preprocess_mode="logMel", cfg=CFG, plot_sample=False)
+    return features_dir, mean_std
+
+
+@pytest.fixture(scope="module")
+def preprocessed_complex(synthetic_corpus, tmp_path_factory):
+    out = tmp_path_factory.mktemp("features_cx")
+    features_dir = str(out / "Complex-features")
+    mean_std = str(out / "mean_std.pkl")
+    preprocess_data(synthetic_corpus, features_dir, mean_std,
+                    preprocess_mode="Complex", cfg=CFG, plot_sample=False)
+    return features_dir, mean_std
+
+
+def test_preprocess_pickle_format(preprocessed_logmel):
+    features_dir, mean_std = preprocessed_logmel
+    files = sorted(os.listdir(features_dir))
+    assert len(files) == 6
+    with open(os.path.join(features_dir, files[0]), "rb") as f:
+        d = pickle.load(f)
+    assert set(d) == {"features", "start_times", "end_times"}
+    # (channels, frames, mel): 15 s * 3 fps + 1 = 46 frames.
+    assert d["features"].shape == (1, 46, CFG.mel_bins)
+    assert d["features"].dtype == np.float32
+    with open(mean_std, "rb") as f:
+        stats = pickle.load(f)
+    assert stats["mean"].shape == (CFG.mel_bins,)
+    assert stats["std"].shape == (CFG.mel_bins,)
+
+
+def test_spectrogram_dataset_logmel(preprocessed_logmel):
+    features_dir, mean_std = preprocessed_logmel
+    ds = SpectrogramDataset(features_dir, mean_std, val_descriptor="clip_5",
+                            preprocessed_mode="logMel", cfg=CFG, seed=0)
+    # 5 train files x (46 - 30) legal starts each.
+    assert len(ds) == 5 * (46 - CFG.train_crop_size)
+    assert ds.train_features.shape == (1, 5 * 46, CFG.mel_bins)
+    assert ds.train_event_matrix.shape == (5 * 46, CFG.classes_num)
+    # Crop fetch: normalized crop + events.
+    x, e = ds.get_item(0)
+    assert x.shape == (1, CFG.train_crop_size, CFG.mel_bins)
+    assert e.shape == (CFG.train_crop_size, CFG.classes_num)
+    # Normalization is (x - mean) / std of the packed features.
+    s = ds.train_start_indices[0]
+    manual = (ds.train_features[:, s:s + 30] - ds.mean) / ds.std
+    np.testing.assert_allclose(x, manual, rtol=1e-6)
+    # Validation sampler: whole recording with batch dim.
+    items = list(ds.get_validation_sampler())
+    assert len(items) == 1
+    feat, event, name = items[0]
+    assert feat.shape == (1, 1, 46, CFG.mel_bins)
+    assert event.shape == (1, 46, CFG.classes_num)
+    assert name.startswith("clip_5")
+
+
+def test_balance_classes_reduces_empty(preprocessed_logmel):
+    features_dir, mean_std = preprocessed_logmel
+    ds_all = SpectrogramDataset(features_dir, mean_std, val_descriptor="clip_5",
+                                preprocessed_mode="logMel", cfg=CFG, seed=0)
+    ds_bal = SpectrogramDataset(features_dir, mean_std, val_descriptor="clip_5",
+                                balance_classes=True, preprocessed_mode="logMel",
+                                cfg=CFG, seed=0)
+    assert len(ds_bal) <= len(ds_all)
+    assert len(ds_bal) % 2 == 0  # equal event/empty halves
+
+
+def test_classify_start_indices_reference_semantics():
+    # Event at frame 35 with crop 30 -> starts [5, 35) marked.
+    em = np.zeros((60, 1))
+    em[35] = 1
+    flags = classify_start_indices(em, num_starts=30, crop_size=30)
+    assert flags[5:30].all()
+    assert not flags[:5].any()
+    # Event at frame 10 (< crop): reference's negative slice marks nothing.
+    em2 = np.zeros((60, 1))
+    em2[10] = 1
+    flags2 = classify_start_indices(em2, num_starts=30, crop_size=30)
+    assert not flags2.any()
+
+
+def test_spectrogram_device_train_step(preprocessed_logmel):
+    features_dir, mean_std = preprocessed_logmel
+    ds = SpectrogramDataset(features_dir, mean_std, val_descriptor="clip_5",
+                            preprocessed_mode="logMel", cfg=CFG, seed=0)
+    buffers = spectrogram_buffers_from_dataset(ds)
+    model = CnnAvgPooling(classes_num=CFG.classes_num, model_config=((8, 2), (16, 2)))
+    tx = make_optimizer(1e-3)
+    sample = jnp.zeros((4, CFG.train_crop_size, CFG.mel_bins, 1))
+    state = init_state(model, jax.random.key(0), sample, tx)
+    step = make_spectrogram_train_step(model, tx, CFG, pos_weight=5.0,
+                                       preprocessed_mode="logMel", augment=False)
+    rng = jax.random.key(1)
+    losses = []
+    for starts in ds.epoch_start_indices(batch_size=4):
+        rng, k = jax.random.split(rng)
+        state, loss = step(state, buffers, jnp.asarray(starts), k)
+        losses.append(float(loss))
+    assert int(state.step) == len(losses) > 0
+    assert np.isfinite(losses).all()
+
+
+def test_complex_mode_with_augmentation(preprocessed_complex):
+    features_dir, mean_std = preprocessed_complex
+    ds = SpectrogramDataset(features_dir, mean_std, val_descriptor="clip_5",
+                            preprocessed_mode="Complex", augment_data=True,
+                            cfg=CFG, seed=0)
+    assert np.iscomplexobj(ds.train_features)
+    # Host transform: normalize complex then convert to log-mel.
+    x, _ = ds.get_item(0)
+    assert x.shape == (1, CFG.train_crop_size, CFG.mel_bins)
+    assert not np.iscomplexobj(x)
+
+    buffers = spectrogram_buffers_from_dataset(ds)
+    assert buffers.features.shape[-1] == 2  # stacked real/imag
+    model = CnnAvgPooling(classes_num=CFG.classes_num, model_config=((8, 2), (16, 2)))
+    tx = make_optimizer(1e-3)
+    sample = jnp.zeros((4, CFG.train_crop_size, CFG.mel_bins, 1))
+    state = init_state(model, jax.random.key(0), sample, tx)
+    step = make_spectrogram_train_step(model, tx, CFG, pos_weight=5.0,
+                                       preprocessed_mode="Complex", augment=True)
+    starts = jnp.asarray(ds.train_start_indices[:4])
+    state, loss = step(state, buffers, starts, jax.random.key(2))
+    assert np.isfinite(float(loss))
+
+    # Device transform matches the host transform on the same crop (no augment).
+    step_na = make_spectrogram_train_step(model, tx, CFG, pos_weight=5.0,
+                                          preprocessed_mode="Complex", augment=False)
+    state2 = init_state(model, jax.random.key(0), sample, tx)
+    state2, loss2 = step_na(state2, buffers, starts, jax.random.key(2))
+    assert np.isfinite(float(loss2))
+
+
+def test_waveform_dataset_and_step(synthetic_corpus):
+    ds = WaveformDataset(synthetic_corpus, val_descriptor="clip_5", cfg=WCFG, seed=0)
+    n_per_file = 15 * WCFG.working_sample_rate - WCFG.frame_size
+    assert len(ds) == 5 * n_per_file
+    w, label = ds.get_item(0)
+    assert w.shape == (1, WCFG.frame_size)
+    # Event-positive starts exist (1 s events vs 0.66 s frames -> coverage > 0.74 possible).
+    assert ds.all_start_indices_labels.sum() > 0
+
+    frames, labels, name = next(ds.get_validation_sampler(1))
+    assert frames.shape[1:] == (1, WCFG.frame_size)
+    assert labels.shape == (frames.shape[0],)
+
+    buffers = waveform_buffers_from_dataset(ds)
+    model = M5(classes_num=1)
+    tx = make_optimizer(1e-3)
+    sample = jnp.zeros((4, WCFG.frame_size, 1))
+    state = init_state(model, jax.random.key(0), sample, tx)
+    step = make_waveform_train_step(model, tx, WCFG, pos_weight=5.0, augment=True)
+    starts = jnp.asarray(ds.possible_start_indices[:4])
+    state, loss = step(state, buffers, starts, jax.random.key(1))
+    assert np.isfinite(float(loss))

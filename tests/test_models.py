@@ -1,0 +1,114 @@
+"""Model shape/parameter-count contracts vs the reference architectures.
+
+Shape walkthroughs follow the reference's ``model_description`` math
+(models/spectogram_models.py:207-230); parameter counts were derived by hand
+from the torch layer definitions (convs without bias + BN affine pairs + FC).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sed_tpu.models.cnn import (
+    DEFAULT_CHANNEL_AND_POOL,
+    TRAIN_CHANNEL_AND_POOL,
+    CnnAvgPooling,
+    MobileNetV1,
+    num_pools,
+)
+from sed_tpu.models.layers import interpolate
+from sed_tpu.models.m5 import M5
+
+
+def count_params(params):
+    return sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+
+
+def test_num_pools_matches_reference_counter():
+    # Reference counter yields 3 for both shipped configs
+    # (spectogram_models.py:166-172 with main.py:35 and the default).
+    assert num_pools(TRAIN_CHANNEL_AND_POOL) == 3
+    assert num_pools(DEFAULT_CHANNEL_AND_POOL) == 3
+    # The reference's constant-1 first term is reproduced even when the first
+    # stage does not pool.
+    assert num_pools(((32, 1), (64, 2))) == 2
+
+
+def test_interpolate_repeats_frames():
+    x = jnp.arange(6, dtype=jnp.float32).reshape(1, 3, 2)
+    y = interpolate(x, 4)
+    assert y.shape == (1, 12, 2)
+    np.testing.assert_array_equal(np.asarray(y[0, :4, 0]), [0, 0, 0, 0])
+    np.testing.assert_array_equal(np.asarray(y[0, 4:8, 1]), [3, 3, 3, 3])
+
+
+def test_cnn_avg_pooling_shapes_train_config():
+    model = CnnAvgPooling(classes_num=1, model_config=TRAIN_CHANNEL_AND_POOL)
+    x = jnp.zeros((2, 30, 64, 1))  # (batch, frames, mel, channels)
+    variables = model.init(jax.random.key(0), x, train=False)
+    out = model.apply(variables, x, train=False)
+    # 30 frames -> 15 -> 7 -> 3 (floor pooling) -> interpolate x8 -> 24.
+    assert out.shape == (2, 24, 1)
+
+
+def test_cnn_avg_pooling_full_recording_shape():
+    # 60 s clip: 182 frames -> 91 -> 45 -> 22 -> x8 -> 176 output frames.
+    model = CnnAvgPooling(classes_num=1, model_config=TRAIN_CHANNEL_AND_POOL)
+    x = jnp.zeros((1, 182, 64, 1))
+    variables = model.init(jax.random.key(0), x, train=False)
+    out = model.apply(variables, x, train=False)
+    assert out.shape == (1, 176, 1)
+
+
+def test_cnn_avg_pooling_param_count_matches_torch():
+    # Hand-derived torch parameter count for main.py:35's config
+    # [(32,2),(64,2),(128,2),(128,1)] with classes_num=1: 582,433.
+    model = CnnAvgPooling(classes_num=1, model_config=TRAIN_CHANNEL_AND_POOL)
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 30, 64, 1)), train=False)
+    assert count_params(variables["params"]) == 582433
+
+
+def test_cnn_train_mode_updates_batch_stats():
+    model = CnnAvgPooling(classes_num=1, model_config=TRAIN_CHANNEL_AND_POOL)
+    x = jax.random.normal(jax.random.key(1), (4, 30, 64, 1))
+    variables = model.init(jax.random.key(0), x, train=False)
+    out, updates = model.apply(variables, x, train=True, mutable=["batch_stats"])
+    assert out.shape == (4, 24, 1)
+    old = jax.tree.leaves(variables["batch_stats"])
+    new = jax.tree.leaves(updates["batch_stats"])
+    assert any(not np.allclose(a, b) for a, b in zip(old, new))
+
+
+def test_m5_shapes_and_param_count():
+    model = M5(classes_num=1)
+    x = jnp.zeros((2, 31680, 1))  # (batch, samples, channels)
+    variables = model.init(jax.random.key(0), x, train=False)
+    out = model.apply(variables, x, train=False)
+    assert out.shape == (2, 1)
+    # Hand-derived torch count for M5(1): 426,369.
+    assert count_params(variables["params"]) == 426369
+
+
+@pytest.mark.slow
+def test_mobilenet_shapes():
+    model = MobileNetV1(classes_num=1)
+    x = jnp.zeros((1, 32, 64, 1))
+    variables = model.init(jax.random.key(0), x, train=False)
+    out = model.apply(variables, x, train=False)
+    # 32 frames -> /8 via three stride-2 stages -> 4 -> interpolate x8 -> 32.
+    assert out.shape == (1, 32, 1)
+    # Forward emits sigmoid confidences (spectogram_models.py:117).
+    assert np.all(np.asarray(out) >= 0) and np.all(np.asarray(out) <= 1)
+
+
+def test_kaiming_uniform_bound():
+    # torch kaiming_uniform_(nonlinearity='leaky_relu', a=0): bound sqrt(6/fan_in).
+    model = CnnAvgPooling(classes_num=1, model_config=TRAIN_CHANNEL_AND_POOL)
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 30, 64, 1)), train=False)
+    k = variables["params"]["ConvBlock_1"]["Conv_0"]["kernel"]  # (3,3,32,64)
+    fan_in = 3 * 3 * 32
+    bound = np.sqrt(6.0 / fan_in)
+    kk = np.asarray(k)
+    assert kk.min() >= -bound and kk.max() <= bound
+    assert kk.max() > 0.8 * bound  # actually fills the range
