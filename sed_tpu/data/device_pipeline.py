@@ -125,8 +125,13 @@ def make_spectrogram_train_step(
     pos_weight: float = 5.0,
     preprocessed_mode: str = "logMel",
     augment: bool = False,
+    jit: bool = True,
 ) -> Callable:
-    """Fused step: (state, buffers, starts (B,), rng) -> (state, loss)."""
+    """Fused step: (state, buffers, starts (B,), rng) -> (state, loss).
+
+    ``jit=False`` returns the raw traceable function so callers (the
+    data-parallel wrapper) can jit it with explicit shardings.
+    """
     crop = cfg.train_crop_size
     complex_mode = preprocessed_mode != "logMel"
 
@@ -189,7 +194,7 @@ def make_spectrogram_train_step(
         return state.replace(step=state.step + 1, params=new_params,
                              batch_stats=new_bs, opt_state=new_opt), loss
 
-    return jax.jit(step, donate_argnums=(0,))
+    return jax.jit(step, donate_argnums=(0,)) if jit else step
 
 
 def make_waveform_train_step(
@@ -198,6 +203,7 @@ def make_waveform_train_step(
     cfg: WaveformConfig,
     pos_weight: float = 5.0,
     augment: bool = False,
+    jit: bool = True,
 ) -> Callable:
     """Fused step for the raw-waveform path (M5)."""
     frame = cfg.frame_size
@@ -244,4 +250,4 @@ def make_waveform_train_step(
         return state.replace(step=state.step + 1, params=new_params,
                              batch_stats=new_bs, opt_state=new_opt), loss
 
-    return jax.jit(step, donate_argnums=(0,))
+    return jax.jit(step, donate_argnums=(0,)) if jit else step

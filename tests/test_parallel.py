@@ -1,0 +1,123 @@
+"""Multi-chip tests on the simulated 8-device CPU mesh: data-parallel train
+step equivalence, sharded inference, time-axis windowed inference exactness,
+and the driver graft entry points."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from sed_tpu.configs import SpectrogramConfig
+from sed_tpu.data.device_pipeline import (
+    SpectrogramBuffers,
+    make_spectrogram_train_step,
+)
+from sed_tpu.models.cnn import CnnAvgPooling, TRAIN_CHANNEL_AND_POOL
+from sed_tpu.parallel.data_parallel import shard_inference, shard_train_step
+from sed_tpu.parallel.mesh import create_mesh, replicate, shard_batch
+from sed_tpu.parallel.time_shard import receptive_field, windowed_forward
+from sed_tpu.train.optim import make_optimizer
+from sed_tpu.train.state import init_state, make_eval_forward
+
+CFG = SpectrogramConfig()
+
+
+def _tiny_buffers(seed=0):
+    rng = np.random.default_rng(seed)
+    crop, mel = CFG.train_crop_size, CFG.mel_bins
+    total = 6 * crop
+    return SpectrogramBuffers(
+        features=jnp.asarray(rng.standard_normal((1, total, mel)).astype(np.float32)),
+        events=jnp.asarray((rng.random((total, 1)) > 0.8).astype(np.float32)),
+        start_indices=jnp.arange(total - crop, dtype=jnp.int32),
+        mean=jnp.zeros((mel,), jnp.float32),
+        std=jnp.ones((mel,), jnp.float32),
+    ), total
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) == 8
+
+
+def test_data_parallel_step_matches_single_device():
+    buffers, total = _tiny_buffers()
+    model = CnnAvgPooling(classes_num=1, model_config=((8, 2), (16, 2)))
+    tx = make_optimizer(1e-3)
+    crop, mel = CFG.train_crop_size, CFG.mel_bins
+    batch = 16
+    sample = jnp.zeros((batch, crop, mel, 1), jnp.float32)
+    starts = jnp.asarray(
+        np.random.default_rng(1).integers(0, total - crop, size=batch, dtype=np.int32)
+    )
+    rng = jax.random.key(2)
+
+    # Single-device fused step.
+    state1 = init_state(model, jax.random.key(0), sample, tx)
+    step1 = make_spectrogram_train_step(model, tx, CFG, 5.0, "logMel", False)
+    state1, loss1 = step1(state1, buffers, starts, rng)
+
+    # 8-device data-parallel step with identical inputs.
+    mesh = create_mesh(8)
+    state8 = init_state(model, jax.random.key(0), sample, tx)
+    raw = make_spectrogram_train_step(model, tx, CFG, 5.0, "logMel", False, jit=False)
+    step8 = shard_train_step(raw, mesh)
+    state8, loss8 = step8(
+        replicate(mesh, state8), replicate(mesh, buffers),
+        shard_batch(mesh, starts), replicate(mesh, rng),
+    )
+
+    np.testing.assert_allclose(float(loss1), float(loss8), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(state1.params), jax.tree.leaves(state8.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+    # Global BatchNorm stats must match the single-device global-batch stats.
+    for a, b in zip(jax.tree.leaves(state1.batch_stats), jax.tree.leaves(state8.batch_stats)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+
+
+def test_sharded_inference_matches_single_device():
+    model = CnnAvgPooling(classes_num=1, model_config=((8, 2), (16, 2)))
+    x = jax.random.normal(jax.random.key(0), (16, 30, 64, 1))
+    variables = model.init(jax.random.key(1), x, train=False)
+    fwd = make_eval_forward(model)
+    ref = np.asarray(fwd(variables["params"], variables["batch_stats"], x))
+
+    mesh = create_mesh(8)
+    sharded_fwd = shard_inference(
+        lambda p, bs, batch: model.apply({"params": p, "batch_stats": bs}, batch, train=False),
+        mesh,
+    )
+    got = np.asarray(sharded_fwd(
+        replicate(mesh, variables["params"]),
+        replicate(mesh, variables["batch_stats"]),
+        shard_batch(mesh, x),
+    ))
+    np.testing.assert_allclose(got, ref, atol=1e-6)
+
+
+def test_receptive_field_train_config():
+    # 2 convs per block: +4 frames at strides 1,2,4,8 -> 1 + 4*15 = 61.
+    assert receptive_field(TRAIN_CHANNEL_AND_POOL) == 61
+
+
+@pytest.mark.parametrize("t", [1000, 997])  # stride-aligned and ragged lengths
+def test_windowed_forward_exact(t):
+    model = CnnAvgPooling(classes_num=1, model_config=TRAIN_CHANNEL_AND_POOL)
+    x = jax.random.normal(jax.random.key(3), (1, t, 64, 1))
+    variables = model.init(jax.random.key(4), jnp.zeros((1, 200, 64, 1)), train=False)
+
+    def forward(batch):
+        return model.apply(variables, batch, train=False)
+
+    ref = np.asarray(forward(x))
+    got = windowed_forward(forward, x, window=256, halo=64, total_stride=8)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+def test_graft_entry():
+    import __graft_entry__ as ge
+
+    fn, args = ge.entry()
+    out = jax.jit(fn)(*args)
+    assert out.shape == (8, 176, 1)
+    ge.dryrun_multichip(8)
