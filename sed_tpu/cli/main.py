@@ -1,0 +1,191 @@
+"""Training CLI with the reference's flag surface (reference: main.py:85-141).
+
+Differences from the reference, all deliberate:
+  * ``--device`` selects a JAX platform (tpu/cpu) instead of cuda:0;
+  * checkpoints are flax msgpack files; ``--ckpt`` restores model weights only,
+    exactly like the reference resume (main.py:37-39);
+  * ``--val_descriptor`` values that parse as floats split by fraction
+    (the reference's argparse always delivered strings, silently forcing
+    substring mode for any CLI-provided value — an acknowledged wart).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+
+def parse_val_descriptor(value):
+    try:
+        return float(value)
+    except (TypeError, ValueError):
+        return value
+
+
+def build_arg_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(description="TPU-native sound event detection training")
+    # Training data
+    parser.add_argument("--dataset_dir", type=str, default="../data", help="Directory of dataset.")
+    parser.add_argument("--dataset_name", type=str, default="FilmClap", help="FilmClap or TAU")
+    parser.add_argument("--train_features", type=str, default="Waveform", help="Spectogram or Waveform")
+    # Spectrogram-only arguments
+    parser.add_argument("--preprocess_mode", type=str, default="logMel",
+                        help="logMel or Complex; relevant only for Spectogram features")
+    parser.add_argument("--force_preprocess", action="store_true", default=False)
+    # Train
+    parser.add_argument("--outputs_root", type=str, default="training_dir")
+    parser.add_argument("--ckpt", type=str, default="")
+    parser.add_argument("--val_descriptor", default=0.2,
+                        help="float for percentage, string for fold substring")
+    parser.add_argument("--train_tag", type=str, default="")
+    # Training tricks
+    parser.add_argument("--augment_data", action="store_true", default=False)
+    parser.add_argument("--balance_classes", action="store_true", default=False)
+    parser.add_argument("--recall_priority", type=float, default=5,
+                        help="priority factor for the bce loss")
+    # Hyper parameters
+    parser.add_argument("--batch_size", type=int, default=128)
+    parser.add_argument("--lr", type=float, default=0.000001)
+    parser.add_argument("--num_train_steps", type=int, default=100000)
+    parser.add_argument("--log_freq", type=int, default=5000)
+    # Infrastructure
+    parser.add_argument("--device", default="tpu", type=str, help="tpu or cpu")
+    parser.add_argument("--seed", default=0, type=int)
+    return parser
+
+
+def get_spectrogram_dataset_and_model(args):
+    from sed_tpu.configs import DEFAULT_SPECTROGRAM
+    from sed_tpu.data.spectrogram_dataset import (
+        SpectrogramDataset,
+        preprocess_film_clap_data,
+        preprocess_tau_sed_data,
+    )
+    from sed_tpu.models.cnn import CnnAvgPooling, TRAIN_CHANNEL_AND_POOL
+
+    cfg = DEFAULT_SPECTROGRAM
+    if args.dataset_name.lower() == "tau":
+        features_dir, mean_std_file = preprocess_tau_sed_data(
+            args.dataset_dir, fold_name="eval", preprocess_mode=args.preprocess_mode,
+            force_preprocess=args.force_preprocess, cfg=cfg,
+        )
+    elif args.dataset_name.lower() == "filmclap":
+        features_dir, mean_std_file = preprocess_film_clap_data(
+            args.dataset_dir, preprocessed_mode=args.preprocess_mode,
+            force_preprocess=args.force_preprocess, cfg=cfg,
+        )
+    else:
+        raise ValueError(
+            f"Only tau and filmclap datasets are supported, '{args.dataset_name}' given"
+        )
+
+    dataset = SpectrogramDataset(
+        features_dir, mean_std_file,
+        augment_data=args.augment_data,
+        balance_classes=args.balance_classes,
+        val_descriptor=parse_val_descriptor(args.val_descriptor),
+        preprocessed_mode=args.preprocess_mode,
+        cfg=cfg,
+        seed=args.seed,
+    )
+    # Model config from the reference training CLI (main.py:35).
+    model = CnnAvgPooling(classes_num=cfg.classes_num, model_config=TRAIN_CHANNEL_AND_POOL)
+    descriptor = f"{args.preprocess_mode}-{cfg.cfg_descriptor}"
+    return dataset, model, cfg, descriptor, "spectogram"
+
+
+def get_waveform_dataset_and_model(args):
+    from sed_tpu.configs import DEFAULT_WAVEFORM
+    from sed_tpu.data.waveform_dataset import WaveformDataset
+    from sed_tpu.io.film_clap import get_film_clap_paths_and_labels
+    from sed_tpu.io.tau import ensure_tau_data, get_tau_sed_paths_and_labels
+    from sed_tpu.models.m5 import M5
+
+    cfg = DEFAULT_WAVEFORM
+    if args.dataset_name.lower() == "tau":
+        audio_dir, meta_data_dir = ensure_tau_data(
+            f"{args.dataset_dir}/Tau_sound_events_2019", fold_name="eval"
+        )
+        items = get_tau_sed_paths_and_labels(audio_dir, meta_data_dir, cfg)
+    elif args.dataset_name.lower() == "filmclap":
+        items = get_film_clap_paths_and_labels(
+            os.path.join(args.dataset_dir, "FilmClap"), cfg.time_margin
+        )
+    else:
+        raise ValueError(
+            f"Only tau and filmclap datasets are supported, '{args.dataset_name}' given"
+        )
+
+    dataset = WaveformDataset(
+        items,
+        augment_data=args.augment_data,
+        balance_classes=args.balance_classes,
+        val_descriptor=parse_val_descriptor(args.val_descriptor),
+        cfg=cfg,
+        seed=args.seed,
+    )
+    model = M5(1)
+    return dataset, model, cfg, cfg.cfg_descriptor, "waveform"
+
+
+def main(argv=None):
+    args = build_arg_parser().parse_args(argv)
+
+    import jax
+
+    if args.device == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+
+    if args.train_features.lower() == "spectogram":
+        dataset, model, cfg, descriptor, mode = get_spectrogram_dataset_and_model(args)
+    elif args.train_features.lower() == "waveform":
+        dataset, model, cfg, descriptor, mode = get_waveform_dataset_and_model(args)
+    else:
+        raise ValueError(
+            f"training features can be raw waveform or spectogram only, "
+            f"'{args.train_features}' given"
+        )
+
+    train_name = f"{args.dataset_name}_cfg({descriptor}_b{args.batch_size}_lr{args.lr}_{args.train_tag}"
+    if args.balance_classes:
+        train_name += "_BC"
+    if args.augment_data:
+        train_name += "_AD"
+    outputs_dir = os.path.join(args.outputs_root, train_name)
+
+    initial_state = None
+    if args.ckpt:
+        import jax.numpy as jnp
+
+        from sed_tpu.train.checkpoint import load_checkpoint
+        from sed_tpu.train.optim import make_optimizer
+        from sed_tpu.train.state import init_state
+
+        tx = make_optimizer(args.lr)
+        if mode == "spectogram":
+            sample = jnp.zeros((args.batch_size, cfg.train_crop_size, cfg.mel_bins, 1))
+        else:
+            sample = jnp.zeros((args.batch_size, cfg.frame_size, cfg.audio_channels))
+        template = init_state(model, jax.random.key(args.seed), sample, tx)
+        initial_state = load_checkpoint(args.ckpt, template, model_only=True)
+
+    from sed_tpu.train.loop import train
+
+    train(
+        model, dataset, mode,
+        num_steps=args.num_train_steps,
+        lr=args.lr,
+        log_freq=args.log_freq,
+        outputs_dir=outputs_dir,
+        batch_size=args.batch_size,
+        pos_weight=args.recall_priority,
+        augment=args.augment_data,
+        preprocessed_mode=args.preprocess_mode,
+        cfg=cfg,
+        seed=args.seed,
+        initial_state=initial_state,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,111 @@
+"""End-to-end CLI tests: train on a synthetic FilmClap-format dataset, then
+run inference from the produced checkpoint."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+from scipy.io import wavfile
+
+from sed_tpu.configs import DEFAULT_SPECTROGRAM as CFG
+
+
+@pytest.fixture(scope="module")
+def film_clap_root(tmp_path_factory):
+    """Synthetic FilmClap dataset: 4 x 12 s clips at 48 kHz with clap-like events."""
+    root = tmp_path_factory.mktemp("data")
+    film_dir = root / "FilmClap" / "filmA"
+    film_dir.mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    labels = {}
+    sr = CFG.working_sample_rate
+    for i in range(4):
+        n = 12 * sr
+        sig = 0.01 * rng.standard_normal(n)
+        center = 5.0 + 0.5 * i
+        click = np.exp(-np.linspace(0, 40, int(0.1 * sr)))
+        start = int(center * sr)
+        sig[start:start + len(click)] += 0.8 * click * np.sin(
+            2 * np.pi * 3000 * np.arange(len(click)) / sr
+        )
+        path = str(film_dir / f"clip_{i}.wav")
+        wavfile.write(path, sr, sig.astype(np.float32))
+        labels[path] = [center]
+    with open(root / "FilmClap" / "paths_and_labels_fixed_Meron.txt", "w") as f:
+        json.dump(labels, f)
+    return str(root)
+
+
+def test_train_cli_end_to_end(film_clap_root, tmp_path):
+    from sed_tpu.cli.main import main
+
+    outputs_root = str(tmp_path / "training")
+    main([
+        "--dataset_dir", film_clap_root,
+        "--dataset_name", "FilmClap",
+        "--train_features", "Spectogram",
+        "--preprocess_mode", "logMel",
+        "--outputs_root", outputs_root,
+        "--val_descriptor", "clip_3",
+        "--batch_size", "4",
+        "--num_train_steps", "4",
+        "--log_freq", "2",
+        "--device", "cpu",
+    ])
+    # Output tree: run dir with checkpoints, metrics, plots.
+    run_dirs = os.listdir(outputs_root)
+    assert len(run_dirs) == 1
+    run_dir = os.path.join(outputs_root, run_dirs[0])
+    ckpts = os.listdir(os.path.join(run_dir, "checkpoints"))
+    assert "iteration_2.ckpt" in ckpts and "iteration_4.ckpt" in ckpts
+    assert os.path.exists(os.path.join(run_dir, "Training_loss.png"))
+    assert os.path.exists(os.path.join(run_dir, "Metrics.png"))
+    assert os.path.exists(os.path.join(run_dir, "metrics.jsonl"))
+    with open(os.path.join(run_dir, "metrics.jsonl")) as f:
+        records = [json.loads(line) for line in f]
+    assert len(records) == 2
+    assert {"iteration", "train_loss", "val_loss", "AP", "max_f1", "max_f5"} <= set(records[0])
+
+    # Feature cache is reused on a second invocation (idempotence).
+    cache_dir = os.path.join(film_clap_root, "FilmClap", "processed")
+    assert os.path.isdir(cache_dir)
+
+    # Inference from the checkpoint.
+    from sed_tpu.cli.infer import main as infer_main
+
+    wav = [k for k in json.load(open(
+        os.path.join(film_clap_root, "FilmClap", "paths_and_labels_fixed_Meron.txt"))).keys()][0]
+    out_dir = str(tmp_path / "inference")
+    infer_main([
+        wav,
+        "--ckpt", os.path.join(run_dir, "checkpoints", "iteration_4.ckpt"),
+        "--outputs_dir", out_dir,
+        "--device", "cpu",
+    ])
+    base = os.path.splitext(os.path.basename(wav))[0]
+    scores = np.load(os.path.join(out_dir, f"{base}_scores.npy"))
+    # 12 s * 3 fps + 1 = 37 frames -> model output 8*floor(37/8) = 32 frames.
+    assert scores.shape == (32, CFG.classes_num)
+    assert ((scores >= 0) & (scores <= 1)).all()
+    assert os.path.exists(os.path.join(out_dir, f"{base}.png"))
+    assert os.path.exists(os.path.join(out_dir, f"{base}_scores.csv"))
+
+
+def test_waveform_train_cli(film_clap_root, tmp_path):
+    from sed_tpu.cli.main import main
+
+    outputs_root = str(tmp_path / "training_wf")
+    main([
+        "--dataset_dir", film_clap_root,
+        "--dataset_name", "FilmClap",
+        "--train_features", "Waveform",
+        "--outputs_root", outputs_root,
+        "--val_descriptor", "clip_3",
+        "--batch_size", "4",
+        "--num_train_steps", "2",
+        "--log_freq", "2",
+        "--device", "cpu",
+    ])
+    run_dir = os.path.join(outputs_root, os.listdir(outputs_root)[0])
+    assert "iteration_2.ckpt" in os.listdir(os.path.join(run_dir, "checkpoints"))
