@@ -24,6 +24,10 @@ def log(msg: str) -> None:
 
 def main() -> None:
     import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     import jax.numpy as jnp
 
     from sed_tpu.configs import DEFAULT_SPECTROGRAM as cfg

@@ -59,14 +59,25 @@ def num_frames(n_samples: int, hop: int) -> int:
 
 
 def frame_signal(y: jnp.ndarray, n_fft: int, hop: int) -> jnp.ndarray:
-    """(samples,) -> (n_frames, n_fft) reflect-padded overlapping frames."""
+    """(samples,) -> (n_frames, n_fft) reflect-padded overlapping frames.
+
+    Built from hop-sized blocks with shifted slicing instead of a
+    (n_frames, n_fft) gather: frame t spans blocks [t, t+k) of the padded
+    signal, so k leading-axis slices + one concatenate produce all frames.
+    Slices/reshapes lower to cheap XLA ops where a multi-million-element
+    gather index matrix is slow to compile and execute on TPU.
+    """
     n = y.shape[0]
     pad = n_fft // 2
     ypad = jnp.pad(y, (pad, pad), mode="reflect")
     nf = num_frames(n, hop)
-    # Static gather index matrix: (n_frames, n_fft).
-    idx = np.arange(nf)[:, None] * hop + np.arange(n_fft)[None, :]
-    return ypad[idx]
+    k = -(-n_fft // hop)  # blocks spanned by one frame
+    total_blocks = max(nf + k - 1, -(-ypad.shape[0] // hop))
+    ypad = jnp.pad(ypad, (0, total_blocks * hop - ypad.shape[0]))
+    blocks = ypad.reshape(total_blocks, hop)
+    parts = [blocks[i:i + nf] for i in range(k)]  # k x (n_frames, hop)
+    frames = jnp.concatenate(parts, axis=1)
+    return frames[:, :n_fft]
 
 
 # ---------------------------------------------------------------------------
