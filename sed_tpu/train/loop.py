@@ -132,10 +132,13 @@ def train(
     initial_state=None,
     make_plots: bool = True,
     limit_val_samples: Optional[int] = 3,
+    profile_dir: Optional[str] = None,
 ):
     """Train loop (reference: train.py:77-132) on the fused device pipeline.
 
-    Returns the final TrainState.
+    ``profile_dir`` captures a jax.profiler trace of steps 10-20 (the
+    reference has only an im/sec counter, train.py:113-115; this adds real
+    tracing per SURVEY.md §5).  Returns the final TrainState.
     """
     assert mode in ("spectogram", "waveform")
     print("Training:")
@@ -166,6 +169,13 @@ def train(
         model, jax.random.key(seed), sample, tx
     )
 
+    from sed_tpu.models.describe import describe_cnn, describe_m5
+
+    if mode == "spectogram" and hasattr(model, "model_config"):
+        print(describe_cnn(model, state.params, cfg))
+    elif mode == "waveform":
+        print(describe_m5(state.params))
+
     rng = jax.random.key(seed + 1)
     iterations = int(state.step)
     epoch = 0
@@ -176,9 +186,14 @@ def train(
         for starts in dataset.epoch_start_indices(batch_size):
             if len(starts) < batch_size:
                 continue
+            if profile_dir is not None and iterations == 10:
+                jax.profiler.start_trace(profile_dir)
             rng, step_rng = jax.random.split(rng)
             state, loss = step_fn(state, buffers, jnp.asarray(starts), step_rng)
             iterations += 1
+            if profile_dir is not None and iterations == 20:
+                jax.block_until_ready(loss)
+                jax.profiler.stop_trace()
             last_loss = float(loss)
             plotter.report_train_loss(last_loss)
 

@@ -1,0 +1,85 @@
+"""TAU dataset plumbing tests (offline): extraction layout flattening,
+split-zip merging, md5 gating, and CSV label parsing."""
+
+import os
+import zipfile
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from sed_tpu.configs import AudioConfig
+from sed_tpu.io.tau import (
+    _md5,
+    _merge_split_zip,
+    extract_foa_data,
+    get_tau_sed_paths_and_labels,
+)
+
+
+def _make_zip(path, entries):
+    with zipfile.ZipFile(path, "w") as zf:
+        for name, content in entries.items():
+            zf.writestr(name, content)
+
+
+def test_extract_flattens_nested_layout(tmp_path):
+    data_dir = tmp_path / "zipped"
+    out_dir = tmp_path / "raw"
+    data_dir.mkdir()
+    _make_zip(data_dir / "metadata_eval.zip", {"metadata_eval/split0_1.csv": "x"})
+    _make_zip(data_dir / "foa_eval.zip", {
+        "proj/asignal/DCASE2019/dataset/foa_eval/split0_1.wav": "RIFFdata",
+    })
+    extract_foa_data(str(data_dir), str(out_dir), fold_name="eval")
+    assert os.path.exists(out_dir / "foa_eval" / "split0_1.wav")
+    assert os.path.exists(out_dir / "metadata_eval" / "split0_1.csv")
+    assert not os.path.exists(out_dir / "proj")
+
+
+def test_merge_split_zip(tmp_path):
+    parts = []
+    blob = b"0123456789abcdef"
+    for i, chunk in enumerate([blob[:5], blob[5:11], blob[11:]]):
+        p = tmp_path / f"part{i}"
+        p.write_bytes(chunk)
+        parts.append(str(p))
+    merged = tmp_path / "merged.bin"
+    _merge_split_zip(parts, str(merged))
+    assert merged.read_bytes() == blob
+
+
+def test_md5(tmp_path):
+    p = tmp_path / "f.bin"
+    p.write_bytes(b"hello")
+    assert _md5(str(p)) == "5d41402abc4b2a76b9719d911017c592"
+
+
+def test_tau_label_parsing(tmp_path):
+    audio_dir = tmp_path / "foa_eval"
+    meta_dir = tmp_path / "metadata_eval"
+    audio_dir.mkdir()
+    meta_dir.mkdir()
+    from scipy.io import wavfile
+
+    wavfile.write(str(audio_dir / "split0_1.wav"), 48000,
+                  np.zeros(1000, dtype=np.int16))
+    df = pd.DataFrame({
+        "sound_event_recording": ["doorslam", "speech", "doorslam"],
+        "start_time": [1.0, 2.0, 5.0],
+        "end_time": [1.5, 3.0, 5.5],
+    })
+    df.to_csv(meta_dir / "split0_1.csv", index=False)
+
+    cfg = AudioConfig(tau_sed_labels=("doorslam",))
+    items = get_tau_sed_paths_and_labels(str(audio_dir), str(meta_dir), cfg)
+    assert len(items) == 1
+    path, starts, ends, name = items[0]
+    assert name == "split0_1"
+    np.testing.assert_array_equal(starts, [1.0, 5.0])
+    np.testing.assert_array_equal(ends, [1.5, 5.5])
+
+    # Multi-class keeps rows for every configured label.
+    cfg2 = AudioConfig(tau_sed_labels=("doorslam", "speech"))
+    _, starts2, _, _ = get_tau_sed_paths_and_labels(str(audio_dir), str(meta_dir), cfg2)[0]
+    assert len(starts2) == 3
