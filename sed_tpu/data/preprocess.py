@@ -20,7 +20,7 @@ import numpy as np
 
 from sed_tpu.configs import SpectrogramConfig, DEFAULT_SPECTROGRAM
 from sed_tpu.io.audio import read_multichannel_audio
-from sed_tpu.ops.featurizer import logmel_features, multichannel_stft
+from sed_tpu.ops.featurizer import logmel_features, multichannel_stft_host
 
 
 def calculate_scalar_of_tensor(x: np.ndarray):
@@ -38,14 +38,14 @@ def featurize_file(
     audio_path: str,
     cfg: SpectrogramConfig = DEFAULT_SPECTROGRAM,
     preprocess_mode: str = "logMel",
-    fft_impl: str = "fft",
+    fft_impl: str = "auto",
 ) -> np.ndarray:
     """Read one file and compute (channels, frames, bins/mels) features."""
     waveform = read_multichannel_audio(audio_path, target_fs=cfg.working_sample_rate, cfg=cfg)
     waveform = waveform.astype(np.float32)
     if preprocess_mode == "logMel":
         return np.asarray(logmel_features(waveform, cfg, fft_impl))
-    return np.asarray(multichannel_stft(waveform, cfg, fft_impl))
+    return multichannel_stft_host(waveform, cfg, fft_impl).astype(np.complex64)
 
 
 def preprocess_data(
@@ -54,7 +54,7 @@ def preprocess_data(
     output_mean_std_file: str,
     preprocess_mode: str = "logMel",
     cfg: SpectrogramConfig = DEFAULT_SPECTROGRAM,
-    fft_impl: str = "fft",
+    fft_impl: str = "auto",
     plot_sample: bool = True,
 ) -> None:
     print("Preprocessing collected data")

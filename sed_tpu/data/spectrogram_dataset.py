@@ -187,13 +187,20 @@ class SpectrogramDataset:
 
     def transform(self, x: np.ndarray) -> np.ndarray:
         """Normalize; in Complex mode convert to log-mel *after* normalization
-        (reference quirk, spectograms_dataset.py:104-110)."""
+        (reference quirk, spectograms_dataset.py:104-110).
+
+        Pure numpy on purpose: this host-side path must work with complex
+        inputs regardless of the accelerator's dtype support (the device
+        pipeline uses the stacked real/imag representation instead).
+        """
         x = (x - self.mean) / self.std
         if self.preprocessed_mode == "logMel":
             return x
-        from sed_tpu.ops.featurizer import multichannel_complex_to_log_mel
+        from sed_tpu.ops.mel import mel_filterbank, power_to_db
 
-        return np.asarray(multichannel_complex_to_log_mel(x, self.cfg))
+        power = np.abs(x).astype(np.float32) ** 2
+        mel = power @ mel_filterbank(self.cfg)
+        return np.asarray(power_to_db(mel), dtype=np.float32)
 
     def get_item(self, idx: int):
         """Host-side crop fetch (reference __getitem__, spectograms_dataset.py:58-78),

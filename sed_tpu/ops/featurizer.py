@@ -59,6 +59,24 @@ def multichannel_stft(
     return jax.vmap(lambda y: stft_ops.stft(y, cfg, fft_impl))(chans_first)
 
 
+def multichannel_stft_host(
+    waveform,
+    cfg: SpectrogramConfig = DEFAULT_SPECTROGRAM,
+    fft_impl: FftImpl = "auto",
+):
+    """TPU-safe variant of :func:`multichannel_stft` returning *numpy* complex64.
+
+    Runs the complex-free (real, imag) pipeline on the accelerator and
+    assembles the complex array on the host — usable on backends without
+    complex-dtype support.  Output matches ``multichannel_stft`` exactly.
+    """
+    import numpy as np
+
+    chans_first = jnp.swapaxes(jnp.asarray(waveform), 0, 1)
+    re, im = jax.vmap(lambda y: stft_ops.stft_realimag(y, cfg, fft_impl))(chans_first)
+    return np.asarray(re) + 1j * np.asarray(im).astype(np.float32)
+
+
 def multichannel_complex_to_log_mel(
     spec: jnp.ndarray,
     cfg: SpectrogramConfig = DEFAULT_SPECTROGRAM,
