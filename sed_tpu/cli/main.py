@@ -51,6 +51,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
     # Infrastructure
     parser.add_argument("--device", default="tpu", type=str, help="tpu or cpu")
     parser.add_argument("--seed", default=0, type=int)
+    parser.add_argument("--debug_nans", action="store_true", default=False,
+                        help="enable jax NaN checking (aux debugging, SURVEY §5)")
+    parser.add_argument("--profile_dir", type=str, default="",
+                        help="capture a jax.profiler trace of steps 10-20")
     return parser
 
 
@@ -135,6 +139,8 @@ def main(argv=None):
 
     if args.device == "cpu":
         jax.config.update("jax_platforms", "cpu")
+    if args.debug_nans:
+        jax.config.update("jax_debug_nans", True)
 
     if args.train_features.lower() == "spectogram":
         dataset, model, cfg, descriptor, mode = get_spectrogram_dataset_and_model(args)
@@ -184,6 +190,7 @@ def main(argv=None):
         cfg=cfg,
         seed=args.seed,
         initial_state=initial_state,
+        profile_dir=args.profile_dir or None,
     )
 
 
