@@ -118,37 +118,80 @@ def _cmul(ar, ai, br, bi):
     return ar * br - ai * bi, ar * bi + ai * br
 
 
-def rfft_matmul_realimag(frames: jnp.ndarray, n_fft: int):
-    """Real FFT of (..., n_fft) frames via two MXU matmul stages.
-
-    Uses float32 inputs with HIGHEST matmul precision; returns a
-    (real, imag) pair of float32 (..., n_fft // 2 + 1) arrays.  Complex-free
-    on purpose: the axon TPU backend in this environment does not implement
-    complex dtypes, and the downstream featurizer only needs |X|^2 anyway.
-    """
-    n1, n2, (w2r, w2i), (w1r, w1i), (twr, twi) = _matmul_fft_constants(n_fft)
-    batch = frames.shape[:-1]
-    x = frames.reshape(batch + (n2, n1)).astype(jnp.float32)  # x[n2, n1] = y[n1 + N1*n2]
+def _cfft_matmul(xr: jnp.ndarray, xi: jnp.ndarray, m: int):
+    """Complex FFT of length m on (real, imag) float32 arrays via two
+    Cooley-Tukey stages, each a small dense MXU matmul (HIGHEST precision)."""
+    n1, n2, (w2r, w2i), (w1r, w1i), (twr, twi) = _matmul_fft_constants(m)
+    batch = xr.shape[:-1]
+    xr = xr.reshape(batch + (n2, n1))
+    xi = xi.reshape(batch + (n2, n1))
 
     hi = jax.lax.Precision.HIGHEST
-    # Inner DFT over n2 (real input): Y[k2, n1] = sum_n2 W2[k2, n2] x[n2, n1].
-    yr = jnp.einsum("kn,...nm->...km", jnp.asarray(w2r), x, precision=hi)
-    yi = jnp.einsum("kn,...nm->...km", jnp.asarray(w2i), x, precision=hi)
+    w2r, w2i = jnp.asarray(w2r), jnp.asarray(w2i)
+    # Inner DFT over n2: Y[k2, n1] = sum_n2 W2[k2, n2] x[n2, n1] (complex).
+    yr = (jnp.einsum("kn,...nm->...km", w2r, xr, precision=hi)
+          - jnp.einsum("kn,...nm->...km", w2i, xi, precision=hi))
+    yi = (jnp.einsum("kn,...nm->...km", w2r, xi, precision=hi)
+          + jnp.einsum("kn,...nm->...km", w2i, xr, precision=hi))
     # Twiddle (elementwise on (k2, n1)).
     yr, yi = _cmul(yr, yi, jnp.asarray(twr), jnp.asarray(twi))
     # Outer DFT over n1: X[k2, k1] = sum_n1 Y[k2, n1] W1[n1, k1].
-    zr = (
-        jnp.einsum("...km,ml->...kl", yr, jnp.asarray(w1r), precision=hi)
-        - jnp.einsum("...km,ml->...kl", yi, jnp.asarray(w1i), precision=hi)
-    )
-    zi = (
-        jnp.einsum("...km,ml->...kl", yr, jnp.asarray(w1i), precision=hi)
-        + jnp.einsum("...km,ml->...kl", yi, jnp.asarray(w1r), precision=hi)
-    )
-    # X[N2*k1 + k2] = Z[k2, k1] -> transpose to (k1, k2) and flatten.
-    zr = jnp.swapaxes(zr, -1, -2).reshape(batch + (n_fft,))
-    zi = jnp.swapaxes(zi, -1, -2).reshape(batch + (n_fft,))
-    return zr[..., : n_fft // 2 + 1], zi[..., : n_fft // 2 + 1]
+    w1r, w1i = jnp.asarray(w1r), jnp.asarray(w1i)
+    zr = (jnp.einsum("...km,ml->...kl", yr, w1r, precision=hi)
+          - jnp.einsum("...km,ml->...kl", yi, w1i, precision=hi))
+    zi = (jnp.einsum("...km,ml->...kl", yr, w1i, precision=hi)
+          + jnp.einsum("...km,ml->...kl", yi, w1r, precision=hi))
+    # X[n2*k1 + k2] = Z[k2, k1] -> transpose to (k1, k2) and flatten.
+    zr = jnp.swapaxes(zr, -1, -2).reshape(batch + (m,))
+    zi = jnp.swapaxes(zi, -1, -2).reshape(batch + (m,))
+    return zr, zi
+
+
+@functools.lru_cache(maxsize=4)
+def _rfft_unpack_constants(n_fft: int):
+    """cos/sin twiddles for the even/odd rFFT unpack, k = 0..n_fft//2-1."""
+    k = np.arange(n_fft // 2)
+    theta = -2.0 * np.pi * k / n_fft
+    return np.cos(theta).astype(np.float32), np.sin(theta).astype(np.float32)
+
+
+def rfft_matmul_realimag(frames: jnp.ndarray, n_fft: int):
+    """Real FFT of (..., n_fft) frames as MXU matmuls, complex-free.
+
+    Classic even/odd packing: z[n] = x[2n] + i*x[2n+1] of length M = n_fft/2
+    goes through a two-stage matmul complex FFT (half the work of a length-N
+    transform), then the hermitian unpack recovers the N//2+1 real-input bins:
+      E[k] = (Z[k] + conj(Z[M-k]))/2,  O[k] = (Z[k] - conj(Z[M-k]))/(2i),
+      X[k] = E[k] + W_N^k O[k],        X[M] = E[0] - O[0].
+    Returns (real, imag) float32 arrays of shape (..., n_fft//2 + 1).
+    Complex-free on purpose: the axon TPU backend in this environment does not
+    implement complex dtypes, and the downstream featurizer only needs |X|^2.
+    """
+    m = n_fft // 2
+    batch = frames.shape[:-1]
+    x = frames.astype(jnp.float32).reshape(batch + (m, 2))
+    zr, zi = _cfft_matmul(x[..., 0], x[..., 1], m)
+
+    # conj(Z[(M-k) mod M]): index 0 stays, the rest reversed (flip, not gather).
+    zrev_r = jnp.concatenate([zr[..., :1], jnp.flip(zr[..., 1:], axis=-1)], axis=-1)
+    zrev_i = -jnp.concatenate([zi[..., :1], jnp.flip(zi[..., 1:], axis=-1)], axis=-1)
+
+    er = 0.5 * (zr + zrev_r)
+    ei = 0.5 * (zi + zrev_i)
+    # O = (Z - conj(Zrev)) / (2i).
+    nr = zr - zrev_r
+    ni = zi - zrev_i
+    orr = 0.5 * ni
+    oi = -0.5 * nr
+
+    c, s = _rfft_unpack_constants(n_fft)
+    c, s = jnp.asarray(c), jnp.asarray(s)
+    xr = er + c * orr - s * oi
+    xi = ei + c * oi + s * orr
+    # Nyquist bin X[M] = E[0] - O[0] (purely real).
+    xr = jnp.concatenate([xr, (er[..., :1] - orr[..., :1])], axis=-1)
+    xi = jnp.concatenate([xi, jnp.zeros_like(xi[..., :1])], axis=-1)
+    return xr, xi
 
 
 def rfft_matmul(frames: jnp.ndarray, n_fft: int) -> jnp.ndarray:
