@@ -1,0 +1,96 @@
+"""High-level batched inference API.
+
+BASELINE config #5: many concurrent 60 s clips.  Equal-length recordings ride
+the batch axis through one jit program (featurize -> CNN -> sigmoid); with a
+mesh, the batch axis is sharded across chips (no cross-chip communication —
+recordings are independent).  A single very long recording instead goes
+through sed_tpu.parallel.time_shard.windowed_forward.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sed_tpu.configs import SpectrogramConfig, DEFAULT_SPECTROGRAM
+from sed_tpu.ops.featurizer import logmel_features_batch
+
+
+def make_batch_predictor(
+    model,
+    cfg: SpectrogramConfig = DEFAULT_SPECTROGRAM,
+    mesh=None,
+    mean: Optional[np.ndarray] = None,
+    std: Optional[np.ndarray] = None,
+):
+    """Build a jitted (params, batch_stats, waveforms) -> scores function.
+
+    waveforms: (batch, samples, channels) float32; scores:
+    (batch, frames', classes) sigmoid confidences.  With ``mesh`` the batch
+    axis is sharded over the 'data' axis.
+    """
+    mean_arr = None if mean is None else jnp.asarray(np.asarray(mean, np.float32))
+    std_arr = None if std is None else jnp.asarray(np.asarray(std, np.float32))
+
+    def forward(params, batch_stats, waveforms):
+        feats = logmel_features_batch(waveforms, cfg)        # (B, C, T, M)
+        if mean_arr is not None:
+            feats = (feats - mean_arr) / std_arr
+        x = jnp.transpose(feats, (0, 2, 3, 1))               # NHWC
+        logits = model.apply({"params": params, "batch_stats": batch_stats}, x, train=False)
+        return jax.nn.sigmoid(logits)
+
+    if mesh is not None:
+        from sed_tpu.parallel.data_parallel import shard_inference
+
+        return shard_inference(forward, mesh)
+    return jax.jit(forward)
+
+
+def batch_predict_files(
+    model,
+    state,
+    audio_paths,
+    cfg: SpectrogramConfig = DEFAULT_SPECTROGRAM,
+    mesh=None,
+    mean=None,
+    std=None,
+):
+    """Read many audio files, group by equal sample length, and score each.
+
+    Returns {path: (frames', classes) numpy scores}.  One compile per distinct
+    length group; groups are padded to a multiple of the mesh size when
+    sharded.
+    """
+    from sed_tpu.io.audio import read_multichannel_audio
+
+    predictor = make_batch_predictor(model, cfg, mesh, mean, std)
+    by_len = {}
+    for path in audio_paths:
+        wav = read_multichannel_audio(path, target_fs=cfg.working_sample_rate, cfg=cfg)
+        by_len.setdefault(wav.shape[0], []).append((path, wav.astype(np.float32)))
+
+    results = {}
+    n_dev = 1 if mesh is None else mesh.devices.size
+    for _, group in sorted(by_len.items()):
+        paths = [p for p, _ in group]
+        batch = np.stack([w for _, w in group])
+        pad = (-len(batch)) % n_dev
+        if pad:
+            batch = np.concatenate([batch, np.zeros((pad,) + batch.shape[1:], batch.dtype)])
+        if mesh is not None:
+            from sed_tpu.parallel.mesh import replicate, shard_batch
+
+            scores = np.asarray(predictor(
+                replicate(mesh, state.params), replicate(mesh, state.batch_stats),
+                shard_batch(mesh, jnp.asarray(batch)),
+            ))
+        else:
+            scores = np.asarray(predictor(state.params, state.batch_stats, jnp.asarray(batch)))
+        for i, path in enumerate(paths):
+            results[path] = scores[i]
+    return results

@@ -1,0 +1,74 @@
+"""Batched inference API: equal-length grouping, mesh sharding, parity with
+per-file inference."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from scipy.io import wavfile
+
+from sed_tpu.configs import SpectrogramConfig
+from sed_tpu.inference import batch_predict_files, make_batch_predictor
+from sed_tpu.models.cnn import CnnAvgPooling
+from sed_tpu.parallel.mesh import create_mesh
+from sed_tpu.train.optim import make_optimizer
+from sed_tpu.train.state import init_state
+
+CFG = SpectrogramConfig(working_sample_rate=8000, time_margin=0.33)
+
+
+def _model_state():
+    model = CnnAvgPooling(classes_num=1, model_config=((8, 2), (16, 2)))
+    tx = make_optimizer(1e-3)
+    sample = jnp.zeros((1, CFG.train_crop_size, CFG.mel_bins, 1))
+    state = init_state(model, jax.random.key(0), sample, tx)
+    return model, state
+
+
+def _write_clips(tmp_path, lengths):
+    rng = np.random.default_rng(0)
+    paths = []
+    for i, sec in enumerate(lengths):
+        n = int(sec * CFG.working_sample_rate)
+        sig = (0.1 * rng.standard_normal(n)).astype(np.float32)
+        p = str(tmp_path / f"clip{i}_{sec}s.wav")
+        wavfile.write(p, CFG.working_sample_rate, sig)
+        paths.append(p)
+    return paths
+
+
+def test_batch_predict_groups_by_length(tmp_path):
+    model, state = _model_state()
+    paths = _write_clips(tmp_path, [12, 12, 15, 12, 15])
+    results = batch_predict_files(model, state, paths, CFG)
+    assert set(results) == set(paths)
+    # Tiny 2-block model: two /2 pools then x4 interpolation.
+    frames_12 = ((1 + 12 * 3) // 2 // 2) * 4
+    frames_15 = ((1 + 15 * 3) // 2 // 2) * 4
+    for p, scores in results.items():
+        expect = frames_12 if "_12s" in p else frames_15
+        assert scores.shape == (expect, 1)
+        assert ((scores >= 0) & (scores <= 1)).all()
+
+
+def test_batch_predict_mesh_matches_single(tmp_path):
+    model, state = _model_state()
+    paths = _write_clips(tmp_path, [12] * 5)  # 5 files on an 8-device mesh (pads)
+    single = batch_predict_files(model, state, paths, CFG)
+    mesh = create_mesh(8)
+    sharded = batch_predict_files(model, state, paths, CFG, mesh=mesh)
+    for p in paths:
+        np.testing.assert_allclose(sharded[p], single[p], atol=1e-5)
+
+
+def test_predictor_normalization():
+    model, state = _model_state()
+    rng = np.random.default_rng(1)
+    wav = (0.1 * rng.standard_normal((2, 12 * CFG.working_sample_rate, 1))).astype(np.float32)
+    mean = np.zeros(CFG.mel_bins, np.float32)
+    std = 2.0 * np.ones(CFG.mel_bins, np.float32)
+    pred_raw = make_batch_predictor(model, CFG)
+    pred_norm = make_batch_predictor(model, CFG, mean=mean, std=std)
+    a = np.asarray(pred_raw(state.params, state.batch_stats, jnp.asarray(wav)))
+    b = np.asarray(pred_norm(state.params, state.batch_stats, jnp.asarray(wav)))
+    assert a.shape == b.shape
+    assert not np.allclose(a, b)  # normalization changes features
