@@ -45,7 +45,9 @@ def _kernel(power_ref, fb_ref, out_ref):
 
     @pl.when(k == pl.num_programs(1) - 1)
     def _epilogue():
-        out_ref[:] = 10.0 * jnp.log10(jnp.maximum(out_ref[:], AMIN))
+        # Precise software log10 — the VPU's hardware log approximation is
+        # ~3e-5 relative, above the 1e-4 dB parity budget (see mel_ops).
+        out_ref[:] = 10.0 * mel_ops.log10_precise(jnp.maximum(out_ref[:], AMIN))
 
 
 @functools.lru_cache(maxsize=4)

@@ -161,3 +161,18 @@ def test_multichannel_shapes():
     logm = np.asarray(multichannel_complex_to_log_mel(spec, cfg))
     assert logm.shape == (2, spec.shape[1], cfg.mel_bins)
     assert logm.dtype == np.float32
+
+
+def test_log10_precise_accuracy():
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    x = np.concatenate([
+        10.0 ** rng.uniform(-10, 10, 20000),
+        np.array([1e-10, 1.0, 2.0, 0.5, 1e10, 24.0, 1.4142135, 1.4142136]),
+    ]).astype(np.float32)
+    got = np.asarray(mel_ops.log10_precise(jnp.asarray(x)), dtype=np.float64)
+    ref = np.log10(x.astype(np.float64))
+    # Accurate to ~1 ulp of the float32 output.
+    bound = 2.4e-7 * np.maximum(1.0, np.abs(ref))
+    assert np.max(np.abs(got - ref) / bound) < 1.0
