@@ -1,0 +1,191 @@
+"""Streaming (online) sound-event detection.
+
+Production-serving capability beyond the reference: audio arrives in
+arbitrary-size chunks; the detector emits per-frame scores incrementally and
+**bit-exactly equal** to offline whole-recording inference (the same guarantee
+as sed_tpu.parallel.time_shard, applied causally):
+
+  * an STFT frame t (centered at t*hop) is computable once samples up to
+    t*hop + nfft/2 have arrived; the center=True reflect padding at the stream
+    start only ever needs *future* samples, so early frames match offline;
+  * a frame's model score is final once ``halo`` (>= receptive_field/2,
+    stride-aligned) frames of right context exist — scores are emitted in
+    stride-aligned blocks with that latency (~halo/fps seconds);
+  * ``flush()`` emits the exact tail using the true end boundary.
+
+The featurizer state is a rolling raw-sample buffer (old samples are dropped
+once consumed); the model state is a rolling log-mel buffer trimmed to the
+context the next emission needs.  Forward passes run on bucketed window sizes
+so jit compiles a handful of shapes, with zero padding beyond the trusted
+region (trimmed, so it never affects emitted scores).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sed_tpu.configs import SpectrogramConfig, DEFAULT_SPECTROGRAM
+from sed_tpu.ops import stft as stft_ops
+from sed_tpu.ops.featurizer import realimag_to_log_mel
+
+
+class StreamingDetector:
+    def __init__(
+        self,
+        model,
+        params,
+        batch_stats,
+        cfg: SpectrogramConfig = DEFAULT_SPECTROGRAM,
+        halo: int = 64,
+        total_stride: int = 8,
+        bucket: int = 128,
+        mean: Optional[np.ndarray] = None,
+        std: Optional[np.ndarray] = None,
+    ):
+        assert halo % total_stride == 0
+        self.model = model
+        self.params = params
+        self.batch_stats = batch_stats
+        self.cfg = cfg
+        self.halo = halo
+        self.stride = total_stride
+        self.bucket = bucket
+        self.mean = None if mean is None else np.asarray(mean, np.float32)
+        self.std = None if std is None else np.asarray(std, np.float32)
+
+        self._pad = cfg.nfft // 2
+        self._samples = np.zeros(0, np.float32)  # rolling buffer
+        self._buf_start = 0          # absolute index of _samples[0]
+        self._n_frames = 0           # frames featurized so far
+        self._frames_mel = np.zeros((0, cfg.mel_bins), np.float32)
+        self._mel_start = 0          # absolute frame index of _frames_mel[0]
+        self._emitted = 0            # frames whose scores have been emitted
+        self._window = jnp.asarray(stft_ops.padded_window(cfg.frame_size, cfg.nfft))
+
+        def featurize(frames):
+            re, im = stft_ops.rfft_matmul_realimag(frames * self._window, cfg.nfft)
+            lm = realimag_to_log_mel(re, im, cfg)
+            if self.mean is not None:
+                lm = (lm - self.mean) / self.std
+            return lm
+
+        self._featurize = jax.jit(featurize)
+
+        def forward(x):  # (1, T, mel, 1) -> (1, T', classes)
+            logits = model.apply(
+                {"params": params, "batch_stats": batch_stats}, x, train=False
+            )
+            return jax.nn.sigmoid(logits)
+
+        self._forward = jax.jit(forward)
+
+    # -- featurizer side ----------------------------------------------------
+
+    def _frame_slice(self, t: int) -> np.ndarray:
+        """Samples [t*hop - pad, t*hop - pad + nfft) with start reflection."""
+        cfg = self.cfg
+        start = t * cfg.hop_size - self._pad
+        end = start + cfg.nfft
+        out = np.empty(cfg.nfft, np.float32)
+        if start < 0:
+            # Reflect indices -i -> +i (numpy 'reflect': no edge repeat).
+            neg = np.arange(start, 0)
+            out[: len(neg)] = self._samples[(-neg) - self._buf_start]
+            out[len(neg):] = self._samples[0 - self._buf_start:end - self._buf_start]
+        else:
+            out[:] = self._samples[start - self._buf_start:end - self._buf_start]
+        return out
+
+    def _featurize_new(self, total_samples: int) -> None:
+        cfg = self.cfg
+        # Frame t needs samples through t*hop + pad.
+        n_ready = max(0, (total_samples - self._pad) // cfg.hop_size + 1)
+        if n_ready <= self._n_frames:
+            return
+        new = np.stack([self._frame_slice(t) for t in range(self._n_frames, n_ready)])
+        lm = self._featurize_bucketed(new)
+        self._frames_mel = np.concatenate([self._frames_mel, lm], axis=0)
+        self._n_frames = n_ready
+        # Drop raw samples no longer needed (keep reflect prefix until past it).
+        keep_from = max(0, self._n_frames * cfg.hop_size - self._pad)
+        if keep_from > self._buf_start:
+            self._samples = self._samples[keep_from - self._buf_start:]
+            self._buf_start = keep_from
+
+    def _featurize_bucketed(self, frames: np.ndarray) -> np.ndarray:
+        """Featurize with the frame count padded to a multiple of 8 so jit
+        compiles a handful of batch shapes regardless of chunking pattern."""
+        n = len(frames)
+        padded = 8 * (-(-n // 8))
+        if padded != n:
+            frames = np.pad(frames, ((0, padded - n), (0, 0)))
+        return np.asarray(self._featurize(jnp.asarray(frames)))[:n]
+
+    # -- model side ----------------------------------------------------------
+
+    def _emittable(self, final: bool) -> int:
+        if final:
+            return self.stride * (self._n_frames // self.stride)
+        return self.stride * max(0, (self._n_frames - self.halo) // self.stride)
+
+    def _run_model(self, upto: int, final: bool) -> np.ndarray:
+        """Score frames [self._emitted, upto) exactly."""
+        s = max(0, self.stride * ((self._emitted - self.halo) // self.stride))
+        window = self._frames_mel[s - self._mel_start:self._n_frames - self._mel_start]
+        n = len(window)
+        if not final:
+            # Bucket the window length; zero padding sits beyond the trusted
+            # region (>= halo past `upto`) so trimmed outputs are exact.
+            padded = self.bucket * (-(-n // self.bucket))
+            window = np.pad(window, ((0, padded - n), (0, 0)))
+        x = jnp.asarray(window)[None, :, :, None]
+        scores = np.asarray(self._forward(x))[0]
+        return scores[self._emitted - s:upto - s]
+
+    def push(self, chunk: np.ndarray) -> np.ndarray:
+        """Feed (samples,) float32 audio; returns newly finalized
+        (frames, classes) scores (possibly empty)."""
+        chunk = np.asarray(chunk, np.float32).reshape(-1)
+        self._samples = np.concatenate([self._samples, chunk])
+        total = self._buf_start + len(self._samples)
+        self._featurize_new(total)
+
+        upto = self._emittable(final=False)
+        if upto <= self._emitted:
+            return np.zeros((0, self.cfg.classes_num), np.float32)
+        out = self._run_model(upto, final=False)
+        self._emitted = upto
+        self._trim_mel()
+        return out
+
+    def flush(self) -> np.ndarray:
+        """End of stream: featurize remaining frames (end reflect padding) and
+        emit the exact tail."""
+        cfg = self.cfg
+        total = self._buf_start + len(self._samples)
+        n_total_frames = 1 + (total // cfg.hop_size)
+        # Append the end reflection so trailing frames can be featurized.
+        tail_pad = np.flip(self._samples[-self._pad - 1:-1]) if len(self._samples) > 1 else np.zeros(self._pad, np.float32)
+        self._samples = np.concatenate([self._samples, tail_pad])
+        n_ready = n_total_frames
+        if n_ready > self._n_frames:
+            new = np.stack([self._frame_slice(t) for t in range(self._n_frames, n_ready)])
+            lm = self._featurize_bucketed(new)
+            self._frames_mel = np.concatenate([self._frames_mel, lm], axis=0)
+            self._n_frames = n_ready
+        upto = self._emittable(final=True)
+        if upto <= self._emitted:
+            return np.zeros((0, cfg.classes_num), np.float32)
+        out = self._run_model(upto, final=True)
+        self._emitted = upto
+        return out
+
+    def _trim_mel(self) -> None:
+        keep_from = max(0, self.stride * ((self._emitted - self.halo) // self.stride))
+        if keep_from > self._mel_start:
+            self._frames_mel = self._frames_mel[keep_from - self._mel_start:]
+            self._mel_start = keep_from

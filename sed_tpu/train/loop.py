@@ -151,10 +151,10 @@ def train(
     if mode == "spectogram":
         cfg = cfg or SpectrogramConfig()
         buffers = spectrogram_buffers_from_dataset(dataset)
-        crop, mel = cfg.train_crop_size, buffers.features.shape[2]
         channels = buffers.features.shape[0]
-        mel = cfg.mel_bins  # post-transform width (Complex mode narrows to mel)
-        sample = jnp.zeros((batch_size, crop, mel, channels), jnp.float32)
+        # Model input width is mel_bins post-transform (Complex mode narrows
+        # freq_bins -> mel inside the fused step).
+        sample = jnp.zeros((batch_size, cfg.train_crop_size, cfg.mel_bins, channels), jnp.float32)
         step_fn = make_spectrogram_train_step(
             model, tx, cfg, pos_weight, preprocessed_mode, augment
         )
