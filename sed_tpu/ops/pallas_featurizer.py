@@ -41,7 +41,12 @@ def _kernel(power_ref, fb_ref, out_ref):
     def _zero():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    out_ref[:] += jnp.dot(power_ref[:], fb_ref[:], preferred_element_type=jnp.float32)
+    out_ref[:] += jax.lax.dot_general(
+        power_ref[:], fb_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
 
     @pl.when(k == pl.num_programs(1) - 1)
     def _epilogue():
