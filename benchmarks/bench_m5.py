@@ -1,0 +1,57 @@
+"""Waveform-model benchmark (BASELINE config #2 analog).
+
+M5 inference over raw 31680-sample frames: frames/sec and audio-sec/sec for
+hop-strided coverage of a 60 s clip.  Prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main(batch: int = 256, iters: int = 20) -> None:
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+
+    import jax.numpy as jnp
+
+    from sed_tpu.configs import DEFAULT_WAVEFORM as cfg
+    from sed_tpu.models.m5 import M5
+    from sed_tpu.train.state import make_eval_forward
+
+    model = M5(classes_num=cfg.classes_num)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (batch, cfg.frame_size, cfg.audio_channels)).astype(np.float32))
+    variables = model.init(jax.random.key(0), x, train=False)
+    fwd = make_eval_forward(model)
+
+    print("compiling M5...", file=sys.stderr, flush=True)
+    out = fwd(variables["params"], variables.get("batch_stats", {}), x)
+    out.block_until_ready()
+
+    t0 = time.time()
+    for _ in range(iters):
+        out = fwd(variables["params"], variables.get("batch_stats", {}), x)
+    out.block_until_ready()
+    elapsed = time.time() - t0
+    frames_sec = batch * iters / elapsed
+    # hop-strided frames: one frame per hop => audio-sec/sec = frames/sec * hop / sr.
+    audio_sec = frames_sec * cfg.hop_size / cfg.working_sample_rate
+
+    print(f"{frames_sec:.0f} frames/sec -> {audio_sec:.0f} audio-sec/sec (hop-strided)",
+          file=sys.stderr)
+    print(json.dumps({
+        "metric": "M5 waveform inference (31680-sample frames)",
+        "value": round(audio_sec, 1),
+        "unit": "audio-sec/sec/chip",
+        "vs_baseline": round(audio_sec / 100.0, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

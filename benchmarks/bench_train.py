@@ -1,0 +1,78 @@
+"""Training-throughput benchmark (BASELINE config #4 analog).
+
+Measures fused-train-step images/sec for the flagship spectrogram CNN with
+the reference hyperparameters (batch 128, crop 30x64, Adam/AMSGrad,
+pos_weight 5) on synthetic packed data resident in HBM — the framework's
+operating mode.  The reference's comparable number is its tqdm `im/sec`
+counter (train.py:113-115).  Prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main(batch: int = 128, steps: int = 50) -> None:
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+
+    import jax.numpy as jnp
+
+    from sed_tpu.configs import DEFAULT_SPECTROGRAM as cfg
+    from sed_tpu.data.device_pipeline import (
+        SpectrogramBuffers,
+        make_spectrogram_train_step,
+    )
+    from sed_tpu.models.cnn import CnnAvgPooling, TRAIN_CHANNEL_AND_POOL
+    from sed_tpu.train.optim import make_optimizer
+    from sed_tpu.train.state import init_state
+
+    rng = np.random.default_rng(0)
+    crop, mel = cfg.train_crop_size, cfg.mel_bins
+    total = 200 * crop
+    buffers = SpectrogramBuffers(
+        features=jnp.asarray(rng.standard_normal((1, total, mel)).astype(np.float32)),
+        events=jnp.asarray((rng.random((total, 1)) > 0.9).astype(np.float32)),
+        start_indices=jnp.arange(total - crop, dtype=jnp.int32),
+        mean=jnp.zeros((mel,), jnp.float32),
+        std=jnp.ones((mel,), jnp.float32),
+    )
+    model = CnnAvgPooling(classes_num=cfg.classes_num, model_config=TRAIN_CHANNEL_AND_POOL)
+    tx = make_optimizer(1e-6)
+    state = init_state(model, jax.random.key(0), jnp.zeros((batch, crop, mel, 1)), tx)
+    step = make_spectrogram_train_step(model, tx, cfg, pos_weight=5.0,
+                                       preprocessed_mode="logMel", augment=True)
+
+    key = jax.random.key(1)
+    starts = jnp.asarray(rng.integers(0, total - crop, size=(steps + 5, batch), dtype=np.int32))
+    print("compiling train step...", file=sys.stderr, flush=True)
+    for i in range(5):  # warmup
+        key, k = jax.random.split(key)
+        state, loss = step(state, buffers, starts[i], k)
+    loss.block_until_ready()
+
+    t0 = time.time()
+    for i in range(steps):
+        key, k = jax.random.split(key)
+        state, loss = step(state, buffers, starts[5 + i], k)
+    loss.block_until_ready()
+    elapsed = time.time() - t0
+    im_sec = steps * batch / elapsed
+
+    print(f"{im_sec:.0f} im/sec (batch {batch}, {1000 * elapsed / steps:.2f} ms/step)",
+          file=sys.stderr)
+    print(json.dumps({
+        "metric": "fused train step throughput (crops/sec, batch 128, augment on)",
+        "value": round(im_sec, 1),
+        "unit": "im/sec/chip",
+        "vs_baseline": None,
+    }))
+
+
+if __name__ == "__main__":
+    main()
