@@ -109,3 +109,26 @@ def test_waveform_train_cli(film_clap_root, tmp_path):
     ])
     run_dir = os.path.join(outputs_root, os.listdir(outputs_root)[0])
     assert "iteration_2.ckpt" in os.listdir(os.path.join(run_dir, "checkpoints"))
+
+
+def test_complex_mode_train_cli(film_clap_root, tmp_path):
+    """Complex preprocessing mode with on-device augmentation end to end."""
+    from sed_tpu.cli.main import main
+
+    outputs_root = str(tmp_path / "training_cx")
+    main([
+        "--dataset_dir", film_clap_root,
+        "--dataset_name", "FilmClap",
+        "--train_features", "Spectogram",
+        "--preprocess_mode", "Complex",
+        "--augment_data",
+        "--outputs_root", outputs_root,
+        "--val_descriptor", "clip_3",
+        "--batch_size", "4",
+        "--num_train_steps", "2",
+        "--log_freq", "2",
+        "--device", "cpu",
+    ])
+    run_dir = os.path.join(outputs_root, os.listdir(outputs_root)[0])
+    assert run_dir.endswith("_AD")
+    assert "iteration_2.ckpt" in os.listdir(os.path.join(run_dir, "checkpoints"))
