@@ -72,3 +72,22 @@ def test_predictor_normalization():
     b = np.asarray(pred_norm(state.params, state.batch_stats, jnp.asarray(wav)))
     assert a.shape == b.shape
     assert not np.allclose(a, b)  # normalization changes features
+
+
+def test_export_roundtrip(tmp_path):
+    import jax.numpy as jnp
+
+    from sed_tpu.export import export_scorer, load_scorer
+
+    model, state = _model_state()
+    blob = export_scorer(model, state.params, state.batch_stats, batch=2, frames=32, cfg=CFG)
+    path = tmp_path / "scorer.bin"
+    path.write_bytes(blob)
+
+    scorer = load_scorer(path.read_bytes())
+    x = np.random.default_rng(0).standard_normal((2, 32, CFG.mel_bins, 1)).astype(np.float32)
+    got = scorer(x)
+    ref = np.asarray(jax.nn.sigmoid(model.apply(
+        {"params": state.params, "batch_stats": state.batch_stats},
+        jnp.asarray(x), train=False)))
+    np.testing.assert_allclose(got, ref, atol=1e-6)
