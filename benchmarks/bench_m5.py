@@ -7,10 +7,13 @@ hop-strided coverage of a 60 s clip.  Prints one JSON line.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main(batch: int = 256, iters: int = 20) -> None:

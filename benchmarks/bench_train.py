@@ -10,10 +10,13 @@ counter (train.py:113-115).  Prints one JSON line.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main(batch: int = 128, steps: int = 50) -> None:

@@ -34,6 +34,9 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         help="time-axis window (frames) for very long recordings")
     parser.add_argument("--halo", type=int, default=64)
     parser.add_argument("--no_plot", action="store_true", default=False)
+    parser.add_argument("--batch", action="store_true", default=False,
+                        help="score files as batches grouped by length "
+                             "(fastest for many equal-length clips)")
     return parser
 
 
@@ -105,12 +108,27 @@ def main(argv=None):
     model, state = load_model_and_state(args.ckpt, cfg)
     os.makedirs(args.outputs_dir, exist_ok=True)
 
+    batch_scores = None
+    if args.batch:
+        from sed_tpu.inference import batch_predict_files
+
+        batch_scores = batch_predict_files(model, state, args.audio_files, cfg,
+                                           mean=mean, std=std)
+
     for audio_file in args.audio_files:
         print(f"Processing {audio_file}")
-        log_mel, scores = predict_file(
-            model, state, audio_file, cfg, mean, std,
-            window=args.window, halo=args.halo,
-        )
+        if batch_scores is not None:
+            from sed_tpu.io.audio import read_multichannel_audio
+            from sed_tpu.ops.featurizer import logmel_features
+
+            wav = read_multichannel_audio(audio_file, target_fs=cfg.working_sample_rate, cfg=cfg)
+            log_mel = np.asarray(logmel_features(wav.astype(np.float32), cfg))
+            scores = batch_scores[audio_file]
+        else:
+            log_mel, scores = predict_file(
+                model, state, audio_file, cfg, mean, std,
+                window=args.window, halo=args.halo,
+            )
         base = os.path.splitext(os.path.basename(audio_file))[0]
         np.save(os.path.join(args.outputs_dir, f"{base}_scores.npy"), scores)
         with open(os.path.join(args.outputs_dir, f"{base}_scores.csv"), "w") as f:
