@@ -53,13 +53,14 @@ def main() -> None:
     variables = model.init(jax.random.key(0), init_x, train=False)
     params, batch_stats = variables["params"], variables.get("batch_stats", {})
 
-    @jax.jit
-    def pipeline(waveforms_i16):  # (batch, samples, 1) int16 -> (batch, frames', classes)
+    def pipeline_body(waveforms_i16):  # (batch, samples, 1) int16 -> (batch, frames', classes)
         waveforms = waveforms_i16.astype(jnp.float32) / 32768.0
         feats = logmel_features_batch(waveforms, cfg)            # (B, C, T, M)
         x = jnp.transpose(feats, (0, 2, 3, 1))                   # NHWC
         logits = model.apply({"params": params, "batch_stats": batch_stats}, x, train=False)
         return jax.nn.sigmoid(logits)
+
+    pipeline = jax.jit(pipeline_body)
 
     rng = np.random.default_rng(0)
     host_batches = [
@@ -73,12 +74,24 @@ def main() -> None:
     out.block_until_ready()
     log(f"compile+first run: {time.time() - t0:.1f}s, output {out.shape}")
 
-    # Headline: HBM-resident steady state.
-    iters = 10
+    # Headline: HBM-resident steady state, measured as a device-side loop so
+    # the per-dispatch RPC latency of this harness's TPU relay does not count
+    # against the chip (one dispatch runs `iters` pipeline applications; a
+    # tiny input perturbation per iteration defeats CSE).
+    iters = 20
+
+    @jax.jit
+    def pipeline_loop(w):
+        def body(i, carry):
+            w, acc = carry
+            out = pipeline_body(w)
+            return (w + jnp.int16(1), acc + out.sum())
+
+        return jax.lax.fori_loop(0, iters, body, (w, jnp.float32(0.0)))[1]
+
+    pipeline_loop(staged).block_until_ready()  # compile
     t0 = time.time()
-    for _ in range(iters):
-        out = pipeline(staged)
-    out.block_until_ready()
+    pipeline_loop(staged).block_until_ready()
     compute_elapsed = time.time() - t0
     compute_rate = batch * clip_seconds * iters / compute_elapsed
 
