@@ -43,6 +43,9 @@ def build_arg_parser() -> argparse.ArgumentParser:
     parser.add_argument("--balance_classes", action="store_true", default=False)
     parser.add_argument("--recall_priority", type=float, default=5,
                         help="priority factor for the bce loss")
+    parser.add_argument("--tau_labels", type=str, default="doorslam",
+                        help="comma-separated TAU event classes (the reference "
+                             "hardcodes this list in dataset/common_config.py)")
     # Hyper parameters
     parser.add_argument("--batch_size", type=int, default=128)
     parser.add_argument("--lr", type=float, default=0.000001)
@@ -59,7 +62,7 @@ def build_arg_parser() -> argparse.ArgumentParser:
 
 
 def get_spectrogram_dataset_and_model(args):
-    from sed_tpu.configs import DEFAULT_SPECTROGRAM
+    from sed_tpu.configs import SpectrogramConfig
     from sed_tpu.data.spectrogram_dataset import (
         SpectrogramDataset,
         preprocess_film_clap_data,
@@ -67,7 +70,7 @@ def get_spectrogram_dataset_and_model(args):
     )
     from sed_tpu.models.cnn import CnnAvgPooling, TRAIN_CHANNEL_AND_POOL
 
-    cfg = DEFAULT_SPECTROGRAM
+    cfg = SpectrogramConfig(tau_sed_labels=tuple(args.tau_labels.split(",")))
     if args.dataset_name.lower() == "tau":
         features_dir, mean_std_file = preprocess_tau_sed_data(
             args.dataset_dir, fold_name="eval", preprocess_mode=args.preprocess_mode,
@@ -99,13 +102,13 @@ def get_spectrogram_dataset_and_model(args):
 
 
 def get_waveform_dataset_and_model(args):
-    from sed_tpu.configs import DEFAULT_WAVEFORM
+    from sed_tpu.configs import WaveformConfig
     from sed_tpu.data.waveform_dataset import WaveformDataset
     from sed_tpu.io.film_clap import get_film_clap_paths_and_labels
     from sed_tpu.io.tau import ensure_tau_data, get_tau_sed_paths_and_labels
     from sed_tpu.models.m5 import M5
 
-    cfg = DEFAULT_WAVEFORM
+    cfg = WaveformConfig(tau_sed_labels=tuple(args.tau_labels.split(",")))
     if args.dataset_name.lower() == "tau":
         audio_dir, meta_data_dir = ensure_tau_data(
             f"{args.dataset_dir}/Tau_sound_events_2019", fold_name="eval"
