@@ -94,12 +94,14 @@ def _dft_matrix(n: int) -> np.ndarray:
 def _matmul_fft_constants(n_fft: int):
     """Precompute split-radix constants for the two-stage matmul FFT.
 
-    Factorization n_fft = n1 * n2 with both factors <= 256 so each DFT stage
-    is a small dense matmul.  Returns float32 real/imag parts.
+    Balanced factorization n_fft = n1 * n2 with n1 ~ n2 ~ sqrt(n_fft): at the
+    production size (m = 16384) both DFT stages become 128x128 matmuls that
+    exactly fill the MXU systolic array (a lopsided 256x64 split measured ~2x
+    slower).  Returns float32 real/imag parts.
     """
-    n1 = 256
-    while n_fft % n1 != 0 or n_fft // n1 > 512:
-        n1 *= 2
+    k = int(np.log2(n_fft))
+    assert 2 ** k == n_fft, f"matmul FFT requires power-of-two size, got {n_fft}"
+    n1 = 2 ** ((k + 1) // 2)
     n2 = n_fft // n1
     w2 = _dft_matrix(n2)                       # inner stage (n2, n2)
     w1 = _dft_matrix(n1)                       # outer stage (n1, n1)
