@@ -63,6 +63,184 @@ def _padded_filterbank(cfg: SpectrogramConfig, k_padded: int) -> np.ndarray:
     return out
 
 
+# ---------------------------------------------------------------------------
+# Fully fused featurizer: window -> rFFT -> |X|^2 in one VMEM-resident kernel,
+# then the K-tiled mel+log kernel over a hermitian-folded filterbank.
+#
+# The FFT runs as two big MXU matmuls per 8-frame tile (Cooley-Tukey
+# n_fft = n1*n2 with the frame batch folded into the matmul N dimension), so
+# no intermediate ever leaves VMEM between the window multiply and the power
+# spectrum.  Real-input hermitian symmetry |X[k]| == |X[n-k]| is exploited on
+# the *filterbank* side instead of unpacking bins: the kernel emits all n_fft
+# power bins in (k2, k1) tile layout and the mel projection uses a folded,
+# layout-matched filterbank (fb_fold[k] = fb[k]/2 shared between k and n-k,
+# endpoints unhalved), which is mathematically identical to projecting the
+# n_fft//2+1 one-sided spectrum.
+# ---------------------------------------------------------------------------
+
+FFT_TILE_R = 8
+
+
+@functools.lru_cache(maxsize=4)
+def _fft_power_constants(n_fft: int, win_length: int):
+    from sed_tpu.ops import stft as stft_ops
+
+    n1, n2, (w2r, w2i), (w1r, w1i), (twr, twi) = stft_ops._matmul_fft_constants(n_fft)
+    window = stft_ops.padded_window(win_length, n_fft)
+    return n1, n2, w2r, w2i, w1r, w1i, twr, twi, window
+
+
+@functools.lru_cache(maxsize=4)
+def _folded_filterbank(cfg: SpectrogramConfig, k_padded: int) -> np.ndarray:
+    """(n_fft, mel) filterbank folded over hermitian pairs, reordered to the
+    FFT kernel's (k2, k1) flat output layout: flat = k2*n1 + k1 where the
+    spectral bin is n2*k1 + k2."""
+    from sed_tpu.ops import stft as stft_ops
+
+    n_fft = cfg.nfft
+    n1, n2, *_ = stft_ops._matmul_fft_constants(n_fft)
+    fb = mel_ops.mel_filterbank(cfg, dtype=np.float64)  # (n_fft//2+1, mel)
+    full = np.zeros((n_fft, cfg.mel_bins), dtype=np.float64)
+    half = n_fft // 2
+    full[: half + 1] = fb
+    full[1:half] *= 0.5
+    full[half + 1:] = full[1:half][::-1]  # fb[n-k] = fb[k]/2 for k in 1..half-1
+
+    # Reorder rows: kernel's flat index k2*n1 + k1 holds spectral bin n2*k1 + k2.
+    k2 = np.arange(n2)[:, None]
+    k1 = np.arange(n1)[None, :]
+    spectral_bin = (n2 * k1 + k2).reshape(-1)
+    reordered = full[spectral_bin]
+
+    out = np.zeros((k_padded, LANES), dtype=np.float32)
+    out[:n_fft, : cfg.mel_bins] = reordered.astype(np.float32)
+    return out
+
+
+def _make_fft_power_kernel(n_fft: int, n1: int, n2: int):
+    def kernel(frames_ref, window_ref, w2r_ref, w2i_ref, w1r_ref, w1i_ref,
+               twr_ref, twi_ref, out_ref):
+        rows = frames_ref.shape[0]
+        x = frames_ref[:] * window_ref[:]                  # (R, n_fft)
+        x = x.reshape(rows, n2, n1)
+        # Inner DFT over n2, all frames as one matmul: (n2, n2) @ (n2, R*n1).
+        x2 = jnp.transpose(x, (1, 0, 2)).reshape(n2, rows * n1)
+        hi = jax.lax.Precision.HIGHEST
+        yr = jax.lax.dot_general(w2r_ref[:], x2, (((1,), (0,)), ((), ())),
+                                 precision=hi, preferred_element_type=jnp.float32)
+        yi = jax.lax.dot_general(w2i_ref[:], x2, (((1,), (0,)), ((), ())),
+                                 precision=hi, preferred_element_type=jnp.float32)
+        # Twiddle W_N^{n1*k2}: (n2, n1) broadcast over frames.
+        yr = yr.reshape(n2, rows, n1)
+        yi = yi.reshape(n2, rows, n1)
+        twr = twr_ref[:].reshape(n2, 1, n1)
+        twi = twi_ref[:].reshape(n2, 1, n1)
+        tr = yr * twr - yi * twi
+        ti = yr * twi + yi * twr
+        # Outer DFT over n1, frames x k2 rows folded: (R*n2, n1) @ (n1, n1).
+        tr = jnp.transpose(tr, (1, 0, 2)).reshape(rows * n2, n1)
+        ti = jnp.transpose(ti, (1, 0, 2)).reshape(rows * n2, n1)
+        dn = (((1,), (0,)), ((), ()))
+        zr = (jax.lax.dot_general(tr, w1r_ref[:], dn, precision=hi,
+                                  preferred_element_type=jnp.float32)
+              - jax.lax.dot_general(ti, w1i_ref[:], dn, precision=hi,
+                                    preferred_element_type=jnp.float32))
+        zi = (jax.lax.dot_general(tr, w1i_ref[:], dn, precision=hi,
+                                  preferred_element_type=jnp.float32)
+              + jax.lax.dot_general(ti, w1r_ref[:], dn, precision=hi,
+                                    preferred_element_type=jnp.float32))
+        power = zr * zr + zi * zi                         # (R*n2, n1): [f, k2, k1]
+        out_ref[:] = power.reshape(rows, n_fft)           # flat idx k2*n1 + k1
+
+    return kernel
+
+
+def stft_power_pallas(
+    frames: jnp.ndarray,
+    cfg: SpectrogramConfig = DEFAULT_SPECTROGRAM,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """(rows, n_fft) raw frames -> (rows, n_fft) power bins in kernel layout.
+
+    Fuses window multiply, two-stage matmul rFFT, and |X|^2 in VMEM.  Output
+    rows are ALL n_fft bins ordered flat = k2*n1 + k1 (spectral bin n2*k1+k2);
+    combine with :func:`logmel_from_kernel_power` / the folded filterbank.
+    """
+    n_fft = cfg.nfft
+    n1, n2, w2r, w2i, w1r, w1i, twr, twi, window = _fft_power_constants(
+        n_fft, cfg.frame_size
+    )
+    rows = frames.shape[0]
+    r_tiles = pl.cdiv(rows, FFT_TILE_R)
+    r_padded = r_tiles * FFT_TILE_R
+    x = jnp.pad(frames.astype(jnp.float32), ((0, r_padded - rows), (0, 0)))
+
+    consts = [jnp.asarray(window)[None, :], jnp.asarray(w2r), jnp.asarray(w2i),
+              jnp.asarray(w1r), jnp.asarray(w1i), jnp.asarray(twr), jnp.asarray(twi)]
+    const_specs = [pl.BlockSpec(c.shape, lambda i: (0,) * c.ndim, memory_space=pltpu.VMEM)
+                   for c in consts]
+
+    out = pl.pallas_call(
+        _make_fft_power_kernel(n_fft, n1, n2),
+        grid=(r_tiles,),
+        in_specs=[
+            pl.BlockSpec((FFT_TILE_R, n_fft), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            *const_specs,
+        ],
+        out_specs=pl.BlockSpec((FFT_TILE_R, n_fft), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((r_padded, n_fft), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=r_padded * (4 * n2 * n2 * n1 + 8 * n2 * n1 * n1),
+            bytes_accessed=2 * r_padded * n_fft * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x, *consts)
+    return out[:rows]
+
+
+def logmel_frames_pallas(
+    frames: jnp.ndarray,
+    cfg: SpectrogramConfig = DEFAULT_SPECTROGRAM,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fully fused featurizer back half: (rows, n_fft) raw frames -> (rows, mel).
+
+    Kernel 1: window+rFFT+power (VMEM-resident butterflies).
+    Kernel 2: K-tiled MXU mel matmul over the hermitian-folded filterbank with
+    the 10*log10 epilogue.
+    """
+    power = stft_power_pallas(frames, cfg, interpret)
+    rows = power.shape[0]
+    k = cfg.nfft
+    k_tiles = pl.cdiv(k, TILE_K)
+    k_padded = k_tiles * TILE_K
+    r_tiles = pl.cdiv(rows, TILE_R)
+    r_padded = r_tiles * TILE_R
+    x = jnp.pad(power, ((0, r_padded - rows), (0, k_padded - k)))
+    fb = jnp.asarray(_folded_filterbank(cfg, k_padded))
+
+    out = pl.pallas_call(
+        _kernel,
+        grid=(r_tiles, k_tiles),
+        in_specs=[
+            pl.BlockSpec((TILE_R, TILE_K), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_K, LANES), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TILE_R, LANES), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((r_padded, LANES), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(x, fb)
+    return out[:rows, : cfg.mel_bins]
+
+
 def power_to_logmel_pallas(
     power: jnp.ndarray,
     cfg: SpectrogramConfig = DEFAULT_SPECTROGRAM,

@@ -25,3 +25,34 @@ def test_pallas_amin_floor():
     power = np.zeros((8, 16385), dtype=np.float32)
     got = np.asarray(power_to_logmel_pallas(jnp.asarray(power), CFG, interpret=True))
     np.testing.assert_allclose(got, -100.0)  # 10*log10(1e-10)
+
+
+def test_fused_fft_power_kernel_matches_oracle():
+    """Window+rFFT+power kernel vs numpy float64, via the folded-filterbank
+    log-mel (interpret mode)."""
+    import numpy as np
+
+    from sed_tpu.configs import SpectrogramConfig
+    from sed_tpu.ops import mel as mel_ops
+    from sed_tpu.ops.pallas_featurizer import logmel_frames_pallas, stft_power_pallas
+    from sed_tpu.ops.stft import padded_window
+
+    cfg = SpectrogramConfig(working_sample_rate=8000, time_margin=0.33)
+    rng = np.random.default_rng(0)
+    frames = rng.standard_normal((5, cfg.nfft)).astype(np.float32)
+
+    # Oracle: float64 window + rfft + power + mel + dB.
+    wp = padded_window(cfg.frame_size, cfg.nfft).astype(np.float64)
+    spec = np.fft.rfft(frames.astype(np.float64) * wp, axis=-1)
+    power = np.abs(spec) ** 2
+    fb = mel_ops.mel_filterbank(cfg, dtype=np.float64)
+    ref = 10 * np.log10(np.maximum(1e-10, power @ fb))
+
+    got = np.asarray(logmel_frames_pallas(jnp.asarray(frames), cfg, interpret=True))
+    assert got.shape == (5, cfg.mel_bins)
+    assert np.max(np.abs(got - ref)) < 1e-4
+
+    # Power kernel alone: total energy must match (layout-independent check).
+    p = np.asarray(stft_power_pallas(jnp.asarray(frames), cfg, interpret=True))
+    full_power = np.abs(np.fft.fft(frames.astype(np.float64) * wp, axis=-1)) ** 2
+    np.testing.assert_allclose(p.sum(axis=1), full_power.sum(axis=1), rtol=1e-5)
