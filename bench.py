@@ -53,14 +53,21 @@ def main() -> None:
     variables = model.init(jax.random.key(0), init_x, train=False)
     params, batch_stats = variables["params"], variables.get("batch_stats", {})
 
-    def pipeline_body(waveforms_i16):  # (batch, samples, 1) int16 -> (batch, frames', classes)
-        waveforms = waveforms_i16.astype(jnp.float32) / 32768.0
-        feats = logmel_features_batch(waveforms, cfg)            # (B, C, T, M)
-        x = jnp.transpose(feats, (0, 2, 3, 1))                   # NHWC
-        logits = model.apply({"params": params, "batch_stats": batch_stats}, x, train=False)
-        return jax.nn.sigmoid(logits)
+    def make_pipeline_body(use_pallas):
+        def pipeline_body(waveforms_i16):  # (B, samples, 1) int16 -> (B, frames', classes)
+            waveforms = waveforms_i16.astype(jnp.float32) / 32768.0
+            feats = logmel_features_batch(waveforms, cfg, use_pallas=use_pallas)
+            x = jnp.transpose(feats, (0, 2, 3, 1))               # NHWC
+            logits = model.apply({"params": params, "batch_stats": batch_stats}, x, train=False)
+            return jax.nn.sigmoid(logits)
 
+        return pipeline_body
+
+    # 'full' = the fused Pallas featurizer (window+rFFT+power kernel + folded
+    # mel kernel) — the fast path on TPU; False = pure-XLA reference path.
+    pipeline_body = make_pipeline_body("full" if jax.default_backend() == "tpu" else False)
     pipeline = jax.jit(pipeline_body)
+    xla_pipeline_body = make_pipeline_body(False)
 
     rng = np.random.default_rng(0)
     host_batches = [
@@ -94,6 +101,22 @@ def main() -> None:
     pipeline_loop(staged).block_until_ready()
     compute_elapsed = time.time() - t0
     compute_rate = batch * clip_seconds * iters / compute_elapsed
+
+    # A/B: the pure-XLA featurizer path, same device-loop methodology.
+    @jax.jit
+    def xla_loop(w):
+        def body(i, carry):
+            w, acc = carry
+            out = xla_pipeline_body(w)
+            return (w + jnp.int16(1), acc + out.sum())
+
+        return jax.lax.fori_loop(0, iters, body, (w, jnp.float32(0.0)))[1]
+
+    xla_loop(staged).block_until_ready()
+    t0 = time.time()
+    xla_loop(staged).block_until_ready()
+    xla_rate = batch * clip_seconds * iters / (time.time() - t0)
+    log(f"XLA-featurizer path: {xla_rate:.0f} audio-sec/sec")
 
     # End-to-end including int16 H2D, copies overlapped with compute.
     t0 = time.time()

@@ -158,7 +158,7 @@ def _make_fft_power_kernel(n_fft: int, n1: int, n2: int):
 def stft_power_pallas(
     frames: jnp.ndarray,
     cfg: SpectrogramConfig = DEFAULT_SPECTROGRAM,
-    interpret: bool = False,
+    interpret=None,
 ) -> jnp.ndarray:
     """(rows, n_fft) raw frames -> (rows, n_fft) power bins in kernel layout.
 
@@ -166,6 +166,8 @@ def stft_power_pallas(
     rows are ALL n_fft bins ordered flat = k2*n1 + k1 (spectral bin n2*k1+k2);
     combine with :func:`logmel_from_kernel_power` / the folded filterbank.
     """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"  # CPU fallback for tests
     n_fft = cfg.nfft
     n1, n2, w2r, w2i, w1r, w1i, twr, twi, window = _fft_power_constants(
         n_fft, cfg.frame_size
@@ -206,7 +208,7 @@ def stft_power_pallas(
 def logmel_frames_pallas(
     frames: jnp.ndarray,
     cfg: SpectrogramConfig = DEFAULT_SPECTROGRAM,
-    interpret: bool = False,
+    interpret=None,
 ) -> jnp.ndarray:
     """Fully fused featurizer back half: (rows, n_fft) raw frames -> (rows, mel).
 
@@ -214,6 +216,8 @@ def logmel_frames_pallas(
     Kernel 2: K-tiled MXU mel matmul over the hermitian-folded filterbank with
     the 10*log10 epilogue.
     """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
     power = stft_power_pallas(frames, cfg, interpret)
     rows = power.shape[0]
     k = cfg.nfft
