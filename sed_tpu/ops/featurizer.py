@@ -28,6 +28,13 @@ from sed_tpu.ops import stft as stft_ops
 FftImpl = Literal["fft", "matmul", "auto"]
 
 
+def resolve_pallas(use_pallas):
+    """'auto' -> the fully fused Pallas path on TPU, plain XLA elsewhere."""
+    if use_pallas == "auto":
+        return "full" if jax.default_backend() == "tpu" else False
+    return use_pallas
+
+
 def power_to_logmel(
     power: jnp.ndarray,
     cfg: SpectrogramConfig = DEFAULT_SPECTROGRAM,
@@ -113,7 +120,7 @@ def logmel_features(
     waveform: jnp.ndarray,
     cfg: SpectrogramConfig = DEFAULT_SPECTROGRAM,
     fft_impl: FftImpl = "auto",
-    use_pallas=False,
+    use_pallas="auto",
 ) -> jnp.ndarray:
     """Fused featurizer: (samples, channels) -> (channels, frames, mel_bins).
 
@@ -127,6 +134,7 @@ def logmel_features(
     """
     chans_first = jnp.swapaxes(waveform, 0, 1)
 
+    use_pallas = resolve_pallas(use_pallas)
     if use_pallas == "full":
         from sed_tpu.ops.pallas_featurizer import logmel_waveform_pallas
 
@@ -143,9 +151,10 @@ def logmel_features_batch(
     waveforms: jnp.ndarray,
     cfg: SpectrogramConfig = DEFAULT_SPECTROGRAM,
     fft_impl: FftImpl = "auto",
-    use_pallas=False,
+    use_pallas="auto",
 ) -> jnp.ndarray:
     """Batched featurizer: (batch, samples, channels) -> (batch, channels, frames, mel)."""
+    use_pallas = resolve_pallas(use_pallas)
     if use_pallas == "full":
         # Flatten (batch, channels) into kernel signal rows — one grid covers
         # the whole batch, and framing happens via in-kernel DMA.
