@@ -136,9 +136,15 @@ def logmel_features(
 
     use_pallas = resolve_pallas(use_pallas)
     if use_pallas == "full":
-        from sed_tpu.ops.pallas_featurizer import logmel_waveform_pallas
+        from sed_tpu.ops.pallas_featurizer import logmel_frames_pallas
 
-        return logmel_waveform_pallas(chans_first.astype(jnp.float32), cfg)
+        channels = chans_first.shape[0]
+        frames = jax.vmap(
+            lambda y: stft_ops.frame_signal(y.astype(jnp.float32), cfg.nfft, cfg.hop_size)
+        )(chans_first)  # (channels, n_frames, n_fft); window lives in-kernel
+        n_frames = frames.shape[1]
+        mel = logmel_frames_pallas(frames.reshape(channels * n_frames, cfg.nfft), cfg)
+        return mel.reshape(channels, n_frames, cfg.mel_bins)
 
     def one_channel(y):
         re, im = stft_ops.stft_realimag(y, cfg, fft_impl)
@@ -156,12 +162,16 @@ def logmel_features_batch(
     """Batched featurizer: (batch, samples, channels) -> (batch, channels, frames, mel)."""
     use_pallas = resolve_pallas(use_pallas)
     if use_pallas == "full":
-        # Flatten (batch, channels) into kernel signal rows — one grid covers
-        # the whole batch, and framing happens via in-kernel DMA.
-        from sed_tpu.ops.pallas_featurizer import logmel_waveform_pallas
+        # Flatten (batch, channels, frames) into kernel rows — one grid covers
+        # the whole batch.
+        from sed_tpu.ops.pallas_featurizer import logmel_frames_pallas
 
-        b, s, c = waveforms.shape
-        sigs = jnp.transpose(waveforms, (0, 2, 1)).reshape(b * c, s)
-        mel = logmel_waveform_pallas(sigs.astype(jnp.float32), cfg)
-        return mel.reshape(b, c, mel.shape[1], cfg.mel_bins)
+        b, _, c = waveforms.shape
+        chans_first = jnp.transpose(waveforms, (0, 2, 1))
+        frames = jax.vmap(jax.vmap(
+            lambda y: stft_ops.frame_signal(y.astype(jnp.float32), cfg.nfft, cfg.hop_size)
+        ))(chans_first)  # (B, C, F, n_fft)
+        n_frames = frames.shape[2]
+        mel = logmel_frames_pallas(frames.reshape(b * c * n_frames, cfg.nfft), cfg)
+        return mel.reshape(b, c, n_frames, cfg.mel_bins)
     return jax.vmap(lambda w: logmel_features(w, cfg, fft_impl, use_pallas))(waveforms)

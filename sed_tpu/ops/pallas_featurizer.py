@@ -155,28 +155,34 @@ def _make_fft_power_kernel(n_fft: int, n1: int, n2: int):
     return kernel
 
 
-def _make_wave_fft_power_kernel(n_fft: int, n1: int, n2: int, hop: int, n_tiles: int):
+def _make_wave_fft_power_kernel(n_fft: int, n1: int, n2: int, hop: int,
+                                s_pad: int):
     def kernel(wave_ref, window_ref, w2r_ref, w2i_ref, w1r_ref, w1i_ref,
-               twr_ref, twi_ref, out_ref, frames_vmem, sems):
+               twr_ref, twi_ref, out_ref, *frame_bufs_and_sems):
+        frame_bufs = frame_bufs_and_sems[:FFT_TILE_R]
+        sems = frame_bufs_and_sems[FFT_TILE_R]
         c = pl.program_id(0)
         t = pl.program_id(1)
-        base = t * FFT_TILE_R * hop
-        # Overlapping frame reads: one DMA per frame, all in flight at once.
+        base = c * s_pad + t * FFT_TILE_R * hop
+        # Overlapping frame reads from the flat waveform: one DMA per frame
+        # into its own 1-D VMEM buffer (sidesteps sublane-tiling constraints
+        # on sliced destinations), all in flight at once.
         for f in range(FFT_TILE_R):
             pltpu.make_async_copy(
-                wave_ref.at[c, pl.ds(base + f * hop, n_fft)],
-                frames_vmem.at[f],
+                wave_ref.at[pl.ds(base + f * hop, n_fft)],
+                frame_bufs[f],
                 sems.at[f],
             ).start()
         for f in range(FFT_TILE_R):
             pltpu.make_async_copy(
-                wave_ref.at[c, pl.ds(base + f * hop, n_fft)],
-                frames_vmem.at[f],
+                wave_ref.at[pl.ds(base + f * hop, n_fft)],
+                frame_bufs[f],
                 sems.at[f],
             ).wait()
 
         rows = FFT_TILE_R
-        x = frames_vmem[:] * window_ref[:]
+        frames = jnp.stack([buf[:] for buf in frame_bufs])
+        x = frames * window_ref[:]
         x = x.reshape(rows, n2, n1)
         x2 = jnp.transpose(x, (1, 0, 2)).reshape(n2, rows * n1)
         hi = jax.lax.Precision.HIGHEST
@@ -230,7 +236,9 @@ def stft_power_from_waveform_pallas(
     pad = n_fft // 2
     needed = (n_tiles * FFT_TILE_R - 1) * hop + n_fft
     wave = jnp.pad(waveforms.astype(jnp.float32), ((0, 0), (pad, pad)), mode="reflect")
-    wave = jnp.pad(wave, ((0, 0), (0, max(0, needed - wave.shape[1]))))
+    s_pad = max(needed, wave.shape[1])
+    s_pad += (-s_pad) % 1024  # keep each signal's flat offset tile-aligned
+    wave = jnp.pad(wave, ((0, 0), (0, s_pad - wave.shape[1]))).reshape(-1)
 
     n1, n2, w2r, w2i, w1r, w1i, twr, twi, window = _fft_power_constants(
         n_fft, cfg.frame_size
@@ -243,10 +251,10 @@ def stft_power_from_waveform_pallas(
     ]
 
     out = pl.pallas_call(
-        _make_wave_fft_power_kernel(n_fft, n1, n2, hop, n_tiles),
+        _make_wave_fft_power_kernel(n_fft, n1, n2, hop, s_pad),
         grid=(n_signals, n_tiles),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # waveform stays in HBM
+            pl.BlockSpec(memory_space=pltpu.ANY),  # flat waveform stays in HBM
             *const_specs,
         ],
         out_specs=pl.BlockSpec(
@@ -257,7 +265,7 @@ def stft_power_from_waveform_pallas(
             (n_signals * n_tiles * FFT_TILE_R, n_fft), jnp.float32
         ),
         scratch_shapes=[
-            pltpu.VMEM((FFT_TILE_R, n_fft), jnp.float32),
+            *[pltpu.VMEM((n_fft,), jnp.float32) for _ in range(FFT_TILE_R)],
             pltpu.SemaphoreType.DMA((FFT_TILE_R,)),
         ],
         compiler_params=pltpu.CompilerParams(
