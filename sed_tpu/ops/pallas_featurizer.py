@@ -155,148 +155,6 @@ def _make_fft_power_kernel(n_fft: int, n1: int, n2: int):
     return kernel
 
 
-def _make_wave_fft_power_kernel(n_fft: int, n1: int, n2: int, hop: int,
-                                s_pad: int):
-    def kernel(wave_ref, window_ref, w2r_ref, w2i_ref, w1r_ref, w1i_ref,
-               twr_ref, twi_ref, out_ref, *frame_bufs_and_sems):
-        frame_bufs = frame_bufs_and_sems[:FFT_TILE_R]
-        sems = frame_bufs_and_sems[FFT_TILE_R]
-        c = pl.program_id(0)
-        t = pl.program_id(1)
-        base = c * s_pad + t * FFT_TILE_R * hop
-        # Overlapping frame reads from the flat waveform: one DMA per frame
-        # into its own 1-D VMEM buffer (sidesteps sublane-tiling constraints
-        # on sliced destinations), all in flight at once.
-        for f in range(FFT_TILE_R):
-            pltpu.make_async_copy(
-                wave_ref.at[pl.ds(base + f * hop, n_fft)],
-                frame_bufs[f],
-                sems.at[f],
-            ).start()
-        for f in range(FFT_TILE_R):
-            pltpu.make_async_copy(
-                wave_ref.at[pl.ds(base + f * hop, n_fft)],
-                frame_bufs[f],
-                sems.at[f],
-            ).wait()
-
-        rows = FFT_TILE_R
-        frames = jnp.stack([buf[:] for buf in frame_bufs])
-        x = frames * window_ref[:]
-        x = x.reshape(rows, n2, n1)
-        x2 = jnp.transpose(x, (1, 0, 2)).reshape(n2, rows * n1)
-        hi = jax.lax.Precision.HIGHEST
-        dn = (((1,), (0,)), ((), ()))
-        yr = jax.lax.dot_general(w2r_ref[:], x2, dn, precision=hi,
-                                 preferred_element_type=jnp.float32)
-        yi = jax.lax.dot_general(w2i_ref[:], x2, dn, precision=hi,
-                                 preferred_element_type=jnp.float32)
-        yr = yr.reshape(n2, rows, n1)
-        yi = yi.reshape(n2, rows, n1)
-        twr = twr_ref[:].reshape(n2, 1, n1)
-        twi = twi_ref[:].reshape(n2, 1, n1)
-        tr = yr * twr - yi * twi
-        ti = yr * twi + yi * twr
-        tr = jnp.transpose(tr, (1, 0, 2)).reshape(rows * n2, n1)
-        ti = jnp.transpose(ti, (1, 0, 2)).reshape(rows * n2, n1)
-        zr = (jax.lax.dot_general(tr, w1r_ref[:], dn, precision=hi,
-                                  preferred_element_type=jnp.float32)
-              - jax.lax.dot_general(ti, w1i_ref[:], dn, precision=hi,
-                                    preferred_element_type=jnp.float32))
-        zi = (jax.lax.dot_general(tr, w1i_ref[:], dn, precision=hi,
-                                  preferred_element_type=jnp.float32)
-              + jax.lax.dot_general(ti, w1r_ref[:], dn, precision=hi,
-                                    preferred_element_type=jnp.float32))
-        power = zr * zr + zi * zi
-        out_ref[:] = power.reshape(rows, n_fft)
-
-    return kernel
-
-
-def stft_power_from_waveform_pallas(
-    waveforms: jnp.ndarray,
-    cfg: SpectrogramConfig = DEFAULT_SPECTROGRAM,
-    interpret=None,
-):
-    """(n_signals, samples) -> (n_signals, n_frames, n_fft) power, framed in-kernel.
-
-    The waveform stays in HBM; each grid step DMAs its FFT_TILE_R overlapping
-    frame windows straight into VMEM (no (frames, n_fft) array is ever
-    materialized in HBM — the XLA framing path writes+reads ~24 MB per 60 s
-    clip).  Reflect padding is applied on the (cheap, 1-D) waveform in XLA.
-    Returns power bins in the kernel's flat (k2, k1) layout.
-    """
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
-    n_fft, hop = cfg.nfft, cfg.hop_size
-    n_signals, n_samples = waveforms.shape
-    n_frames = 1 + n_samples // hop
-    n_tiles = pl.cdiv(n_frames, FFT_TILE_R)
-
-    pad = n_fft // 2
-    needed = (n_tiles * FFT_TILE_R - 1) * hop + n_fft
-    wave = jnp.pad(waveforms.astype(jnp.float32), ((0, 0), (pad, pad)), mode="reflect")
-    s_pad = max(needed, wave.shape[1])
-    s_pad += (-s_pad) % 1024  # keep each signal's flat offset tile-aligned
-    wave = jnp.pad(wave, ((0, 0), (0, s_pad - wave.shape[1]))).reshape(-1)
-
-    n1, n2, w2r, w2i, w1r, w1i, twr, twi, window = _fft_power_constants(
-        n_fft, cfg.frame_size
-    )
-    consts = [jnp.asarray(window)[None, :], jnp.asarray(w2r), jnp.asarray(w2i),
-              jnp.asarray(w1r), jnp.asarray(w1i), jnp.asarray(twr), jnp.asarray(twi)]
-    const_specs = [
-        pl.BlockSpec(c.shape, lambda i, j: (0, 0), memory_space=pltpu.VMEM)
-        for c in consts
-    ]
-
-    out = pl.pallas_call(
-        _make_wave_fft_power_kernel(n_fft, n1, n2, hop, s_pad),
-        grid=(n_signals, n_tiles),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # flat waveform stays in HBM
-            *const_specs,
-        ],
-        out_specs=pl.BlockSpec(
-            (FFT_TILE_R, n_fft), lambda c, t: (c * n_tiles + t, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        out_shape=jax.ShapeDtypeStruct(
-            (n_signals * n_tiles * FFT_TILE_R, n_fft), jnp.float32
-        ),
-        scratch_shapes=[
-            *[pltpu.VMEM((n_fft,), jnp.float32) for _ in range(FFT_TILE_R)],
-            pltpu.SemaphoreType.DMA((FFT_TILE_R,)),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
-        ),
-        cost_estimate=pl.CostEstimate(
-            flops=n_signals * n_tiles * FFT_TILE_R * (4 * n2 * n2 * n1 + 8 * n2 * n1 * n1),
-            bytes_accessed=2 * n_signals * n_tiles * FFT_TILE_R * n_fft * 4,
-            transcendentals=0,
-        ),
-        interpret=interpret,
-    )(wave, *consts)
-    out = out.reshape(n_signals, n_tiles * FFT_TILE_R, n_fft)
-    return out[:, :n_frames]
-
-
-def logmel_waveform_pallas(
-    waveforms: jnp.ndarray,
-    cfg: SpectrogramConfig = DEFAULT_SPECTROGRAM,
-    interpret=None,
-) -> jnp.ndarray:
-    """Fully fused featurizer from raw waveforms, framing included:
-    (n_signals, samples) -> (n_signals, n_frames, mel_bins)."""
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
-    power = stft_power_from_waveform_pallas(waveforms, cfg, interpret)
-    n_signals, n_frames, n_fft = power.shape
-    mel = _folded_mel_from_power(power.reshape(n_signals * n_frames, n_fft), cfg, interpret)
-    return mel.reshape(n_signals, n_frames, cfg.mel_bins)
-
-
 def _folded_mel_from_power(power, cfg: SpectrogramConfig, interpret):
     """K-tiled mel+log kernel over the hermitian-folded, layout-matched fb."""
     rows = power.shape[0]
