@@ -155,6 +155,176 @@ def _make_fft_power_kernel(n_fft: int, n1: int, n2: int):
     return kernel
 
 
+# ---------------------------------------------------------------------------
+# In-kernel DMA framing.  Mosaic requires 1-D HBM DMA starts to be 1024-element
+# aligned; frame starts (multiples of hop=15840) are not.  But the tile base
+# phase mod 1024 cycles with period gcd: base = t*8*hop has phase
+# (t * (8*hop mod 1024)) mod 1024, which for hop=15840 takes only 4 values —
+# so the kernel DMAs the 1024-aligned enclosing span once and a lax.switch
+# over the tile's phase makes every per-frame extract a *static* VMEM slice.
+# ---------------------------------------------------------------------------
+
+
+def _make_wave_fft_power_kernel(n_fft: int, n1: int, n2: int, hop: int,
+                                s_pad: int, span_len: int, phases):
+    tile_stride = FFT_TILE_R * hop
+
+    def kernel(wave_ref, window_ref, w2r_ref, w2i_ref, w1r_ref, w1i_ref,
+               twr_ref, twi_ref, out_ref, span_vmem, sem):
+        c = pl.program_id(0)
+        t = pl.program_id(1)
+        base = c * s_pad + t * tile_stride
+        aligned = pl.multiple_of((base // 1024) * 1024, 1024)
+        dma = pltpu.make_async_copy(
+            wave_ref.at[pl.ds(aligned, span_len)], span_vmem, sem
+        )
+        dma.start()
+        dma.wait()
+
+        def build(phase):
+            def _build():
+                return jnp.stack([
+                    span_vmem[phase + f * hop: phase + f * hop + n_fft]
+                    for f in range(FFT_TILE_R)
+                ])
+
+            return _build
+
+        phase_idx = jax.lax.rem(t, len(phases))
+        frames = jax.lax.switch(phase_idx, [build(p) for p in phases])
+
+        rows = FFT_TILE_R
+        x = frames * window_ref[0]
+        x = x.reshape(rows, n2, n1)
+        x2 = jnp.transpose(x, (1, 0, 2)).reshape(n2, rows * n1)
+        hi = jax.lax.Precision.HIGHEST
+        dn = (((1,), (0,)), ((), ()))
+        yr = jax.lax.dot_general(w2r_ref[:], x2, dn, precision=hi,
+                                 preferred_element_type=jnp.float32)
+        yi = jax.lax.dot_general(w2i_ref[:], x2, dn, precision=hi,
+                                 preferred_element_type=jnp.float32)
+        yr = yr.reshape(n2, rows, n1)
+        yi = yi.reshape(n2, rows, n1)
+        twr = twr_ref[:].reshape(n2, 1, n1)
+        twi = twi_ref[:].reshape(n2, 1, n1)
+        tr = yr * twr - yi * twi
+        ti = yr * twi + yi * twr
+        tr = jnp.transpose(tr, (1, 0, 2)).reshape(rows * n2, n1)
+        ti = jnp.transpose(ti, (1, 0, 2)).reshape(rows * n2, n1)
+        zr = (jax.lax.dot_general(tr, w1r_ref[:], dn, precision=hi,
+                                  preferred_element_type=jnp.float32)
+              - jax.lax.dot_general(ti, w1i_ref[:], dn, precision=hi,
+                                    preferred_element_type=jnp.float32))
+        zi = (jax.lax.dot_general(tr, w1i_ref[:], dn, precision=hi,
+                                  preferred_element_type=jnp.float32)
+              + jax.lax.dot_general(ti, w1r_ref[:], dn, precision=hi,
+                                    preferred_element_type=jnp.float32))
+        power = zr * zr + zi * zi
+        out_ref[:] = power.reshape(rows, n_fft)
+
+    return kernel
+
+
+def stft_power_from_waveform_pallas(
+    waveforms: jnp.ndarray,
+    cfg: SpectrogramConfig = DEFAULT_SPECTROGRAM,
+    interpret=None,
+):
+    """(n_signals, samples) -> (n_signals, n_frames, n_fft) power, framed in-kernel.
+
+    The waveform stays flat in HBM; each grid step DMAs its tile's
+    1024-aligned enclosing span into VMEM and extracts the 8 overlapping
+    frames with static slices (see module comment) — no (frames, n_fft)
+    array is ever materialized in HBM.  Power bins come out in the kernel's
+    flat (k2, k1) layout for :func:`_folded_mel_from_power`.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    n_fft, hop = cfg.nfft, cfg.hop_size
+    n_signals, n_samples = waveforms.shape
+    n_frames = 1 + n_samples // hop
+    n_tiles = pl.cdiv(n_frames, FFT_TILE_R)
+
+    tile_stride = FFT_TILE_R * hop
+    phase_step = tile_stride % 1024
+    phases = []
+    p = 0
+    while True:
+        phases.append(p)
+        p = (p + phase_step) % 1024
+        if p == 0:
+            break
+    span_len = 1024 + (FFT_TILE_R - 1) * hop + n_fft
+    span_len += (-span_len) % 1024
+
+    pad = n_fft // 2
+    needed = (n_tiles * FFT_TILE_R - 1) * hop + n_fft + 1024
+    wave = jnp.pad(waveforms.astype(jnp.float32), ((0, 0), (pad, pad)), mode="reflect")
+    s_pad = max(needed, wave.shape[1])
+    s_pad += (-s_pad) % 1024  # signals start 1024-aligned in the flat buffer
+    wave = jnp.pad(wave, ((0, 0), (0, s_pad - wave.shape[1]))).reshape(-1)
+    # The last tile's aligned span must fit.
+    total_needed = (n_signals - 1) * s_pad + (n_tiles - 1) * tile_stride + span_len
+    if total_needed > wave.shape[0]:
+        wave = jnp.pad(wave, (0, total_needed - wave.shape[0]))
+
+    n1, n2, w2r, w2i, w1r, w1i, twr, twi, window = _fft_power_constants(
+        n_fft, cfg.frame_size
+    )
+    consts = [jnp.asarray(window)[None, :], jnp.asarray(w2r), jnp.asarray(w2i),
+              jnp.asarray(w1r), jnp.asarray(w1i), jnp.asarray(twr), jnp.asarray(twi)]
+    const_specs = [
+        pl.BlockSpec(c.shape, lambda i, j: (0, 0), memory_space=pltpu.VMEM)
+        for c in consts
+    ]
+
+    out = pl.pallas_call(
+        _make_wave_fft_power_kernel(n_fft, n1, n2, hop, s_pad, span_len, phases),
+        grid=(n_signals, n_tiles),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),  # flat waveform stays in HBM
+            *const_specs,
+        ],
+        out_specs=pl.BlockSpec(
+            (FFT_TILE_R, n_fft), lambda c, t: (c * n_tiles + t, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (n_signals * n_tiles * FFT_TILE_R, n_fft), jnp.float32
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((span_len,), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=n_signals * n_tiles * FFT_TILE_R * (4 * n2 * n2 * n1 + 8 * n2 * n1 * n1),
+            bytes_accessed=n_signals * n_tiles * (span_len + FFT_TILE_R * n_fft) * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(wave, *consts)
+    out = out.reshape(n_signals, n_tiles * FFT_TILE_R, n_fft)
+    return out[:, :n_frames]
+
+
+def logmel_waveform_pallas(
+    waveforms: jnp.ndarray,
+    cfg: SpectrogramConfig = DEFAULT_SPECTROGRAM,
+    interpret=None,
+) -> jnp.ndarray:
+    """Fully fused featurizer from raw waveforms, framing included:
+    (n_signals, samples) -> (n_signals, n_frames, mel_bins)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    power = stft_power_from_waveform_pallas(waveforms, cfg, interpret)
+    n_signals, n_frames, n_fft = power.shape
+    mel = _folded_mel_from_power(power.reshape(n_signals * n_frames, n_fft), cfg, interpret)
+    return mel.reshape(n_signals, n_frames, cfg.mel_bins)
+
+
 def _folded_mel_from_power(power, cfg: SpectrogramConfig, interpret):
     """K-tiled mel+log kernel over the hermitian-folded, layout-matched fb."""
     rows = power.shape[0]

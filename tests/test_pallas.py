@@ -56,3 +56,25 @@ def test_fused_fft_power_kernel_matches_oracle():
     p = np.asarray(stft_power_pallas(jnp.asarray(frames), cfg, interpret=True))
     full_power = np.abs(np.fft.fft(frames.astype(np.float64) * wp, axis=-1)) ** 2
     np.testing.assert_allclose(p.sum(axis=1), full_power.sum(axis=1), rtol=1e-5)
+
+
+def test_dma_framing_fused_kernel_matches_xla_path():
+    """In-kernel DMA framing (aligned span + phase-switch extract) vs the XLA
+    featurizer (interpret mode)."""
+    import numpy as np
+
+    from sed_tpu.configs import SpectrogramConfig
+    from sed_tpu.ops.featurizer import logmel_features
+    from sed_tpu.ops.pallas_featurizer import logmel_waveform_pallas
+
+    cfg = SpectrogramConfig(working_sample_rate=8000, time_margin=0.33)
+    rng = np.random.default_rng(0)
+    sigs = (0.3 * rng.standard_normal((3, 23 * cfg.working_sample_rate))).astype(np.float32)
+
+    ref = np.stack([
+        np.asarray(logmel_features(sigs[i][:, None], cfg, "fft", use_pallas=False))[0]
+        for i in range(3)
+    ])
+    got = np.asarray(logmel_waveform_pallas(jnp.asarray(sigs), cfg, interpret=True))
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, atol=1e-4)
