@@ -237,6 +237,12 @@ def stft_power_from_waveform_pallas(
     frames with static slices (see module comment) — no (frames, n_fft)
     array is ever materialized in HBM.  Power bins come out in the kernel's
     flat (k2, k1) layout for :func:`_folded_mel_from_power`.
+
+    EXPERIMENTAL: verified in interpreter mode; the Mosaic version in this
+    environment cannot yet lower the unaligned static frame extracts
+    ("result/input offset mismatch on non-concat dimension"), so the
+    production 'full' path uses :func:`logmel_frames_pallas` with XLA
+    framing instead (see ROADMAP.md).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
