@@ -141,3 +141,35 @@ def test_checkpoint_roundtrip(tmp_path):
     assert int(model_only.step) == 0
     c = fwd(model_only.params, model_only.batch_stats, x)
     np.testing.assert_allclose(np.asarray(a), np.asarray(c), atol=1e-7)
+
+
+def test_full_resume_matches_continuous_training(tmp_path):
+    """Full-state checkpoint resume must reproduce the uninterrupted run
+    exactly (params, optimizer moments, step counter, loss trajectory)."""
+    model, tx, state, step, x, y = _tiny_setup()
+
+    # Continuous: 10 steps.
+    cont = state
+    cont_losses = []
+    for _ in range(10):
+        cont, loss = step(cont, x, y)
+        cont_losses.append(float(loss))
+
+    # Interrupted: 5 steps, save, restore into a fresh template, 5 more.
+    model2, tx2, state2, step2, x2, y2 = _tiny_setup()
+    for _ in range(5):
+        state2, _ = step2(state2, x2, y2)
+    save_checkpoint(state2, str(tmp_path), iteration=5)
+    template = init_state(model2, jax.random.key(42), x2, tx2)
+    resumed = load_checkpoint(f"{tmp_path}/checkpoints/iteration_5.ckpt", template)
+    resumed_losses = []
+    for _ in range(5):
+        resumed, loss = step2(resumed, x2, y2)
+        resumed_losses.append(float(loss))
+
+    assert int(resumed.step) == 10
+    np.testing.assert_allclose(resumed_losses, cont_losses[5:], rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(cont.params), jax.tree.leaves(resumed.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
+    for a, b in zip(jax.tree.leaves(cont.opt_state), jax.tree.leaves(resumed.opt_state)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
