@@ -215,3 +215,52 @@ def test_waveform_dataset_and_step(synthetic_corpus):
     starts = jnp.asarray(ds.possible_start_indices[:4])
     state, loss = step(state, buffers, starts, jax.random.key(1))
     assert np.isfinite(float(loss))
+
+
+def test_device_gather_matches_host_get_item(preprocessed_logmel):
+    """The fused device step's gather+normalize must equal the host-side
+    reference path (SpectrogramDataset.get_item) for the same start index."""
+    features_dir, mean_std = preprocessed_logmel
+    ds = SpectrogramDataset(features_dir, mean_std, val_descriptor="clip_5",
+                            preprocessed_mode="logMel", cfg=CFG, seed=0)
+    buffers = spectrogram_buffers_from_dataset(ds)
+
+    # Re-create the step's internal gather+transform on a known index.
+    import jax.numpy as jnp
+    from jax import lax
+
+    idx = 7
+    s = int(ds.train_start_indices[idx])
+    crop = CFG.train_crop_size
+    f = lax.dynamic_slice(buffers.features, (0, s, 0),
+                          (1, crop, CFG.mel_bins))
+    x_dev = np.asarray((f - buffers.mean) / buffers.std)
+    x_host, events_host = ds.get_item(idx)
+    np.testing.assert_allclose(x_dev, x_host, rtol=1e-5, atol=1e-6)
+
+    e = lax.dynamic_slice(buffers.events, (s, 0), (crop, CFG.classes_num))
+    np.testing.assert_allclose(np.asarray(e), events_host, atol=0)
+
+
+def test_device_complex_transform_matches_host(preprocessed_complex):
+    """Complex mode: stacked real/imag device transform == host numpy transform."""
+    features_dir, mean_std = preprocessed_complex
+    ds = SpectrogramDataset(features_dir, mean_std, val_descriptor="clip_5",
+                            preprocessed_mode="Complex", cfg=CFG, seed=0)
+    buffers = spectrogram_buffers_from_dataset(ds)
+
+    import jax.numpy as jnp
+    from jax import lax
+
+    from sed_tpu.ops.featurizer import power_to_logmel
+
+    idx = 3
+    s = int(ds.train_start_indices[idx])
+    crop = CFG.train_crop_size
+    f = lax.dynamic_slice(buffers.features, (0, s, 0, 0),
+                          (1, crop, CFG.freq_bins, 2))
+    xn = (f - buffers.mean) / buffers.std[..., None]
+    power = jnp.sum(xn * xn, axis=-1)
+    x_dev = np.asarray(power_to_logmel(power, CFG))
+    x_host, _ = ds.get_item(idx)
+    np.testing.assert_allclose(x_dev, x_host, rtol=1e-4, atol=2e-4)
