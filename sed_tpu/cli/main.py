@@ -35,6 +35,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
     # Train
     parser.add_argument("--outputs_root", type=str, default="training_dir")
     parser.add_argument("--ckpt", type=str, default="")
+    parser.add_argument("--resume", type=str, default="none", choices=["none", "auto"],
+                        help="auto: restore the latest FULL checkpoint (params, "
+                             "optimizer state, step) from the run directory and "
+                             "continue — preemption recovery. --ckpt stays "
+                             "model-only like the reference resume (main.py:37-39)")
     parser.add_argument("--val_descriptor", default=0.2,
                         help="float for percentage, string for fold substring")
     parser.add_argument("--train_tag", type=str, default="")
@@ -163,7 +168,20 @@ def main(argv=None):
     outputs_dir = os.path.join(args.outputs_root, train_name)
 
     initial_state = None
-    if args.ckpt:
+    resume_path = None
+    model_only = True
+    if args.resume == "auto":
+        from sed_tpu.train.checkpoint import latest_checkpoint
+
+        resume_path = latest_checkpoint(outputs_dir)
+        model_only = False
+        if resume_path:
+            print(f"Auto-resuming from {resume_path}")
+    if resume_path is None and args.ckpt:
+        resume_path = args.ckpt
+        model_only = True
+
+    if resume_path:
         import jax.numpy as jnp
 
         from sed_tpu.train.checkpoint import load_checkpoint
@@ -176,7 +194,7 @@ def main(argv=None):
         else:
             sample = jnp.zeros((args.batch_size, cfg.frame_size, cfg.audio_channels))
         template = init_state(model, jax.random.key(args.seed), sample, tx)
-        initial_state = load_checkpoint(args.ckpt, template, model_only=True)
+        initial_state = load_checkpoint(resume_path, template, model_only=model_only)
 
     from sed_tpu.train.loop import train
 

@@ -132,3 +132,30 @@ def test_complex_mode_train_cli(film_clap_root, tmp_path):
     run_dir = os.path.join(outputs_root, os.listdir(outputs_root)[0])
     assert run_dir.endswith("_AD")
     assert "iteration_2.ckpt" in os.listdir(os.path.join(run_dir, "checkpoints"))
+
+
+def test_auto_resume_continues_from_latest(film_clap_root, tmp_path):
+    """--resume auto restores the latest full checkpoint and continues the
+    step counter (preemption recovery)."""
+    from sed_tpu.cli.main import main
+
+    outputs_root = str(tmp_path / "training_resume")
+    common = [
+        "--dataset_dir", film_clap_root,
+        "--dataset_name", "FilmClap",
+        "--train_features", "Spectogram",
+        "--preprocess_mode", "logMel",
+        "--outputs_root", outputs_root,
+        "--val_descriptor", "clip_3",
+        "--batch_size", "4",
+        "--log_freq", "2",
+        "--device", "cpu",
+    ]
+    main(common + ["--num_train_steps", "2"])
+    run_dir = os.path.join(outputs_root, os.listdir(outputs_root)[0])
+    assert "iteration_2.ckpt" in os.listdir(os.path.join(run_dir, "checkpoints"))
+
+    # Resume to step 4: only iteration_4 should be new.
+    main(common + ["--num_train_steps", "4", "--resume", "auto"])
+    ckpts = sorted(os.listdir(os.path.join(run_dir, "checkpoints")))
+    assert ckpts == ["iteration_2.ckpt", "iteration_4.ckpt"]
