@@ -1,3 +1,54 @@
-"""TPU-native sound-event-detection framework (reference: ariel415el/SoundEventDetection-Pytorch)."""
+"""TPU-native sound-event-detection framework (reference: ariel415el/SoundEventDetection-Pytorch).
+
+Top-level API (lazily imported so ``import sed_tpu`` stays light):
+
+  configs:    AudioConfig, SpectrogramConfig, WaveformConfig
+  features:   logmel_features, logmel_features_batch, multichannel_stft,
+              multichannel_complex_to_log_mel
+  data:       SpectrogramDataset, WaveformDataset, preprocess_data
+  models:     CnnAvgPooling, MobileNetV1, M5
+  training:   train, evaluate, make_optimizer, save_checkpoint, load_checkpoint
+  inference:  batch_predict_files, StreamingDetector, windowed_forward
+  metrics:    calculate_metrics, f_score
+"""
 
 __version__ = "0.1.0"
+
+_EXPORTS = {
+    "AudioConfig": "sed_tpu.configs",
+    "SpectrogramConfig": "sed_tpu.configs",
+    "WaveformConfig": "sed_tpu.configs",
+    "logmel_features": "sed_tpu.ops.featurizer",
+    "logmel_features_batch": "sed_tpu.ops.featurizer",
+    "multichannel_stft": "sed_tpu.ops.featurizer",
+    "multichannel_complex_to_log_mel": "sed_tpu.ops.featurizer",
+    "SpectrogramDataset": "sed_tpu.data.spectrogram_dataset",
+    "WaveformDataset": "sed_tpu.data.waveform_dataset",
+    "preprocess_data": "sed_tpu.data.preprocess",
+    "CnnAvgPooling": "sed_tpu.models.cnn",
+    "MobileNetV1": "sed_tpu.models.cnn",
+    "M5": "sed_tpu.models.m5",
+    "train": "sed_tpu.train.loop",
+    "evaluate": "sed_tpu.train.loop",
+    "make_optimizer": "sed_tpu.train.optim",
+    "save_checkpoint": "sed_tpu.train.checkpoint",
+    "load_checkpoint": "sed_tpu.train.checkpoint",
+    "batch_predict_files": "sed_tpu.inference",
+    "StreamingDetector": "sed_tpu.streaming",
+    "windowed_forward": "sed_tpu.parallel.time_shard",
+    "calculate_metrics": "sed_tpu.utils.metrics",
+    "f_score": "sed_tpu.utils.metrics",
+}
+
+
+def __getattr__(name):
+    if name in _EXPORTS:
+        import importlib
+
+        module = importlib.import_module(_EXPORTS[name])
+        return getattr(module, name)
+    raise AttributeError(f"module 'sed_tpu' has no attribute '{name}'")
+
+
+def __dir__():
+    return sorted(list(_EXPORTS) + ["__version__"])

@@ -105,3 +105,12 @@ def test_config_constants():
     assert DEFAULT_SPECTROGRAM.train_crop_size == 30
     assert DEFAULT_SPECTROGRAM.mel_max_freq == 24000
     assert "Spectogram_SaR-48.0K" in DEFAULT_SPECTROGRAM.cfg_descriptor
+
+
+def test_top_level_api_exports():
+    import sed_tpu
+
+    assert sed_tpu.SpectrogramConfig().nfft == 32768
+    assert callable(sed_tpu.calculate_metrics)
+    assert callable(sed_tpu.logmel_features)
+    assert "CnnAvgPooling" in dir(sed_tpu)
