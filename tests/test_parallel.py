@@ -121,3 +121,36 @@ def test_graft_entry():
     out = jax.jit(fn)(*args)
     assert out.shape == (8, 176, 1)
     ge.dryrun_multichip(8)
+
+
+def test_windowed_forward_with_sharded_windows():
+    """Time-axis windows of one ultra-long recording ride the batch axis of an
+    8-device mesh — the full conv context-parallel path (SURVEY §5)."""
+    model = CnnAvgPooling(classes_num=1, model_config=TRAIN_CHANNEL_AND_POOL)
+    x = jax.random.normal(jax.random.key(5), (1, 2048, 64, 1))  # ~11 min audio
+    variables = model.init(jax.random.key(6), jnp.zeros((1, 200, 64, 1)), train=False)
+
+    def forward(batch):
+        return model.apply(variables, batch, train=False)
+
+    ref = np.asarray(forward(x))
+
+    mesh = create_mesh(8)
+    sharded = shard_inference(
+        lambda p, bs, batch: model.apply({"params": p, "batch_stats": bs}, batch, train=False),
+        mesh,
+    )
+
+    def sharded_forward(batch):
+        n = batch.shape[0]
+        pad = (-n) % 8
+        padded = jnp.pad(batch, ((0, pad), (0, 0), (0, 0), (0, 0)))
+        out = sharded(
+            replicate(mesh, variables["params"]),
+            replicate(mesh, variables.get("batch_stats", {})),
+            shard_batch(mesh, padded),
+        )
+        return out[:n]
+
+    got = windowed_forward(sharded_forward, x, window=256, halo=64, total_stride=8)
+    np.testing.assert_allclose(got, ref, atol=1e-5)
