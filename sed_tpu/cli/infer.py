@@ -118,12 +118,16 @@ def main(argv=None):
     for audio_file in args.audio_files:
         print(f"Processing {audio_file}")
         if batch_scores is not None:
-            from sed_tpu.io.audio import read_multichannel_audio
-            from sed_tpu.ops.featurizer import logmel_features
-
-            wav = read_multichannel_audio(audio_file, target_fs=cfg.working_sample_rate, cfg=cfg)
-            log_mel = np.asarray(logmel_features(wav.astype(np.float32), cfg))
             scores = batch_scores[audio_file]
+            log_mel = None
+            if not args.no_plot:  # features re-derived only when a plot needs them
+                from sed_tpu.io.audio import read_multichannel_audio
+                from sed_tpu.ops.featurizer import logmel_features
+
+                wav = read_multichannel_audio(
+                    audio_file, target_fs=cfg.working_sample_rate, cfg=cfg
+                )
+                log_mel = np.asarray(logmel_features(wav.astype(np.float32), cfg))
         else:
             log_mel, scores = predict_file(
                 model, state, audio_file, cfg, mean, std,

@@ -423,30 +423,7 @@ def logmel_frames_pallas(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     power = stft_power_pallas(frames, cfg, interpret)
-    rows = power.shape[0]
-    k = cfg.nfft
-    k_tiles = pl.cdiv(k, TILE_K)
-    k_padded = k_tiles * TILE_K
-    r_tiles = pl.cdiv(rows, TILE_R)
-    r_padded = r_tiles * TILE_R
-    x = jnp.pad(power, ((0, r_padded - rows), (0, k_padded - k)))
-    fb = jnp.asarray(_folded_filterbank(cfg, k_padded))
-
-    out = pl.pallas_call(
-        _kernel,
-        grid=(r_tiles, k_tiles),
-        in_specs=[
-            pl.BlockSpec((TILE_R, TILE_K), lambda i, j: (i, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_K, LANES), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((TILE_R, LANES), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((r_padded, LANES), jnp.float32),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
-        ),
-        interpret=interpret,
-    )(x, fb)
-    return out[:rows, : cfg.mel_bins]
+    return _folded_mel_from_power(power, cfg, interpret)
 
 
 def power_to_logmel_pallas(

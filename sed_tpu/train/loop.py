@@ -178,14 +178,22 @@ def train(
 
     rng = jax.random.key(seed + 1)
     iterations = int(state.step)
+    start_iterations = iterations
     epoch = 0
     training_start_time = time()
-    last_loss = float("nan")
+
+    if len(dataset) < batch_size:
+        raise ValueError(
+            f"dataset has {len(dataset)} training start indices, fewer than "
+            f"batch_size={batch_size}; no full batch can be formed"
+        )
+
+    # Per-step losses stay on device; they are only pulled to the host at log
+    # points so async dispatch keeps the accelerator queue full.
+    pending_losses = []
 
     while iterations < num_steps:
         for starts in dataset.epoch_start_indices(batch_size):
-            if len(starts) < batch_size:
-                continue
             if profile_dir is not None and iterations == 10:
                 jax.profiler.start_trace(profile_dir)
             rng, step_rng = jax.random.split(rng)
@@ -194,11 +202,18 @@ def train(
             if profile_dir is not None and iterations == 20:
                 jax.block_until_ready(loss)
                 jax.profiler.stop_trace()
-            last_loss = float(loss)
-            plotter.report_train_loss(last_loss)
+            pending_losses.append(loss)
 
             if iterations % log_freq == 0:
-                im_sec = iterations * batch_size / (time() - training_start_time)
+                for pl_loss in pending_losses:
+                    plotter.report_train_loss(float(pl_loss))
+                last_loss = float(pending_losses[-1])
+                pending_losses = []
+                # Same definition as the reference (train.py:113-115), counting
+                # only steps run in THIS session (matters after --resume auto).
+                im_sec = (iterations - start_iterations) * batch_size / (
+                    time() - training_start_time
+                )
                 print(f"epoch: {epoch}, step: {iterations}, loss: {last_loss:.2f}, "
                       f"im/sec: {im_sec:.1f}")
 

@@ -84,8 +84,14 @@ def make_train_step(
     return jax.jit(step, donate_argnums=(0,))
 
 
+@functools.lru_cache(maxsize=16)
 def make_eval_forward(model) -> Callable:
-    """Jitted inference forward using running BatchNorm statistics."""
+    """Jitted inference forward using running BatchNorm statistics.
+
+    Cached per model (flax Modules hash by their fields) so repeated callers —
+    e.g. evaluate() at every log point — reuse one jit wrapper and its compile
+    cache instead of re-tracing the network each time.
+    """
 
     @functools.partial(jax.jit)
     def forward(params, batch_stats, x):
