@@ -117,7 +117,7 @@ def _folded_filterbank(cfg: SpectrogramConfig, k_padded: int) -> np.ndarray:
     return out
 
 
-def _make_fft_power_kernel(n_fft: int, n1: int, n2: int):
+def _make_fft_power_kernel(n_fft: int, n1: int, n2: int, precision=None):
     def kernel(frames_ref, window_ref, w2r_ref, w2i_ref, w1r_ref, w1i_ref,
                twr_ref, twi_ref, out_ref):
         rows = frames_ref.shape[0]
@@ -125,7 +125,7 @@ def _make_fft_power_kernel(n_fft: int, n1: int, n2: int):
         x = x.reshape(rows, n2, n1)
         # Inner DFT over n2, all frames as one matmul: (n2, n2) @ (n2, R*n1).
         x2 = jnp.transpose(x, (1, 0, 2)).reshape(n2, rows * n1)
-        hi = jax.lax.Precision.HIGHEST
+        hi = precision if precision is not None else jax.lax.Precision.HIGHEST
         yr = jax.lax.dot_general(w2r_ref[:], x2, (((1,), (0,)), ((), ())),
                                  precision=hi, preferred_element_type=jnp.float32)
         yi = jax.lax.dot_general(w2i_ref[:], x2, (((1,), (0,)), ((), ())),
@@ -363,6 +363,7 @@ def stft_power_pallas(
     frames: jnp.ndarray,
     cfg: SpectrogramConfig = DEFAULT_SPECTROGRAM,
     interpret=None,
+    precision=None,
 ) -> jnp.ndarray:
     """(rows, n_fft) raw frames -> (rows, n_fft) power bins in kernel layout.
 
@@ -387,7 +388,7 @@ def stft_power_pallas(
                    for c in consts]
 
     out = pl.pallas_call(
-        _make_fft_power_kernel(n_fft, n1, n2),
+        _make_fft_power_kernel(n_fft, n1, n2, precision),
         grid=(r_tiles,),
         in_specs=[
             pl.BlockSpec((FFT_TILE_R, n_fft), lambda i: (i, 0), memory_space=pltpu.VMEM),
