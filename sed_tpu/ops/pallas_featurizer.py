@@ -396,13 +396,17 @@ def stft_power_pallas(
     frames: jnp.ndarray,
     cfg: SpectrogramConfig = DEFAULT_SPECTROGRAM,
     interpret=None,
-    precision=None,
+    precision="bf16x3",
 ) -> jnp.ndarray:
     """(rows, n_fft) raw frames -> (rows, n_fft) power bins in kernel layout.
 
     Fuses window multiply, two-stage matmul rFFT, and |X|^2 in VMEM.  Output
     rows are ALL n_fft bins ordered flat = k2*n1 + k1 (spectral bin n2*k1+k2);
-    combine with :func:`logmel_from_kernel_power` / the folded filterbank.
+    combine with the folded filterbank via :func:`logmel_frames_pallas`.
+
+    Default precision 'bf16x3' (split-operand, see :func:`_make_dot`):
+    hardware-measured 1.9e-5 dB end-to-end parity at ~3x the speed of
+    Precision.HIGHEST (which Mosaic runs as 6 bf16 passes).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"  # CPU fallback for tests
