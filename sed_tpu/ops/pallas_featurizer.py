@@ -41,11 +41,12 @@ def _kernel(power_ref, fb_ref, out_ref):
     def _zero():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    out_ref[:] += jax.lax.dot_general(
-        power_ref[:], fb_ref[:],
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+    # bf16x3 split-operand matmul (see _make_dot): ~2^-18 relative error —
+    # well inside the 1e-4 dB budget — at a fraction of HIGHEST's cost.
+    # bf16 shares f32's exponent range, so the power spectrum's huge dynamic
+    # range survives the hi/lo split exactly.
+    out_ref[:] += _make_dot("bf16x3")(
+        power_ref[:], fb_ref[:], (((1,), (0,)), ((), ()))
     )
 
     @pl.when(k == pl.num_programs(1) - 1)
