@@ -55,8 +55,12 @@ def main() -> None:
 
     def make_pipeline_body(use_pallas):
         def pipeline_body(waveforms_i16):  # (B, samples, 1) int16 -> (B, frames', classes)
-            waveforms = waveforms_i16.astype(jnp.float32) / 32768.0
-            feats = logmel_features_batch(waveforms, cfg, use_pallas=use_pallas)
+            if use_pallas == "full":
+                # int16 stays int16 through framing; de-quantized in-kernel.
+                feats = logmel_features_batch(waveforms_i16, cfg, use_pallas=use_pallas)
+            else:
+                waveforms = waveforms_i16.astype(jnp.float32) / 32768.0
+                feats = logmel_features_batch(waveforms, cfg, use_pallas=use_pallas)
             x = jnp.transpose(feats, (0, 2, 3, 1))               # NHWC
             logits = model.apply({"params": params, "batch_stats": batch_stats}, x, train=False)
             return jax.nn.sigmoid(logits)

@@ -138,9 +138,13 @@ def logmel_features(
     if use_pallas == "full":
         from sed_tpu.ops.pallas_featurizer import logmel_frames_pallas
 
+        # int16 PCM stays int16 through framing (half the HBM traffic); the
+        # kernel de-quantizes exactly via the pre-scaled window.
+        if chans_first.dtype != jnp.int16:
+            chans_first = chans_first.astype(jnp.float32)
         channels = chans_first.shape[0]
         frames = jax.vmap(
-            lambda y: stft_ops.frame_signal(y.astype(jnp.float32), cfg.nfft, cfg.hop_size)
+            lambda y: stft_ops.frame_signal(y, cfg.nfft, cfg.hop_size)
         )(chans_first)  # (channels, n_frames, n_fft); window lives in-kernel
         n_frames = frames.shape[1]
         mel = logmel_frames_pallas(frames.reshape(channels * n_frames, cfg.nfft), cfg)
@@ -168,8 +172,10 @@ def logmel_features_batch(
 
         b, _, c = waveforms.shape
         chans_first = jnp.transpose(waveforms, (0, 2, 1))
+        if chans_first.dtype != jnp.int16:
+            chans_first = chans_first.astype(jnp.float32)
         frames = jax.vmap(jax.vmap(
-            lambda y: stft_ops.frame_signal(y.astype(jnp.float32), cfg.nfft, cfg.hop_size)
+            lambda y: stft_ops.frame_signal(y, cfg.nfft, cfg.hop_size)
         ))(chans_first)  # (B, C, F, n_fft)
         n_frames = frames.shape[2]
         mel = logmel_frames_pallas(frames.reshape(b * c * n_frames, cfg.nfft), cfg)

@@ -164,7 +164,9 @@ def _make_fft_power_kernel(n_fft: int, n1: int, n2: int, precision=None):
     def kernel(frames_ref, window_ref, w2r_ref, w2i_ref, w1r_ref, w1i_ref,
                twr_ref, twi_ref, out_ref):
         rows = frames_ref.shape[0]
-        x = frames_ref[:] * window_ref[:]                  # (R, n_fft)
+        # int16 PCM frames halve the HBM framing traffic and convert exactly
+        # here (the window constant is pre-scaled by 1/32768 by the caller).
+        x = frames_ref[:].astype(jnp.float32) * window_ref[:]  # (R, n_fft)
         x = x.reshape(rows, n2, n1)
         # Inner DFT over n2, all frames as one matmul: (n2, n2) @ (n2, R*n1).
         x2 = jnp.transpose(x, (1, 0, 2)).reshape(n2, rows * n1)
@@ -415,10 +417,14 @@ def stft_power_pallas(
     n1, n2, w2r, w2i, w1r, w1i, twr, twi, window = _fft_power_constants(
         n_fft, cfg.frame_size
     )
+    if frames.dtype == jnp.int16:
+        window = window / 32768.0  # exact PCM16 de-quantization fused in-kernel
+    else:
+        frames = frames.astype(jnp.float32)
     rows = frames.shape[0]
     r_tiles = pl.cdiv(rows, FFT_TILE_R)
     r_padded = r_tiles * FFT_TILE_R
-    x = jnp.pad(frames.astype(jnp.float32), ((0, r_padded - rows), (0, 0)))
+    x = jnp.pad(frames, ((0, r_padded - rows), (0, 0)))
 
     consts = [jnp.asarray(window)[None, :], jnp.asarray(w2r), jnp.asarray(w2i),
               jnp.asarray(w1r), jnp.asarray(w1i), jnp.asarray(twr), jnp.asarray(twi)]

@@ -78,3 +78,20 @@ def test_dma_framing_fused_kernel_matches_xla_path():
     got = np.asarray(logmel_waveform_pallas(jnp.asarray(sigs), cfg, interpret=True))
     assert got.shape == ref.shape
     np.testing.assert_allclose(got, ref, atol=1e-4)
+
+
+def test_int16_frames_path_exact():
+    """int16 PCM frames with the in-kernel pre-scaled window must equal the
+    f32/32768 path exactly (PCM16 de-quantization is lossless)."""
+    import numpy as np
+
+    from sed_tpu.configs import SpectrogramConfig
+    from sed_tpu.ops.pallas_featurizer import logmel_frames_pallas
+
+    cfg = SpectrogramConfig(working_sample_rate=8000, time_margin=0.33)
+    rng = np.random.default_rng(0)
+    pcm = rng.integers(-20000, 20000, size=(4, cfg.nfft), dtype=np.int16)
+    a = np.asarray(logmel_frames_pallas(jnp.asarray(pcm), cfg, interpret=True))
+    b = np.asarray(logmel_frames_pallas(
+        jnp.asarray(pcm.astype(np.float32) / 32768.0), cfg, interpret=True))
+    np.testing.assert_allclose(a, b, atol=1e-5)
