@@ -41,11 +41,11 @@ def _kernel(power_ref, fb_ref, out_ref):
     def _zero():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    # bf16x3 split-operand matmul (see _make_dot): ~2^-18 relative error —
+    # bf16x4 split-operand matmul (see _make_dot):
     # well inside the 1e-4 dB budget — at a fraction of HIGHEST's cost.
     # bf16 shares f32's exponent range, so the power spectrum's huge dynamic
     # range survives the hi/lo split exactly.
-    out_ref[:] += _make_dot("bf16x3")(
+    out_ref[:] += _make_dot("bf16x4")(
         power_ref[:], fb_ref[:], (((1,), (0,)), ((), ()))
     )
 
@@ -127,16 +127,18 @@ def _split_bf16(a):
 def _make_dot(precision):
     """Matmul at the requested accuracy tier.
 
-    'bf16x3': split-operand emulation — a@b ~= ah@bh + ah@bl + al@bh as three
-    single-pass (DEFAULT) MXU matmuls with f32 accumulation.  Equivalent to
-    jax's HIGH tier (which Mosaic does not lower) and ~2x cheaper than
-    HIGHEST, with relative error ~2^-18 — comfortably inside the 1e-4 dB
-    featurizer parity budget.
+    'bf16x3' / 'bf16x4': split-operand emulation — a@b expanded over bf16
+    hi/lo halves as single-pass (DEFAULT) MXU matmuls with f32 accumulation.
+    x3 (ah@bh + ah@bl + al@bh) matches jax's HIGH tier, which Mosaic does not
+    lower; x4 adds the al@bl term, removing the 2^-18 cross-residual error
+    that shows up on high-dynamic-range (tonal) spectra — hardware-measured
+    well inside the 1e-4 dB parity budget at roughly half HIGHEST's cost.
     """
-    if precision == "bf16x3":
+    if precision in ("bf16x3", "bf16x4"):
         d = jax.lax.Precision.DEFAULT
+        passes = 4 if precision == "bf16x4" else 3
 
-        def dot3(a, b, dn):
+        def dotn(a, b, dn):
             ah, al = _split_bf16(a)
             bh, bl = _split_bf16(b)
             out = jax.lax.dot_general(ah, bh, dn, precision=d,
@@ -145,9 +147,12 @@ def _make_dot(precision):
                                        preferred_element_type=jnp.float32)
             out += jax.lax.dot_general(al, bh, dn, precision=d,
                                        preferred_element_type=jnp.float32)
+            if passes == 4:
+                out += jax.lax.dot_general(al, bl, dn, precision=d,
+                                           preferred_element_type=jnp.float32)
             return out
 
-        return dot3
+        return dotn
 
     p = precision if precision is not None else jax.lax.Precision.HIGHEST
 
@@ -399,7 +404,7 @@ def stft_power_pallas(
     frames: jnp.ndarray,
     cfg: SpectrogramConfig = DEFAULT_SPECTROGRAM,
     interpret=None,
-    precision="bf16x3",
+    precision="bf16x4",
 ) -> jnp.ndarray:
     """(rows, n_fft) raw frames -> (rows, n_fft) power bins in kernel layout.
 
@@ -407,9 +412,9 @@ def stft_power_pallas(
     rows are ALL n_fft bins ordered flat = k2*n1 + k1 (spectral bin n2*k1+k2);
     combine with the folded filterbank via :func:`logmel_frames_pallas`.
 
-    Default precision 'bf16x3' (split-operand, see :func:`_make_dot`):
-    hardware-measured 1.9e-5 dB end-to-end parity at ~3x the speed of
-    Precision.HIGHEST (which Mosaic runs as 6 bf16 passes).
+    Default precision 'bf16x4' (split-operand, see :func:`_make_dot`):
+    hardware-measured <1e-4 dB end-to-end parity on both noise and tonal
+    signals at a fraction of Precision.HIGHEST's cost.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"  # CPU fallback for tests
