@@ -404,7 +404,7 @@ def stft_power_pallas(
     frames: jnp.ndarray,
     cfg: SpectrogramConfig = DEFAULT_SPECTROGRAM,
     interpret=None,
-    precision="bf16x4",
+    precision=None,
 ) -> jnp.ndarray:
     """(rows, n_fft) raw frames -> (rows, n_fft) power bins in kernel layout.
 
@@ -412,9 +412,12 @@ def stft_power_pallas(
     rows are ALL n_fft bins ordered flat = k2*n1 + k1 (spectral bin n2*k1+k2);
     combine with the folded filterbank via :func:`logmel_frames_pallas`.
 
-    Default precision 'bf16x4' (split-operand, see :func:`_make_dot`):
-    hardware-measured <1e-4 dB end-to-end parity on both noise and tonal
-    signals at a fraction of Precision.HIGHEST's cost.
+    Default precision HIGHEST: the FFT's cancellation-heavy sums need the full
+    3-way mantissa split (6 bf16 passes) to stay under 1e-4 dB on tonal
+    signals — a 2-way split (precision='bf16x4', the fast mode) measures
+    1.9e-4 dB there but is ~3x faster; pass it explicitly for throughput-first
+    workloads.  The mel kernel, by contrast, is accumulation-friendly and runs
+    bf16x4 by default (2.2e-5 dB measured with FFT at HIGHEST).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"  # CPU fallback for tests
@@ -463,16 +466,19 @@ def logmel_frames_pallas(
     frames: jnp.ndarray,
     cfg: SpectrogramConfig = DEFAULT_SPECTROGRAM,
     interpret=None,
+    precision=None,
 ) -> jnp.ndarray:
     """Fully fused featurizer back half: (rows, n_fft) raw frames -> (rows, mel).
 
     Kernel 1: window+rFFT+power (VMEM-resident butterflies).
     Kernel 2: K-tiled MXU mel matmul over the hermitian-folded filterbank with
     the 10*log10 epilogue.
+    ``precision``: None = parity mode (FFT at HIGHEST); 'bf16x4' = fast mode
+    (~3x faster FFT, <=2e-4 dB on tonal signals).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    power = stft_power_pallas(frames, cfg, interpret)
+    power = stft_power_pallas(frames, cfg, interpret, precision)
     return _folded_mel_from_power(power, cfg, interpret)
 
 
