@@ -18,6 +18,7 @@ Prints ONE JSON line on stdout; diagnostics go to stderr.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -106,6 +107,8 @@ def main() -> None:
     compute_elapsed = time.time() - t0
     compute_rate = batch * clip_seconds * iters / compute_elapsed
 
+    full_ab = os.environ.get("SED_BENCH_FULL", "") == "1"
+
     # Fast mode (FFT at bf16x4, <=2e-4 dB): same loop methodology.
     from sed_tpu.ops.pallas_featurizer import logmel_frames_pallas
     from sed_tpu.ops.stft import frame_signal
@@ -129,11 +132,12 @@ def main() -> None:
 
         return jax.lax.fori_loop(0, iters, body, (w, jnp.float32(0.0)))[1]
 
-    fast_loop(staged).block_until_ready()
-    t0 = time.time()
-    fast_loop(staged).block_until_ready()
-    fast_rate = batch * clip_seconds * iters / (time.time() - t0)
-    log(f"fast mode (FFT bf16x4, <=2e-4 dB): {fast_rate:.0f} audio-sec/sec")
+    if full_ab:
+        fast_loop(staged).block_until_ready()
+        t0 = time.time()
+        fast_loop(staged).block_until_ready()
+        fast_rate = batch * clip_seconds * iters / (time.time() - t0)
+        log(f"fast mode (FFT bf16x4, <=2e-4 dB): {fast_rate:.0f} audio-sec/sec")
 
     # A/B: the pure-XLA featurizer path, same device-loop methodology.
     @jax.jit
@@ -145,11 +149,12 @@ def main() -> None:
 
         return jax.lax.fori_loop(0, iters, body, (w, jnp.float32(0.0)))[1]
 
-    xla_loop(staged).block_until_ready()
-    t0 = time.time()
-    xla_loop(staged).block_until_ready()
-    xla_rate = batch * clip_seconds * iters / (time.time() - t0)
-    log(f"XLA-featurizer path: {xla_rate:.0f} audio-sec/sec")
+    if full_ab:
+        xla_loop(staged).block_until_ready()
+        t0 = time.time()
+        xla_loop(staged).block_until_ready()
+        xla_rate = batch * clip_seconds * iters / (time.time() - t0)
+        log(f"XLA-featurizer path: {xla_rate:.0f} audio-sec/sec")
 
     # End-to-end including int16 H2D, copies overlapped with compute.
     t0 = time.time()
