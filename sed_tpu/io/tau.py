@@ -108,14 +108,18 @@ def ensure_tau_data(data_dir: str, fold_name: str = "eval"):
     audio_dir = f"{extracted_data_dir}/foa_{fold_name}"
     meta_data_dir = f"{extracted_data_dir}/metadata_{fold_name}"
 
+    if os.path.exists(audio_dir):
+        # Deliberate divergence: the reference re-downloads whenever the
+        # zipped/ dir is missing even though extracted data already exists
+        # (download_tau_sed_2019.py:63-64); existing raw data wins here.
+        print("Using existing raw data")
+        return audio_dir, meta_data_dir
+
     if not os.path.exists(zipped_data_dir):
         print("Downloading zipped data")
         download_foa_data(zipped_data_dir, fold_name)
-    if not os.path.exists(audio_dir):
-        print("Extracting raw data")
-        extract_foa_data(zipped_data_dir, extracted_data_dir, fold_name)
-    else:
-        print("Using existing raw data")
+    print("Extracting raw data")
+    extract_foa_data(zipped_data_dir, extracted_data_dir, fold_name)
 
     return audio_dir, meta_data_dir
 

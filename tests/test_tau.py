@@ -83,3 +83,53 @@ def test_tau_label_parsing(tmp_path):
     cfg2 = AudioConfig(tau_sed_labels=("doorslam", "speech"))
     _, starts2, _, _ = get_tau_sed_paths_and_labels(str(audio_dir), str(meta_dir), cfg2)[0]
     assert len(starts2) == 3
+
+
+def test_tau_cli_pipeline_with_existing_raw_data(tmp_path, monkeypatch):
+    """Full TAU path through the training CLI with a synthetic dataset in the
+    real TAU directory layout — ensure_tau_data must use existing raw data
+    (no network), preprocess must cache, training must produce checkpoints."""
+    from scipy.io import wavfile
+
+    # TAU layout: <dir>/Tau_sound_events_2019/raw/{foa_eval,metadata_eval}.
+    root = tmp_path / "data"
+    raw = root / "Tau_sound_events_2019" / "raw"
+    audio_dir = raw / "foa_eval"
+    meta_dir = raw / "metadata_eval"
+    audio_dir.mkdir(parents=True)
+    meta_dir.mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    sr = 48000
+    for i in range(3):
+        n = 12 * sr
+        sig = 0.01 * rng.standard_normal(n)
+        sig[int(4 * sr):int(5 * sr)] += 0.4 * np.sin(2 * np.pi * 700 * np.arange(sr) / sr)
+        wavfile.write(str(audio_dir / f"split0_{i}.wav"), sr, sig.astype(np.float32))
+        pd.DataFrame({
+            "sound_event_recording": ["doorslam", "speech"],
+            "start_time": [4.0, 8.0],
+            "end_time": [5.0, 9.0],
+        }).to_csv(meta_dir / f"split0_{i}.csv", index=False)
+
+    from sed_tpu.cli.main import main
+
+    outputs_root = str(tmp_path / "training")
+    main([
+        "--dataset_dir", str(root),
+        "--dataset_name", "TAU",
+        "--train_features", "Spectogram",
+        "--preprocess_mode", "logMel",
+        "--outputs_root", outputs_root,
+        "--val_descriptor", "split0_2",
+        "--batch_size", "4",
+        "--num_train_steps", "2",
+        "--log_freq", "2",
+        "--device", "cpu",
+    ])
+    run_dir = os.path.join(outputs_root, os.listdir(outputs_root)[0])
+    assert "iteration_2.ckpt" in os.listdir(os.path.join(run_dir, "checkpoints"))
+    # Feature cache created under the descriptor-named processed dir.
+    processed = root / "Tau_sound_events_2019" / "processed"
+    assert processed.is_dir()
+    sub = next(processed.iterdir())
+    assert "_C-doorslam" in sub.name
