@@ -56,12 +56,8 @@ def main() -> None:
 
     def make_pipeline_body(use_pallas):
         def pipeline_body(waveforms_i16):  # (B, samples, 1) int16 -> (B, frames', classes)
-            if use_pallas == "full":
-                # int16 stays int16 through framing; de-quantized in-kernel.
-                feats = logmel_features_batch(waveforms_i16, cfg, use_pallas=use_pallas)
-            else:
-                waveforms = waveforms_i16.astype(jnp.float32) / 32768.0
-                feats = logmel_features_batch(waveforms, cfg, use_pallas=use_pallas)
+            # int16 means PCM16 on every featurizer path (de-quantized exactly).
+            feats = logmel_features_batch(waveforms_i16, cfg, use_pallas=use_pallas)
             x = jnp.transpose(feats, (0, 2, 3, 1))               # NHWC
             logits = model.apply({"params": params, "batch_stats": batch_stats}, x, train=False)
             return jax.nn.sigmoid(logits)
@@ -109,17 +105,10 @@ def main() -> None:
 
     full_ab = os.environ.get("SED_BENCH_FULL", "") == "1"
 
-    # Fast mode (FFT at bf16x4, <=2e-4 dB): same loop methodology.
-    from sed_tpu.ops.pallas_featurizer import logmel_frames_pallas
-    from sed_tpu.ops.stft import frame_signal
-
+    # Fast mode (FFT at bf16x4, <=2e-4 dB) via the public featurizer API.
     def fast_body(waveforms_i16):
-        b = waveforms_i16.shape[0]
-        sigs = jnp.transpose(waveforms_i16, (0, 2, 1)).reshape(b, samples)
-        fr = jax.vmap(lambda y: frame_signal(y, cfg.nfft, cfg.hop_size))(sigs)
-        nf = fr.shape[1]
-        mel = logmel_frames_pallas(fr.reshape(b * nf, cfg.nfft), cfg, precision="bf16x4")
-        feats = mel.reshape(b, 1, nf, cfg.mel_bins)
+        feats = logmel_features_batch(waveforms_i16, cfg, use_pallas="full",
+                                      pallas_precision="bf16x4")
         x = jnp.transpose(feats, (0, 2, 3, 1))
         logits = model.apply({"params": params, "batch_stats": batch_stats}, x, train=False)
         return jax.nn.sigmoid(logits)

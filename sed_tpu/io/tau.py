@@ -108,10 +108,10 @@ def ensure_tau_data(data_dir: str, fold_name: str = "eval"):
     audio_dir = f"{extracted_data_dir}/foa_{fold_name}"
     meta_data_dir = f"{extracted_data_dir}/metadata_{fold_name}"
 
-    if os.path.exists(audio_dir):
+    if os.path.exists(audio_dir) and os.path.exists(meta_data_dir):
         # Deliberate divergence: the reference re-downloads whenever the
         # zipped/ dir is missing even though extracted data already exists
-        # (download_tau_sed_2019.py:63-64); existing raw data wins here.
+        # (download_tau_sed_2019.py:63-64); complete existing raw data wins.
         print("Using existing raw data")
         return audio_dir, meta_data_dir
 

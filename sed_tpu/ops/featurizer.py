@@ -115,22 +115,28 @@ def realimag_to_log_mel(
     return power_to_logmel(power, cfg, use_pallas)
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))
 def logmel_features(
     waveform: jnp.ndarray,
     cfg: SpectrogramConfig = DEFAULT_SPECTROGRAM,
     fft_impl: FftImpl = "auto",
     use_pallas="auto",
+    pallas_precision=None,
 ) -> jnp.ndarray:
     """Fused featurizer: (samples, channels) -> (channels, frames, mel_bins).
 
     Complex-free: frame -> window -> rFFT(real, imag) -> power -> mel -> dB.
 
+    int16 input means PCM16 on EVERY path: it is de-quantized by 1/32768
+    (exactly — in-kernel via the pre-scaled window on the 'full' path, which
+    also keeps framing traffic at half width).
+
     ``use_pallas``: False = XLA ops throughout; True = Pallas kernel for the
     power->mel->log stage; 'full' = the fully fused Pallas featurizer
     (window+rFFT+power in one VMEM-resident kernel + folded-filterbank mel
-    kernel) — measured ~2.7x faster than the XLA path on TPU v5e with the
-    same <1e-5 dB parity.
+    kernel) — measured ~1.4x faster end to end than the XLA path on TPU v5e
+    at <1e-4 dB parity.  ``pallas_precision``: None = parity mode;
+    'bf16x4' = the fast FFT mode (<=2e-4 dB on tonal signals).
     """
     chans_first = jnp.swapaxes(waveform, 0, 1)
 
@@ -147,8 +153,12 @@ def logmel_features(
             lambda y: stft_ops.frame_signal(y, cfg.nfft, cfg.hop_size)
         )(chans_first)  # (channels, n_frames, n_fft); window lives in-kernel
         n_frames = frames.shape[1]
-        mel = logmel_frames_pallas(frames.reshape(channels * n_frames, cfg.nfft), cfg)
+        mel = logmel_frames_pallas(frames.reshape(channels * n_frames, cfg.nfft), cfg,
+                                   precision=pallas_precision)
         return mel.reshape(channels, n_frames, cfg.mel_bins)
+
+    if chans_first.dtype == jnp.int16:
+        chans_first = chans_first.astype(jnp.float32) / 32768.0
 
     def one_channel(y):
         re, im = stft_ops.stft_realimag(y, cfg, fft_impl)
@@ -162,8 +172,13 @@ def logmel_features_batch(
     cfg: SpectrogramConfig = DEFAULT_SPECTROGRAM,
     fft_impl: FftImpl = "auto",
     use_pallas="auto",
+    pallas_precision=None,
 ) -> jnp.ndarray:
-    """Batched featurizer: (batch, samples, channels) -> (batch, channels, frames, mel)."""
+    """Batched featurizer: (batch, samples, channels) -> (batch, channels, frames, mel).
+
+    int16 input means PCM16 (de-quantized by 1/32768) on every path; see
+    :func:`logmel_features`.
+    """
     use_pallas = resolve_pallas(use_pallas)
     if use_pallas == "full":
         # Flatten (batch, channels, frames) into kernel rows — one grid covers
@@ -178,6 +193,9 @@ def logmel_features_batch(
             lambda y: stft_ops.frame_signal(y, cfg.nfft, cfg.hop_size)
         ))(chans_first)  # (B, C, F, n_fft)
         n_frames = frames.shape[2]
-        mel = logmel_frames_pallas(frames.reshape(b * c * n_frames, cfg.nfft), cfg)
+        mel = logmel_frames_pallas(frames.reshape(b * c * n_frames, cfg.nfft), cfg,
+                                   precision=pallas_precision)
         return mel.reshape(b, c, n_frames, cfg.mel_bins)
-    return jax.vmap(lambda w: logmel_features(w, cfg, fft_impl, use_pallas))(waveforms)
+    return jax.vmap(
+        lambda w: logmel_features(w, cfg, fft_impl, use_pallas, pallas_precision)
+    )(waveforms)

@@ -128,11 +128,13 @@ def _make_dot(precision):
     """Matmul at the requested accuracy tier.
 
     'bf16x3' / 'bf16x4': split-operand emulation — a@b expanded over bf16
-    hi/lo halves as single-pass (DEFAULT) MXU matmuls with f32 accumulation.
-    x3 (ah@bh + ah@bl + al@bh) matches jax's HIGH tier, which Mosaic does not
-    lower; x4 adds the al@bl term, removing the 2^-18 cross-residual error
-    that shows up on high-dynamic-range (tonal) spectra — hardware-measured
-    well inside the 1e-4 dB parity budget at roughly half HIGHEST's cost.
+    hi/lo halves as single-pass (DEFAULT) MXU matmuls with f32 accumulation;
+    x4 adds the al@bl term.  A 2-way split covers only ~16 mantissa bits, so
+    accuracy is workload-dependent: sufficient for the ALL-POSITIVE mel
+    accumulation (hardware-measured 2.2e-5 dB with the FFT at HIGHEST) but
+    NOT for the FFT's cancellation-heavy sums on tonal spectra (1.9e-4 dB,
+    above the 1e-4 budget) — the FFT kernel therefore defaults to HIGHEST
+    (the full 3-way split) and offers bf16x4 only as an explicit fast mode.
     """
     if precision in ("bf16x3", "bf16x4"):
         d = jax.lax.Precision.DEFAULT
@@ -485,9 +487,11 @@ def logmel_frames_pallas(
 def power_to_logmel_pallas(
     power: jnp.ndarray,
     cfg: SpectrogramConfig = DEFAULT_SPECTROGRAM,
-    interpret: bool = False,
+    interpret=None,
 ) -> jnp.ndarray:
     """(..., freq_bins) float32 power -> (..., mel_bins) float32 log-mel."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"  # CPU fallback for tests
     lead = power.shape[:-1]
     k = power.shape[-1]
     rows = int(np.prod(lead)) if lead else 1
@@ -513,7 +517,7 @@ def power_to_logmel_pallas(
             dimension_semantics=("parallel", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=2 * r_padded * k_padded * LANES,
+            flops=4 * 2 * r_padded * k_padded * LANES,  # bf16x4: four MXU passes
             bytes_accessed=(r_padded * k_padded + k_padded * LANES + r_padded * LANES) * 4,
             transcendentals=r_padded * LANES,
         ),

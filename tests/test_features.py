@@ -176,3 +176,19 @@ def test_log10_precise_accuracy():
     # Accurate to ~1 ulp of the float32 output.
     bound = 2.4e-7 * np.maximum(1.0, np.abs(ref))
     assert np.max(np.abs(got - ref) / bound) < 1.0
+
+
+def test_int16_means_pcm16_on_every_path():
+    """int16 input = PCM16 de-quantized by 1/32768 identically on the XLA,
+    pallas-mel, and fused-full paths (review finding: paths must not diverge)."""
+    import jax.numpy as jnp
+
+    cfg = SMALL
+    rng = np.random.default_rng(0)
+    pcm = rng.integers(-20000, 20000, size=(2 * cfg.working_sample_rate, 1),
+                       dtype=np.int16)
+    as_float = pcm.astype(np.float32) / 32768.0
+    ref = np.asarray(logmel_features(jnp.asarray(as_float), cfg, use_pallas=False))
+    for up in (False, True, "full"):
+        got = np.asarray(logmel_features(jnp.asarray(pcm), cfg, use_pallas=up))
+        np.testing.assert_allclose(got, ref, atol=1e-4, err_msg=f"use_pallas={up}")
