@@ -154,3 +154,61 @@ def test_windowed_forward_with_sharded_windows():
 
     got = windowed_forward(sharded_forward, x, window=256, halo=64, total_stride=8)
     np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+def test_waveform_data_parallel_step_matches_single_device():
+    """M5 waveform fused step under the 8-device mesh == single device.
+
+    Compares loss and raw GRADIENTS (not post-Adam params: the first Adam
+    update is ~lr*sign(g), so reduction-order noise on near-zero gradients
+    flips signs and shows up as lr-scale param diffs on both paths equally).
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from sed_tpu.configs import WaveformConfig
+    from sed_tpu.data.device_pipeline import WaveformBuffers
+    from sed_tpu.models.m5 import M5
+    from sed_tpu.train.loss import weighted_bce_with_logits
+
+    wcfg = WaveformConfig(working_sample_rate=8000, time_margin=0.33)
+    rng = np.random.default_rng(0)
+    total = 6 * wcfg.frame_size
+    buffers = WaveformBuffers(
+        waveform=jnp.asarray(rng.standard_normal((1, total)).astype(np.float32)),
+        labels=jnp.asarray((rng.random(total) > 0.8).astype(np.float32)),
+        start_indices=jnp.arange(total - wcfg.frame_size, dtype=jnp.int32),
+    )
+    model = M5(classes_num=1)
+    batch = 8
+    sample = jnp.zeros((batch, wcfg.frame_size, 1), jnp.float32)
+    variables = model.init(jax.random.key(0), sample, train=False)
+    starts = jnp.asarray(rng.integers(0, total - wcfg.frame_size, size=batch,
+                                      dtype=np.int32))
+
+    def loss_of(params, starts):
+        def one(s):
+            return jax.lax.dynamic_slice(buffers.waveform, (0, s),
+                                         (1, wcfg.frame_size)), buffers.labels[s]
+
+        waves, labels = jax.vmap(one)(starts)
+        x = jnp.transpose(waves, (0, 2, 1))
+        out, _ = model.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            x, train=True, mutable=["batch_stats"],
+        )
+        return weighted_bce_with_logits(out, labels, 5.0, multi_frame=False)
+
+    grad_fn = jax.value_and_grad(loss_of)
+    l1, g1 = jax.jit(grad_fn)(variables["params"], starts)
+
+    mesh = create_mesh(8)
+    rep = NamedSharding(mesh, P())
+    shd = NamedSharding(mesh, P("data"))
+    sharded_grad = jax.jit(grad_fn, in_shardings=(rep, shd), out_shardings=(rep, rep))
+    l8, g8 = sharded_grad(replicate(mesh, variables["params"]),
+                          shard_batch(mesh, starts))
+
+    np.testing.assert_allclose(float(l1), float(l8), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g8)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=5e-6)
