@@ -58,6 +58,9 @@ def build_arg_parser() -> argparse.ArgumentParser:
     parser.add_argument("--log_freq", type=int, default=5000)
     # Infrastructure
     parser.add_argument("--device", default="tpu", type=str, help="tpu or cpu")
+    parser.add_argument("--num_devices", type=int, default=1,
+                        help=">1 trains data-parallel over a ('data',) mesh of "
+                             "that many local devices; batch_size is global")
     parser.add_argument("--seed", default=0, type=int)
     parser.add_argument("--debug_nans", action="store_true", default=False,
                         help="enable jax NaN checking (aux debugging, SURVEY §5)")
@@ -196,6 +199,12 @@ def main(argv=None):
         template = init_state(model, jax.random.key(args.seed), sample, tx)
         initial_state = load_checkpoint(resume_path, template, model_only=model_only)
 
+    mesh = None
+    if args.num_devices > 1:
+        from sed_tpu.parallel.mesh import create_mesh
+
+        mesh = create_mesh(args.num_devices)
+
     from sed_tpu.train.loop import train
 
     train(
@@ -212,6 +221,7 @@ def main(argv=None):
         seed=args.seed,
         initial_state=initial_state,
         profile_dir=args.profile_dir or None,
+        mesh=mesh,
     )
 
 

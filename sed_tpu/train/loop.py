@@ -133,8 +133,15 @@ def train(
     make_plots: bool = True,
     limit_val_samples: Optional[int] = 3,
     profile_dir: Optional[str] = None,
+    mesh=None,
 ):
     """Train loop (reference: train.py:77-132) on the fused device pipeline.
+
+    ``mesh``: a jax.sharding.Mesh for data-parallel training — the per-step
+    start-index batch is sharded over the 'data' axis, state and packed
+    buffers are replicated, and XLA inserts the gradient/BatchNorm ICI
+    all-reduces (sed_tpu/parallel/data_parallel.py).  batch_size is the
+    GLOBAL batch and must divide by the mesh size.
 
     ``profile_dir`` captures a jax.profiler trace of steps 10-20 (the
     reference has only an im/sec counter, train.py:113-115; this adds real
@@ -148,6 +155,12 @@ def train(
     tx = make_optimizer(lr)
     plotter = ProgressPlotter()
 
+    use_mesh = mesh is not None
+    if use_mesh and batch_size % mesh.devices.size != 0:
+        raise ValueError(
+            f"global batch_size={batch_size} must divide the mesh size "
+            f"{mesh.devices.size}"
+        )
     if mode == "spectogram":
         cfg = cfg or SpectrogramConfig()
         buffers = spectrogram_buffers_from_dataset(dataset)
@@ -156,18 +169,27 @@ def train(
         # freq_bins -> mel inside the fused step).
         sample = jnp.zeros((batch_size, cfg.train_crop_size, cfg.mel_bins, channels), jnp.float32)
         step_fn = make_spectrogram_train_step(
-            model, tx, cfg, pos_weight, preprocessed_mode, augment
+            model, tx, cfg, pos_weight, preprocessed_mode, augment, jit=not use_mesh
         )
     else:
         cfg = cfg or WaveformConfig()
         buffers = waveform_buffers_from_dataset(dataset)
         channels = buffers.waveform.shape[0]
         sample = jnp.zeros((batch_size, cfg.frame_size, channels), jnp.float32)
-        step_fn = make_waveform_train_step(model, tx, cfg, pos_weight, augment)
+        step_fn = make_waveform_train_step(model, tx, cfg, pos_weight, augment,
+                                           jit=not use_mesh)
+    if use_mesh:
+        from sed_tpu.parallel.data_parallel import shard_train_step
+        from sed_tpu.parallel.mesh import replicate as _replicate
+
+        step_fn = shard_train_step(step_fn, mesh)
 
     state = initial_state if initial_state is not None else init_state(
         model, jax.random.key(seed), sample, tx
     )
+    if use_mesh:
+        state = _replicate(mesh, state)
+        buffers = _replicate(mesh, buffers)
 
     from sed_tpu.models.describe import describe_cnn, describe_m5
 
@@ -197,7 +219,13 @@ def train(
             if profile_dir is not None and iterations == 10:
                 jax.profiler.start_trace(profile_dir)
             rng, step_rng = jax.random.split(rng)
-            state, loss = step_fn(state, buffers, jnp.asarray(starts), step_rng)
+            starts_dev = jnp.asarray(starts)
+            if use_mesh:
+                from sed_tpu.parallel.mesh import shard_batch
+
+                starts_dev = shard_batch(mesh, starts_dev)
+                step_rng = _replicate(mesh, step_rng)
+            state, loss = step_fn(state, buffers, starts_dev, step_rng)
             iterations += 1
             if profile_dir is not None and iterations == 20:
                 jax.block_until_ready(loss)

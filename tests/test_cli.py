@@ -159,3 +159,25 @@ def test_auto_resume_continues_from_latest(film_clap_root, tmp_path):
     main(common + ["--num_train_steps", "4", "--resume", "auto"])
     ckpts = sorted(os.listdir(os.path.join(run_dir, "checkpoints")))
     assert ckpts == ["iteration_2.ckpt", "iteration_4.ckpt"]
+
+
+def test_multi_device_train_cli(film_clap_root, tmp_path):
+    """--num_devices 8: full CLI training data-parallel over the virtual mesh."""
+    from sed_tpu.cli.main import main
+
+    outputs_root = str(tmp_path / "training_dp")
+    main([
+        "--dataset_dir", film_clap_root,
+        "--dataset_name", "FilmClap",
+        "--train_features", "Spectogram",
+        "--preprocess_mode", "logMel",
+        "--outputs_root", outputs_root,
+        "--val_descriptor", "clip_3",
+        "--batch_size", "8",
+        "--num_train_steps", "2",
+        "--log_freq", "2",
+        "--device", "cpu",
+        "--num_devices", "8",
+    ])
+    run_dir = os.path.join(outputs_root, os.listdir(outputs_root)[0])
+    assert "iteration_2.ckpt" in os.listdir(os.path.join(run_dir, "checkpoints"))

@@ -118,3 +118,31 @@ def test_waveform_evaluate_path(tmp_path):
     import os
 
     assert os.path.isdir(os.path.join(str(tmp_path), "images", "Iter-0"))
+
+
+def test_train_loop_with_mesh(tmp_path):
+    """train(mesh=...) runs the full loop data-parallel over the 8-device mesh."""
+    from sed_tpu.parallel.mesh import create_mesh
+    from sed_tpu.train.loop import train
+
+    ds = _FakeSpectrogramDataset()
+    # train() iterates dataset.epoch_start_indices — reuse the synthetic store.
+    ds.train_start_indices = ds.train_start_indices.astype("int32")
+    ds.epoch_start_indices = lambda bs, drop_last=True: iter(
+        [ds.train_start_indices[i:i + bs]
+         for i in range(0, len(ds.train_start_indices) - bs + 1, bs)]
+    )
+    ds.__class__.__len__ = lambda self: len(self.train_start_indices)
+
+    model = CnnAvgPooling(classes_num=1, model_config=((8, 2), (16, 2)))
+    mesh = create_mesh(8)
+    state = train(
+        model, ds, "spectogram",
+        num_steps=4, lr=1e-3, log_freq=2,
+        outputs_dir=str(tmp_path), batch_size=16,
+        pos_weight=5.0, cfg=CFG, make_plots=False, mesh=mesh,
+    )
+    assert int(state.step) == 4
+    import os
+
+    assert "iteration_4.ckpt" in os.listdir(os.path.join(str(tmp_path), "checkpoints"))
