@@ -251,3 +251,26 @@ def make_waveform_train_step(
                              batch_stats=new_bs, opt_state=new_opt), loss
 
     return jax.jit(step, donate_argnums=(0,)) if jit else step
+
+
+def make_multi_step(step_fn: Callable, steps_per_call: int, jit: bool = True) -> Callable:
+    """Wrap a fused (state, buffers, starts, rng) step into a lax.scan over
+    ``steps_per_call`` steps per dispatch.
+
+    Amortizes per-dispatch latency (host->device round trips) across K steps:
+    the caller supplies a (K, batch) start-index block and gets back the state
+    after K updates plus the (K,) per-step losses.  Numerically identical to K
+    sequential calls with the same per-step RNG split discipline.
+    """
+
+    def multi_step(state: TrainState, buffers, starts_block, rng):
+        def body(carry, starts):
+            state, rng = carry
+            rng, step_rng = jax.random.split(rng)
+            state, loss = step_fn(state, buffers, starts, step_rng)
+            return (state, rng), loss
+
+        (state, _), losses = jax.lax.scan(body, (state, rng), starts_block)
+        return state, losses
+
+    return jax.jit(multi_step, donate_argnums=(0,)) if jit else multi_step

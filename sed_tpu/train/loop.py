@@ -134,6 +134,7 @@ def train(
     limit_val_samples: Optional[int] = 3,
     profile_dir: Optional[str] = None,
     mesh=None,
+    steps_per_call: int = 1,
 ):
     """Train loop (reference: train.py:77-132) on the fused device pipeline.
 
@@ -142,6 +143,10 @@ def train(
     buffers are replicated, and XLA inserts the gradient/BatchNorm ICI
     all-reduces (sed_tpu/parallel/data_parallel.py).  batch_size is the
     GLOBAL batch and must divide by the mesh size.
+
+    ``steps_per_call``: run K fused steps per dispatch via lax.scan
+    (sed_tpu.data.device_pipeline.make_multi_step) — amortizes host dispatch
+    latency; num_steps and log_freq must be multiples of K.
 
     ``profile_dir`` captures a jax.profiler trace of steps 10-20 (the
     reference has only an im/sec counter, train.py:113-115; this adds real
@@ -155,6 +160,8 @@ def train(
     tx = make_optimizer(lr)
     plotter = ProgressPlotter()
 
+    if steps_per_call > 1 and (num_steps % steps_per_call or log_freq % steps_per_call):
+        raise ValueError("num_steps and log_freq must be multiples of steps_per_call")
     use_mesh = mesh is not None
     if use_mesh and batch_size % mesh.devices.size != 0:
         raise ValueError(
@@ -178,6 +185,20 @@ def train(
         sample = jnp.zeros((batch_size, cfg.frame_size, channels), jnp.float32)
         step_fn = make_waveform_train_step(model, tx, cfg, pos_weight, augment,
                                            jit=not use_mesh)
+    if steps_per_call > 1:
+        from sed_tpu.data.device_pipeline import make_multi_step
+
+        if use_mesh:
+            raise NotImplementedError("steps_per_call > 1 with mesh: wrap the "
+                                      "sharded step in round 2 if needed")
+        if mode == "spectogram":
+            step_fn = make_spectrogram_train_step(
+                model, tx, cfg, pos_weight, preprocessed_mode, augment, jit=False
+            )
+        else:
+            step_fn = make_waveform_train_step(model, tx, cfg, pos_weight,
+                                               augment, jit=False)
+        step_fn = make_multi_step(step_fn, steps_per_call)
     if use_mesh:
         from sed_tpu.parallel.data_parallel import shard_train_step
         from sed_tpu.parallel.mesh import replicate as _replicate
@@ -214,23 +235,41 @@ def train(
     # points so async dispatch keeps the accelerator queue full.
     pending_losses = []
 
+    starts_block = []  # accumulates batches for steps_per_call > 1
+    profiling = False
+
     while iterations < num_steps:
         for starts in dataset.epoch_start_indices(batch_size):
-            if profile_dir is not None and iterations == 10:
+            if profile_dir is not None and not profiling and iterations >= 10:
                 jax.profiler.start_trace(profile_dir)
-            rng, step_rng = jax.random.split(rng)
-            starts_dev = jnp.asarray(starts)
-            if use_mesh:
-                from sed_tpu.parallel.mesh import shard_batch
+                profiling = True
+            if steps_per_call > 1:
+                starts_block.append(starts)
+                if len(starts_block) < steps_per_call:
+                    continue
+                rng, step_rng = jax.random.split(rng)
+                state, losses = step_fn(
+                    state, buffers, jnp.asarray(np.stack(starts_block)), step_rng
+                )
+                starts_block = []
+                iterations += steps_per_call
+                pending_losses.extend([losses[i] for i in range(steps_per_call)])
+            else:
+                rng, step_rng = jax.random.split(rng)
+                starts_dev = jnp.asarray(starts)
+                if use_mesh:
+                    from sed_tpu.parallel.mesh import shard_batch
 
-                starts_dev = shard_batch(mesh, starts_dev)
-                step_rng = _replicate(mesh, step_rng)
-            state, loss = step_fn(state, buffers, starts_dev, step_rng)
-            iterations += 1
-            if profile_dir is not None and iterations == 20:
-                jax.block_until_ready(loss)
+                    starts_dev = shard_batch(mesh, starts_dev)
+                    step_rng = _replicate(mesh, step_rng)
+                state, loss = step_fn(state, buffers, starts_dev, step_rng)
+                iterations += 1
+                pending_losses.append(loss)
+            if profiling and iterations >= 20:
+                jax.block_until_ready(pending_losses[-1])
                 jax.profiler.stop_trace()
-            pending_losses.append(loss)
+                profiling = False
+                profile_dir = None
 
             if iterations % log_freq == 0:
                 for pl_loss in pending_losses:

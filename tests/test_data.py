@@ -264,3 +264,43 @@ def test_device_complex_transform_matches_host(preprocessed_complex):
     x_dev = np.asarray(power_to_logmel(power, CFG))
     x_host, _ = ds.get_item(idx)
     np.testing.assert_allclose(x_dev, x_host, rtol=1e-4, atol=2e-4)
+
+
+def test_multi_step_matches_sequential(preprocessed_logmel):
+    """K scanned steps per dispatch == K sequential steps (same RNG discipline)."""
+    from sed_tpu.data.device_pipeline import make_multi_step
+
+    features_dir, mean_std = preprocessed_logmel
+    ds = SpectrogramDataset(features_dir, mean_std, val_descriptor="clip_5",
+                            preprocessed_mode="logMel", cfg=CFG, seed=0)
+    buffers = spectrogram_buffers_from_dataset(ds)
+    model = CnnAvgPooling(classes_num=CFG.classes_num, model_config=((8, 2), (16, 2)))
+    tx = make_optimizer(1e-3)
+    sample = jnp.zeros((4, CFG.train_crop_size, CFG.mel_bins, 1))
+    raw_step = make_spectrogram_train_step(model, tx, CFG, 5.0, "logMel",
+                                           augment=True, jit=False)
+    step = make_spectrogram_train_step(model, tx, CFG, 5.0, "logMel", augment=True)
+
+    k = 4
+    starts_block = jnp.asarray(
+        np.stack([ds.train_start_indices[i * 4:(i + 1) * 4] for i in range(k)])
+    )
+    rng = jax.random.key(7)
+
+    # Sequential reference with the same split discipline as make_multi_step.
+    state_a = init_state(model, jax.random.key(0), sample, tx)
+    r = rng
+    seq_losses = []
+    for i in range(k):
+        r, sr = jax.random.split(r)
+        state_a, loss = step(state_a, buffers, starts_block[i], sr)
+        seq_losses.append(float(loss))
+
+    state_b = init_state(model, jax.random.key(0), sample, tx)
+    multi = make_multi_step(raw_step, k)
+    state_b, losses = multi(state_b, buffers, starts_block, rng)
+
+    np.testing.assert_allclose(np.asarray(losses), seq_losses, rtol=1e-5)
+    assert int(state_b.step) == k
+    for a, b in zip(jax.tree.leaves(state_a.params), jax.tree.leaves(state_b.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)

@@ -146,3 +146,28 @@ def test_train_loop_with_mesh(tmp_path):
     import os
 
     assert "iteration_4.ckpt" in os.listdir(os.path.join(str(tmp_path), "checkpoints"))
+
+
+def test_train_loop_steps_per_call(tmp_path):
+    """steps_per_call>1 runs K fused steps per dispatch and reaches num_steps."""
+    from sed_tpu.train.loop import train
+
+    ds = _FakeSpectrogramDataset()
+    ds.epoch_start_indices = lambda bs, drop_last=True: iter(
+        [ds.train_start_indices[i:i + bs]
+         for i in range(0, len(ds.train_start_indices) - bs + 1, bs)]
+    )
+    ds.__class__.__len__ = lambda self: len(self.train_start_indices)
+
+    model = CnnAvgPooling(classes_num=1, model_config=((8, 2), (16, 2)))
+    state = train(
+        model, ds, "spectogram",
+        num_steps=8, lr=1e-3, log_freq=4,
+        outputs_dir=str(tmp_path), batch_size=8,
+        pos_weight=5.0, cfg=CFG, make_plots=False, steps_per_call=4,
+    )
+    assert int(state.step) == 8
+    import os
+
+    ckpts = sorted(os.listdir(os.path.join(str(tmp_path), "checkpoints")))
+    assert ckpts == ["iteration_4.ckpt", "iteration_8.ckpt"]
