@@ -68,7 +68,14 @@ def predict_file(model, state, audio_path: str, cfg, mean=None, std=None,
 
     from sed_tpu.io.audio import read_multichannel_audio
     from sed_tpu.ops.featurizer import logmel_features
-    from sed_tpu.parallel.time_shard import windowed_forward
+    from sed_tpu.parallel.time_shard import receptive_field, windowed_forward
+
+    if hasattr(model, "model_config"):
+        rf = receptive_field(model.model_config)
+        min_halo = 8 * (-(-(rf // 2 + 1) // 8))  # ceil(rf/2) to the time stride
+        if halo < min_halo:
+            print(f"halo {halo} < receptive field requirement {min_halo}; using {min_halo}")
+            halo = min_halo
 
     waveform = read_multichannel_audio(audio_path, target_fs=cfg.working_sample_rate, cfg=cfg)
     log_mel = np.asarray(logmel_features(waveform.astype(np.float32), cfg))

@@ -97,7 +97,9 @@ def frame_coverage_labels(
     half = cfg.frame_size // 2
     centers = np.arange(half, samples - half + 1, step=cfg.hop_size)
     n = len(centers)
-    frames = np.empty((n, channels, cfg.frame_size), dtype=waveform.dtype)
+    # Width 2*half, matching the reference's center-half:center+half slices
+    # (equals frame_size for even sizes; avoids a broadcast crash for odd).
+    frames = np.empty((n, channels, 2 * half), dtype=waveform.dtype)
     for i, c in enumerate(centers):
         frames[i] = waveform[:, c - half:c + half]
 

@@ -44,6 +44,7 @@ def classify_start_indices(event_matrix: np.ndarray, num_starts: int, crop_size:
     The reference's raw slice assignment makes i < crop mark nothing (negative
     python slicing) — reproduced here.
     """
+    num_starts = max(num_starts, 0)  # recordings shorter than the crop yield no starts
     flags = np.zeros(num_starts, dtype=bool)
     event_frames = np.where(event_matrix.max(axis=1) > 0)[0]
     event_frames = event_frames[event_frames >= crop_size]
@@ -79,7 +80,7 @@ def read_train_data_to_memory(
             feature.shape[1], data["start_times"], data["end_times"], cfg
         )
         frames_num = feature.shape[1]
-        num_starts = frames_num - crop_size
+        num_starts = max(frames_num - crop_size, 0)
         possible = np.arange(frame_index, frame_index + num_starts)
         frame_index += frames_num
 

@@ -86,6 +86,12 @@ class WaveformDataset:
             possible_all = np.concatenate((neg[:size], pos[:size]))
 
         rng.shuffle(possible_all)
+        if possible_all.size and int(possible_all.max()) >= 2**31:
+            raise ValueError(
+                "concatenated training audio exceeds 2^31 samples (~12.4 h at "
+                "48 kHz); shard the corpus across data-parallel processes or "
+                "split the packed buffer before training"
+            )
         self.possible_start_indices = possible_all.astype(np.int32)
 
         # Validation: hop-strided frames + coverage labels (waveform_dataset.py:89-98).

@@ -65,12 +65,162 @@ def _unzip(archive: str, output_dir: str) -> None:
 
 
 def _merge_split_zip(parts: list, merged: str) -> None:
-    """Concatenate zip spanned parts (.z01, .z02, .zip) into one archive,
-    replacing the reference's ``zip -s 0`` shellout (download_tau_sed_2019.py:52)."""
+    """Byte-concatenate zip spanned parts (.z01, .z02, .zip) into one stream.
+
+    NOTE: the result is NOT a valid single-disk zip (central-directory entries
+    still carry per-disk numbers and disk-relative offsets — the reference's
+    ``zip -s 0`` shellout rewrote those, download_tau_sed_2019.py:52).  Use
+    :func:`extract_split_zip`, which resolves entries against the disk offsets
+    directly, to actually extract.
+    """
     with open(merged, "wb") as out:
         for part in parts:
             with open(part, "rb") as f:
                 shutil.copyfileobj(f, out)
+
+
+def extract_split_zip(parts: list, output_dir: str) -> None:
+    """Extract a spanned zip archive (.z01, .z02, ..., .zip) without ``zip -s 0``.
+
+    Spanned archives store, per central-directory entry, the starting disk
+    number and the offset *within that disk*; after byte concatenation those
+    offsets must be rebased by the cumulative disk sizes.  This parses the
+    (ZIP64-aware) end-of-central-directory records from the final part,
+    rebases every entry, and inflates it with zlib — pure stdlib, handles the
+    >4 GB foa_dev archives.
+    """
+    import io
+    import struct
+    import zlib
+
+    sizes = [os.path.getsize(p) for p in parts]
+    disk_base = [0]
+    for sz in sizes[:-1]:
+        disk_base.append(disk_base[-1] + sz)
+    total = disk_base[-1] + sizes[-1]
+
+    class _Span:
+        """Random-access reader over the concatenated parts."""
+
+        def __init__(self):
+            self.files = [open(p, "rb") for p in parts]
+
+        def read_at(self, offset: int, n: int) -> bytes:
+            out = bytearray()
+            while n > 0:
+                disk = max(i for i, b in enumerate(disk_base) if b <= offset)
+                local = offset - disk_base[disk]
+                avail = sizes[disk] - local
+                take = min(n, avail)
+                self.files[disk].seek(local)
+                out += self.files[disk].read(take)
+                offset += take
+                n -= take
+            return bytes(out)
+
+        def close(self):
+            for f in self.files:
+                f.close()
+
+    span = _Span()
+    try:
+        # End-of-central-directory: search the tail of the final disk.
+        tail_len = min(sizes[-1], 66000)
+        tail = span.read_at(total - tail_len, tail_len)
+        eocd_pos = tail.rfind(b"PK\x05\x06")
+        if eocd_pos < 0:
+            raise ValueError("EOCD signature not found; not a zip archive")
+        eocd = tail[eocd_pos:eocd_pos + 22]
+        (_, _, _, _, n_entries, cd_size, cd_offset, _) = struct.unpack(
+            "<IHHHHIIH", eocd
+        )
+        cd_disk = struct.unpack("<H", eocd[6:8])[0]
+
+        if n_entries == 0xFFFF or cd_offset == 0xFFFFFFFF or cd_size == 0xFFFFFFFF:
+            # ZIP64: locator sits immediately before the EOCD.
+            loc = tail[eocd_pos - 20:eocd_pos]
+            if loc[:4] != b"PK\x06\x07":
+                raise ValueError("ZIP64 EOCD locator missing")
+            _, z64_disk, z64_off, _ = struct.unpack("<IIQI", loc)
+            z64 = span.read_at(disk_base[z64_disk] + z64_off, 56)
+            if z64[:4] != b"PK\x06\x06":
+                raise ValueError("ZIP64 EOCD record missing")
+            (_, _, _, _, _, _, _, n_entries, cd_size, cd_offset) = struct.unpack(
+                "<IQHHIIQQQQ", z64
+            )
+            cd_disk = struct.unpack("<I", z64[20:24])[0]
+
+        cd = span.read_at(disk_base[cd_disk] + cd_offset, cd_size)
+        pos = 0
+        os.makedirs(output_dir, exist_ok=True)
+        for _ in range(n_entries):
+            if cd[pos:pos + 4] != b"PK\x01\x02":
+                raise ValueError("central directory corrupt")
+            (method, comp_size, uncomp_size, name_len, extra_len, comment_len,
+             disk_no, rel_off) = struct.unpack(
+                "<HIIHHHHI",
+                cd[pos + 10:pos + 12] + cd[pos + 20:pos + 28]
+                + cd[pos + 28:pos + 34] + cd[pos + 34:pos + 36]
+                + cd[pos + 42:pos + 46],
+            )
+            name = cd[pos + 46:pos + 46 + name_len].decode("utf-8", "replace")
+            extra = cd[pos + 46 + name_len:pos + 46 + name_len + extra_len]
+            # ZIP64 extra field overrides 0xFFFFFFFF placeholders, in order:
+            # uncompressed size, compressed size, offset, disk number.
+            e = 0
+            while e + 4 <= len(extra):
+                tag, ln = struct.unpack("<HH", extra[e:e + 4])
+                if tag == 0x0001:
+                    body = extra[e + 4:e + 4 + ln]
+                    b = 0
+                    if uncomp_size == 0xFFFFFFFF:
+                        uncomp_size = struct.unpack("<Q", body[b:b + 8])[0]; b += 8
+                    if comp_size == 0xFFFFFFFF:
+                        comp_size = struct.unpack("<Q", body[b:b + 8])[0]; b += 8
+                    if rel_off == 0xFFFFFFFF:
+                        rel_off = struct.unpack("<Q", body[b:b + 8])[0]; b += 8
+                    if disk_no == 0xFFFF:
+                        disk_no = struct.unpack("<I", body[b:b + 4])[0]
+                e += 4 + ln
+            pos += 46 + name_len + extra_len + comment_len
+
+            abs_off = disk_base[disk_no] + rel_off
+            lh = span.read_at(abs_off, 30)
+            if lh[:4] != b"PK\x03\x04":
+                raise ValueError(f"local header not found for {name}")
+            lh_name_len, lh_extra_len = struct.unpack("<HH", lh[26:30])
+            data_off = abs_off + 30 + lh_name_len + lh_extra_len
+
+            dest = os.path.join(output_dir, name)
+            if not os.path.realpath(dest).startswith(os.path.realpath(output_dir)):
+                raise ValueError(f"unsafe path in archive: {name}")
+            if name.endswith("/"):
+                os.makedirs(dest, exist_ok=True)
+                continue
+            os.makedirs(os.path.dirname(dest) or output_dir, exist_ok=True)
+            with open(dest, "wb") as out:
+                if method == 0:  # stored
+                    remaining = comp_size
+                    off = data_off
+                    while remaining > 0:
+                        chunk = span.read_at(off, min(remaining, 1 << 24))
+                        out.write(chunk)
+                        off += len(chunk)
+                        remaining -= len(chunk)
+                elif method == 8:  # deflate
+                    d = zlib.decompressobj(-15)
+                    remaining = comp_size
+                    off = data_off
+                    while remaining > 0:
+                        chunk = span.read_at(off, min(remaining, 1 << 24))
+                        out.write(d.decompress(chunk))
+                        off += len(chunk)
+                        remaining -= len(chunk)
+                    out.write(d.flush())
+                else:
+                    raise ValueError(f"unsupported compression method {method} for {name}")
+    finally:
+        span.close()
 
 
 def extract_foa_data(data_dir: str, output_dir: str, fold_name: str = "eval") -> None:
@@ -90,12 +240,10 @@ def extract_foa_data(data_dir: str, output_dir: str, fold_name: str = "eval") ->
 
     if fold_name == "train":
         _unzip(os.path.join(data_dir, "metadata_dev.zip"), output_dir)
-        merged = os.path.join(data_dir, "unsplit_foa_dev.zip")
-        _merge_split_zip(
+        extract_split_zip(
             [os.path.join(data_dir, n) for n in ("foa_dev.z01", "foa_dev.z02", "foa_dev.zip")],
-            merged,
+            output_dir,
         )
-        _unzip(merged, output_dir)
 
 
 def ensure_tau_data(data_dir: str, fold_name: str = "eval"):

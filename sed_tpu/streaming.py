@@ -47,6 +47,16 @@ class StreamingDetector:
         std: Optional[np.ndarray] = None,
     ):
         assert halo % total_stride == 0
+        if hasattr(model, "model_config"):
+            from sed_tpu.parallel.time_shard import receptive_field
+
+            rf = receptive_field(model.model_config)
+            if halo < (rf + 1) // 2:
+                raise ValueError(
+                    f"halo={halo} frames is smaller than half the model's "
+                    f"receptive field ({rf} frames); emitted scores would be "
+                    f"corrupted — use halo >= {total_stride * (-(-((rf + 1) // 2) // total_stride))}"
+                )
         self.model = model
         self.params = params
         self.batch_stats = batch_stats
@@ -167,6 +177,15 @@ class StreamingDetector:
         emit the exact tail."""
         cfg = self.cfg
         total = self._buf_start + len(self._samples)
+        if total <= self._pad:
+            # Same constraint as the offline reflect-padded STFT: the recording
+            # must be longer than nfft/2 samples for center padding to exist.
+            raise ValueError(
+                f"stream too short to featurize: {total} samples <= reflect "
+                f"padding {self._pad} (need > {self._pad} samples, i.e. "
+                f"{self._pad / cfg.working_sample_rate:.2f} s at "
+                f"{cfg.working_sample_rate} Hz)"
+            )
         n_total_frames = 1 + (total // cfg.hop_size)
         # Append the end reflection so trailing frames can be featurized.
         tail_pad = np.flip(self._samples[-self._pad - 1:-1]) if len(self._samples) > 1 else np.zeros(self._pad, np.float32)

@@ -162,12 +162,22 @@ def train(
 
     if steps_per_call > 1 and (num_steps % steps_per_call or log_freq % steps_per_call):
         raise ValueError("num_steps and log_freq must be multiples of steps_per_call")
+    if steps_per_call > 1 and initial_state is not None \
+            and int(initial_state.step) % steps_per_call:
+        raise ValueError(
+            f"resumed step {int(initial_state.step)} is not a multiple of "
+            f"steps_per_call={steps_per_call}"
+        )
     use_mesh = mesh is not None
     if use_mesh and batch_size % mesh.devices.size != 0:
         raise ValueError(
-            f"global batch_size={batch_size} must divide the mesh size "
-            f"{mesh.devices.size}"
+            f"global batch_size={batch_size} must be divisible by the mesh "
+            f"size {mesh.devices.size}"
         )
+    if use_mesh and steps_per_call > 1:
+        raise NotImplementedError("steps_per_call > 1 with mesh: wrap the "
+                                  "sharded step in round 2 if needed")
+    needs_raw = use_mesh or steps_per_call > 1
     if mode == "spectogram":
         cfg = cfg or SpectrogramConfig()
         buffers = spectrogram_buffers_from_dataset(dataset)
@@ -176,7 +186,7 @@ def train(
         # freq_bins -> mel inside the fused step).
         sample = jnp.zeros((batch_size, cfg.train_crop_size, cfg.mel_bins, channels), jnp.float32)
         step_fn = make_spectrogram_train_step(
-            model, tx, cfg, pos_weight, preprocessed_mode, augment, jit=not use_mesh
+            model, tx, cfg, pos_weight, preprocessed_mode, augment, jit=not needs_raw
         )
     else:
         cfg = cfg or WaveformConfig()
@@ -184,20 +194,10 @@ def train(
         channels = buffers.waveform.shape[0]
         sample = jnp.zeros((batch_size, cfg.frame_size, channels), jnp.float32)
         step_fn = make_waveform_train_step(model, tx, cfg, pos_weight, augment,
-                                           jit=not use_mesh)
+                                           jit=not needs_raw)
     if steps_per_call > 1:
         from sed_tpu.data.device_pipeline import make_multi_step
 
-        if use_mesh:
-            raise NotImplementedError("steps_per_call > 1 with mesh: wrap the "
-                                      "sharded step in round 2 if needed")
-        if mode == "spectogram":
-            step_fn = make_spectrogram_train_step(
-                model, tx, cfg, pos_weight, preprocessed_mode, augment, jit=False
-            )
-        else:
-            step_fn = make_waveform_train_step(model, tx, cfg, pos_weight,
-                                               augment, jit=False)
         step_fn = make_multi_step(step_fn, steps_per_call)
     if use_mesh:
         from sed_tpu.parallel.data_parallel import shard_train_step
@@ -293,11 +293,12 @@ def train(
                     plotter.report_validation_metrics(
                         val_losses, recal_sets, precision_sets, aps, iterations
                     )
+                    plotter.record(outputs_dir)  # metrics.jsonl always written
                     if make_plots:
                         plotter.plot(outputs_dir)
                 save_checkpoint(state, outputs_dir, iterations)
 
-            if iterations == num_steps:
+            if iterations >= num_steps:
                 break
         epoch += 1
 

@@ -47,13 +47,26 @@ class ProgressPlotter:
         self.f1_score_avgs.append(float(np.max(f1)))
         self.f5_score_avgs.append(float(np.max(f5)))
 
+    def record(self, outputs_dir: str):
+        """Flush the train-loss buffer and append the machine-readable record.
+
+        Separate from :meth:`plot` so headless runs (make_plots=False) still
+        produce metrics.jsonl.
+        """
+        os.makedirs(outputs_dir, exist_ok=True)
+        self.train_avgs.append(
+            float(np.mean(self.train_buffer)) if self.train_buffer else float("nan")
+        )
+        self.train_buffer = []
+        self._append_jsonl(os.path.join(outputs_dir, "metrics.jsonl"))
+
     def plot(self, outputs_dir: str):
+        """Render the PNG artifacts (call :meth:`record` first each log point)."""
         os.makedirs(outputs_dir, exist_ok=True)
         self._plot_train_eval_losses(os.path.join(outputs_dir, "Training_loss.png"))
         self._plot_metrics(os.path.join(outputs_dir, "Metrics.png"))
         self._plot_pr(os.path.join(outputs_dir, "ROC_plots",
                                    f"Roc-iteration-{self.iterations[-1]}.png"))
-        self._append_jsonl(os.path.join(outputs_dir, "metrics.jsonl"))
 
     def _append_jsonl(self, path: str):
         record = {
@@ -68,8 +81,6 @@ class ProgressPlotter:
             f.write(json.dumps(record) + "\n")
 
     def _plot_train_eval_losses(self, plot_path: str):
-        self.train_avgs.append(float(np.mean(self.train_buffer)) if self.train_buffer else float("nan"))
-        self.train_buffer = []
         plt.plot(np.arange(len(self.train_avgs)), self.train_avgs, label="train", color="blue")
         plt.plot(np.arange(len(self.val_avgs)), self.val_avgs, label="validation", color="orange")
         x_indices = np.arange(0, len(self.iterations), max(len(self.iterations) // 5, 1))

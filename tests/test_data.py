@@ -304,3 +304,38 @@ def test_multi_step_matches_sequential(preprocessed_logmel):
     assert int(state_b.step) == k
     for a, b in zip(jax.tree.leaves(state_a.params), jax.tree.leaves(state_b.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+
+
+def test_short_recording_yields_no_starts(tmp_path):
+    """Recordings shorter than the crop contribute zero start indices instead
+    of crashing (review finding; the reference handled this gracefully)."""
+    import pickle
+
+    from sed_tpu.data.spectrogram_dataset import read_train_data_to_memory
+
+    short = {"features": np.zeros((1, 10, CFG.mel_bins), np.float32),
+             "start_times": np.array([1.0]), "end_times": np.array([2.0])}
+    ok = {"features": np.zeros((1, 40, CFG.mel_bins), np.float32),
+          "start_times": np.array([]), "end_times": np.array([])}
+    paths = []
+    for name, d in [("short.pkl", short), ("ok.pkl", ok)]:
+        p = str(tmp_path / name)
+        with open(p, "wb") as f:
+            pickle.dump(d, f)
+        paths.append(p)
+    packed = read_train_data_to_memory(paths, CFG.train_crop_size, cfg=CFG)
+    assert len(packed.start_indices) == 40 - CFG.train_crop_size
+    # Starts must all point into the long (okay) recording's range.
+    assert packed.start_indices.min() >= 10
+
+
+def test_odd_frame_size_coverage_labels():
+    """Odd frame_size configs must not crash the frame splitter (width 2*half)."""
+    from sed_tpu.configs import WaveformConfig
+    from sed_tpu.data.events import frame_coverage_labels
+
+    cfg = WaveformConfig(working_sample_rate=22050, time_margin=0.33)
+    assert cfg.frame_size % 2 == 1
+    wave = np.zeros((1, 5 * cfg.working_sample_rate), np.float32)
+    frames, labels = frame_coverage_labels(wave, [1.0], [2.0], cfg)
+    assert frames.shape[2] == 2 * (cfg.frame_size // 2)

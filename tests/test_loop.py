@@ -171,3 +171,27 @@ def test_train_loop_steps_per_call(tmp_path):
 
     ckpts = sorted(os.listdir(os.path.join(str(tmp_path), "checkpoints")))
     assert ckpts == ["iteration_4.ckpt", "iteration_8.ckpt"]
+
+
+def test_metrics_jsonl_written_without_plots(tmp_path):
+    """make_plots=False must still produce metrics.jsonl (review finding)."""
+    import json
+    import os
+
+    from sed_tpu.train.loop import train
+
+    ds = _FakeSpectrogramDataset()
+    ds.epoch_start_indices = lambda bs, drop_last=True: iter(
+        [ds.train_start_indices[i:i + bs]
+         for i in range(0, len(ds.train_start_indices) - bs + 1, bs)]
+    )
+    ds.__class__.__len__ = lambda self: len(self.train_start_indices)
+    model = CnnAvgPooling(classes_num=1, model_config=((8, 2), (16, 2)))
+    train(model, ds, "spectogram", num_steps=2, lr=1e-3, log_freq=2,
+          outputs_dir=str(tmp_path), batch_size=8, pos_weight=5.0,
+          cfg=CFG, make_plots=False)
+    path = os.path.join(str(tmp_path), "metrics.jsonl")
+    assert os.path.exists(path)
+    rec = json.loads(open(path).read().strip())
+    assert np.isfinite(rec["train_loss"])
+    assert not os.path.exists(os.path.join(str(tmp_path), "Training_loss.png"))

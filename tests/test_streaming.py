@@ -73,3 +73,19 @@ def test_streaming_emits_incrementally():
         emitted_before_end += len(out)
     assert emitted_before_end > 0  # scores flow before the stream ends
     det.flush()
+
+
+def test_streaming_rejects_too_small_halo():
+    model, state = _model_state()
+    with pytest.raises(ValueError, match="receptive field"):
+        StreamingDetector(model, state.params, state.batch_stats, CFG,
+                          halo=8, total_stride=8)
+
+
+def test_streaming_flush_short_stream_errors():
+    model, state = _model_state()
+    det = StreamingDetector(model, state.params, state.batch_stats, CFG,
+                            halo=64, total_stride=8)
+    det.push(np.zeros(100, np.float32))
+    with pytest.raises(ValueError, match="stream too short"):
+        det.flush()
