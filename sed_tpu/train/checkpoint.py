@@ -24,10 +24,26 @@ def checkpoint_path(outputs_dir: str, iteration: int) -> str:
     return os.path.join(outputs_dir, "checkpoints", f"iteration_{iteration}.ckpt")
 
 
-def save_checkpoint(state: TrainState, outputs_dir: str, iteration: int) -> str:
+def save_checkpoint(
+    state: TrainState, outputs_dir: str, iteration: int, backend: str = "msgpack"
+) -> str:
+    """Save the full state.
+
+    ``backend='msgpack'`` (default): one flax-serialized file.
+    ``backend='orbax'``: an orbax PyTreeCheckpointer directory (same path with
+    a ``.orbax`` suffix) for ecosystem interop.
+    """
     path = checkpoint_path(outputs_dir, iteration)
     os.makedirs(os.path.dirname(path), exist_ok=True)
     host_state = jax.device_get(state)
+    if backend == "orbax":
+        import orbax.checkpoint as ocp
+
+        path = path + ".orbax"
+        ocp.PyTreeCheckpointer().save(
+            os.path.abspath(path), serialization.to_state_dict(host_state)
+        )
+        return path
     with open(path, "wb") as f:
         f.write(serialization.to_bytes(host_state))
     return path
@@ -36,13 +52,21 @@ def save_checkpoint(state: TrainState, outputs_dir: str, iteration: int) -> str:
 def load_checkpoint(path: str, template: TrainState, model_only: bool = False) -> TrainState:
     """Restore a checkpoint into the shape of ``template``.
 
+    Accepts both backends: a ``.orbax`` directory or a msgpack file.
     ``model_only=True`` mirrors the reference resume behavior (main.py:37-39):
     restore params and batch statistics but keep the template's fresh
     optimizer state and step counter.
     """
-    with open(path, "rb") as f:
-        data = f.read()
-    restored = serialization.from_bytes(jax.device_get(template), data)
+    host_template = jax.device_get(template)
+    if os.path.isdir(path):
+        import orbax.checkpoint as ocp
+
+        restored_dict = ocp.PyTreeCheckpointer().restore(os.path.abspath(path))
+        restored = serialization.from_state_dict(host_template, restored_dict)
+    else:
+        with open(path, "rb") as f:
+            data = f.read()
+        restored = serialization.from_bytes(host_template, data)
     if model_only:
         return template.replace(params=restored.params, batch_stats=restored.batch_stats)
     return restored

@@ -173,3 +173,22 @@ def test_full_resume_matches_continuous_training(tmp_path):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
     for a, b in zip(jax.tree.leaves(cont.opt_state), jax.tree.leaves(resumed.opt_state)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
+
+
+def test_orbax_checkpoint_backend(tmp_path):
+    """orbax-backend save/load round-trips the full state."""
+    model, tx, state, step, x, y = _tiny_setup()
+    for _ in range(2):
+        state, _ = step(state, x, y)
+    path = save_checkpoint(state, str(tmp_path), iteration=2, backend="orbax")
+    assert path.endswith(".orbax")
+
+    template = init_state(model, jax.random.key(11), x, tx)
+    restored = load_checkpoint(path, template)
+    assert int(restored.step) == 2
+    fwd = make_eval_forward(model)
+    np.testing.assert_allclose(
+        np.asarray(fwd(state.params, state.batch_stats, x)),
+        np.asarray(fwd(restored.params, restored.batch_stats, x)),
+        atol=1e-7,
+    )
