@@ -78,11 +78,13 @@ def latest_checkpoint(outputs_dir: str) -> Optional[str]:
         return None
     candidates = []
     for name in os.listdir(ckpt_dir):
-        if name.startswith("iteration_") and name.endswith(".ckpt"):
-            try:
-                candidates.append((int(name[len("iteration_"):-len(".ckpt")]), name))
-            except ValueError:
-                continue
+        for suffix in (".ckpt", ".ckpt.orbax"):
+            if name.startswith("iteration_") and name.endswith(suffix):
+                try:
+                    candidates.append((int(name[len("iteration_"):-len(suffix)]), name))
+                except ValueError:
+                    pass
+                break
     if not candidates:
         return None
     return os.path.join(ckpt_dir, max(candidates)[1])

@@ -192,3 +192,34 @@ def test_orbax_checkpoint_backend(tmp_path):
         np.asarray(fwd(restored.params, restored.batch_stats, x)),
         atol=1e-7,
     )
+
+
+def test_latest_checkpoint_handles_both_backends(tmp_path):
+    from sed_tpu.train.checkpoint import latest_checkpoint
+
+    model, tx, state, step, x, y = _tiny_setup()
+    save_checkpoint(state, str(tmp_path), iteration=2)
+    save_checkpoint(state, str(tmp_path), iteration=5, backend="orbax")
+    latest = latest_checkpoint(str(tmp_path))
+    assert latest.endswith("iteration_5.ckpt.orbax")
+
+
+def test_model_descriptions():
+    """Shape walkthrough matches the reference format (spectogram_models.py:207-230)."""
+    import jax
+
+    from sed_tpu.models.cnn import CnnAvgPooling, TRAIN_CHANNEL_AND_POOL
+    from sed_tpu.models.describe import describe_cnn, describe_m5
+
+    model = CnnAvgPooling(classes_num=1, model_config=TRAIN_CHANNEL_AND_POOL)
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 30, 64, 1)), train=False)
+    text = describe_cnn(model, variables["params"])
+    assert "Input: (b, 1, 180, 64)" in text
+    assert "interpolate(8) -> (b, 176, 1)" in text
+    assert "582.4K parameters" in text
+
+    from sed_tpu.models.m5 import M5
+
+    m5 = M5(classes_num=1)
+    v5 = m5.init(jax.random.key(0), jnp.zeros((1, 31680, 1)), train=False)
+    assert "426.4K parameters" in describe_m5(v5["params"])
