@@ -214,7 +214,7 @@ def test_model_descriptions():
     model = CnnAvgPooling(classes_num=1, model_config=TRAIN_CHANNEL_AND_POOL)
     variables = model.init(jax.random.key(0), jnp.zeros((1, 30, 64, 1)), train=False)
     text = describe_cnn(model, variables["params"])
-    assert "Input: (b, 1, 180, 64)" in text
+    assert "Input: (b, 1, 181, 64)" in text
     assert "interpolate(8) -> (b, 176, 1)" in text
     assert "582.4K parameters" in text
 
