@@ -156,6 +156,32 @@ def _make_dot(precision):
 
         return dotn
 
+    if precision == "bf16x6":
+        # 3-way mantissa split (f32 = three exact bf16 chunks); the six terms
+        # with magnitude >= 2^-16 reproduce full f32 products.  Hardware
+        # measurement: parity equals HIGHEST (2.2e-5 dB on tonal spectra) but
+        # Mosaic's native HIGHEST is ~20% faster — kept as a reference
+        # implementation / fallback, not a default.
+        d = jax.lax.Precision.DEFAULT
+
+        def _split3(a):
+            h1, r = _split_bf16(a)
+            h2, l = _split_bf16(r)
+            return h1, h2, l
+
+        def dot6(a, b, dn):
+            a1, a2, a3 = _split3(a)
+            b1, b2, b3 = _split3(b)
+
+            def dd(x, y):
+                return jax.lax.dot_general(x, y, dn, precision=d,
+                                           preferred_element_type=jnp.float32)
+
+            return (dd(a1, b1) + dd(a1, b2) + dd(a2, b1)
+                    + dd(a2, b2) + dd(a3, b1) + dd(a1, b3))
+
+        return dot6
+
     p = precision if precision is not None else jax.lax.Precision.HIGHEST
 
     def dot(a, b, dn):
