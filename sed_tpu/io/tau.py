@@ -192,7 +192,8 @@ def extract_split_zip(parts: list, output_dir: str) -> None:
             data_off = abs_off + 30 + lh_name_len + lh_extra_len
 
             dest = os.path.join(output_dir, name)
-            if not os.path.realpath(dest).startswith(os.path.realpath(output_dir)):
+            root = os.path.realpath(output_dir)
+            if os.path.commonpath([os.path.realpath(dest), root]) != root:
                 raise ValueError(f"unsafe path in archive: {name}")
             if name.endswith("/"):
                 os.makedirs(dest, exist_ok=True)

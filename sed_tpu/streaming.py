@@ -120,8 +120,13 @@ class StreamingDetector:
         lm = self._featurize_bucketed(new)
         self._frames_mel = np.concatenate([self._frames_mel, lm], axis=0)
         self._n_frames = n_ready
-        # Drop raw samples no longer needed (keep reflect prefix until past it).
+        # Drop raw samples no longer needed (keep reflect prefix until past
+        # it).  Always retain >= pad+1 tail samples so flush() can build the
+        # end reflection even for configs with hop >= nfft/2, where the
+        # "frames already featurized" trim point would otherwise pass it.
+        total = self._buf_start + len(self._samples)
         keep_from = max(0, self._n_frames * cfg.hop_size - self._pad)
+        keep_from = min(keep_from, max(0, total - (self._pad + 1)))
         if keep_from > self._buf_start:
             self._samples = self._samples[keep_from - self._buf_start:]
             self._buf_start = keep_from

@@ -87,4 +87,11 @@ def latest_checkpoint(outputs_dir: str) -> Optional[str]:
                 break
     if not candidates:
         return None
-    return os.path.join(ckpt_dir, max(candidates)[1])
+    # Tie-break equal iteration counts by mtime (most recently written wins)
+    # rather than lexicographically, so whichever backend saved last is the
+    # one resumed from.
+    def sort_key(item):
+        it, name = item
+        return (it, os.path.getmtime(os.path.join(ckpt_dir, name)), name)
+
+    return os.path.join(ckpt_dir, max(candidates, key=sort_key)[1])

@@ -89,3 +89,35 @@ def test_streaming_flush_short_stream_errors():
     det.push(np.zeros(100, np.float32))
     with pytest.raises(ValueError, match="stream too short"):
         det.flush()
+
+
+def test_streaming_flush_with_hop_ge_half_nfft():
+    """Regression (ADVICE r1): for configs where frame_size is a power of two,
+    hop == nfft/2 and the raw-buffer trim could drop samples flush() needs for
+    the end reflection.  The buffer must always retain >= pad+1 tail samples."""
+    cfg = SpectrogramConfig(working_sample_rate=1600, time_margin=0.32)
+    assert cfg.hop_size >= cfg.nfft // 2  # the regression precondition
+    rng = np.random.default_rng(7)
+    y = (0.1 * rng.standard_normal(40 * cfg.working_sample_rate)).astype(np.float32)
+
+    model = CnnAvgPooling(classes_num=1, model_config=TRAIN_CHANNEL_AND_POOL)
+    tx = make_optimizer(1e-3)
+    sample = jnp.zeros((1, cfg.train_crop_size, cfg.mel_bins, 1))
+    state = init_state(model, jax.random.key(0), sample, tx)
+
+    lm = np.asarray(logmel_features(jnp.asarray(y[:, None]), cfg))
+    x = jnp.transpose(jnp.asarray(lm), (1, 2, 0))[None]
+    logits = model.apply(
+        {"params": state.params, "batch_stats": state.batch_stats}, x, train=False
+    )
+    offline = np.asarray(jax.nn.sigmoid(logits))[0]
+
+    det = StreamingDetector(model, state.params, state.batch_stats, cfg,
+                            halo=64, total_stride=8, bucket=64)
+    pieces = []
+    for i in range(0, len(y), 3 * cfg.working_sample_rate):
+        pieces.append(det.push(y[i:i + 3 * cfg.working_sample_rate]))
+    pieces.append(det.flush())  # raised a shape error before the fix
+    streamed = np.concatenate(pieces, axis=0)
+    assert streamed.shape == offline.shape
+    np.testing.assert_allclose(streamed, offline, atol=1e-6)

@@ -163,3 +163,19 @@ def test_extract_split_zip_real_spanned_archive(tmp_path):
     extract_split_zip([str(p) for p in parts], str(out))
     for name, data in contents.items():
         assert (out / name).read_bytes() == data
+
+
+def test_extract_split_zip_rejects_sibling_prefix_escape(tmp_path):
+    """Regression (ADVICE r1): an entry like '../raw-evil/x' resolves to a
+    sibling directory sharing the output dir's name as a string prefix; a
+    startswith() guard passed it.  The commonpath guard must reject it."""
+    from sed_tpu.io.tau import extract_split_zip
+
+    out_dir = tmp_path / "raw"
+    out_dir.mkdir()
+    evil = tmp_path / "evil.zip"
+    with zipfile.ZipFile(evil, "w") as zf:
+        zf.writestr("../raw-evil/pwned.txt", "x")
+    with pytest.raises(ValueError, match="unsafe path"):
+        extract_split_zip([str(evil)], str(out_dir))
+    assert not (tmp_path / "raw-evil").exists()

@@ -1,6 +1,7 @@
 """Training-stack tests: loss vs torch oracle, optimizer parity vs torch
 Adam(amsgrad=True), train-step learning, checkpoint round-trip."""
 
+import os
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -223,3 +224,21 @@ def test_model_descriptions():
     m5 = M5(classes_num=1)
     v5 = m5.init(jax.random.key(0), jnp.zeros((1, 31680, 1)), train=False)
     assert "426.4K parameters" in describe_m5(v5["params"])
+
+
+def test_latest_checkpoint_tie_breaks_by_mtime(tmp_path):
+    """Regression (ADVICE r1): same-iteration msgpack file vs orbax dir must
+    resolve to whichever was written last, not lexicographically."""
+    import time
+
+    from sed_tpu.train.checkpoint import latest_checkpoint
+
+    model, tx, state, step, x, y = _tiny_setup()
+    save_checkpoint(state, str(tmp_path), iteration=3, backend="orbax")
+    time.sleep(0.05)
+    save_checkpoint(state, str(tmp_path), iteration=3)
+    assert latest_checkpoint(str(tmp_path)).endswith("iteration_3.ckpt")
+
+    time.sleep(0.05)
+    os.utime(os.path.join(str(tmp_path), "checkpoints", "iteration_3.ckpt.orbax"))
+    assert latest_checkpoint(str(tmp_path)).endswith("iteration_3.ckpt.orbax")
