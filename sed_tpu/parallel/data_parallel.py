@@ -19,10 +19,22 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from sed_tpu.parallel.mesh import DATA_AXIS
 
 
-def shard_train_step(raw_step: Callable, mesh: Mesh, axis_name: str = DATA_AXIS) -> Callable:
-    """Jit a raw (state, buffers, starts, rng) step with data-parallel shardings."""
+def shard_train_step(
+    raw_step: Callable,
+    mesh: Mesh,
+    axis_name: str = DATA_AXIS,
+    steps_per_call: int = 1,
+) -> Callable:
+    """Jit a raw (state, buffers, starts, rng) step with data-parallel shardings.
+
+    ``steps_per_call > 1`` shards a multi-step (from
+    sed_tpu.data.device_pipeline.make_multi_step) whose start-index block is
+    (K, batch): the leading scan axis stays unsharded, the per-step batch axis
+    rides the mesh — so dispatch amortization and data parallelism compose.
+    """
     rep = NamedSharding(mesh, P())
-    sharded = NamedSharding(mesh, P(axis_name))
+    starts_spec = P(axis_name) if steps_per_call == 1 else P(None, axis_name)
+    sharded = NamedSharding(mesh, starts_spec)
     return jax.jit(
         raw_step,
         in_shardings=(rep, rep, sharded, rep),

@@ -174,9 +174,6 @@ def train(
             f"global batch_size={batch_size} must be divisible by the mesh "
             f"size {mesh.devices.size}"
         )
-    if use_mesh and steps_per_call > 1:
-        raise NotImplementedError("steps_per_call > 1 with mesh: wrap the "
-                                  "sharded step in round 2 if needed")
     needs_raw = use_mesh or steps_per_call > 1
     if mode == "spectogram":
         cfg = cfg or SpectrogramConfig()
@@ -198,12 +195,14 @@ def train(
     if steps_per_call > 1:
         from sed_tpu.data.device_pipeline import make_multi_step
 
-        step_fn = make_multi_step(step_fn, steps_per_call)
+        # Under a mesh, keep the multi-step raw: shard_train_step below jits
+        # it with the (K, batch) block sharded on the batch axis.
+        step_fn = make_multi_step(step_fn, steps_per_call, jit=not use_mesh)
     if use_mesh:
         from sed_tpu.parallel.data_parallel import shard_train_step
         from sed_tpu.parallel.mesh import replicate as _replicate
 
-        step_fn = shard_train_step(step_fn, mesh)
+        step_fn = shard_train_step(step_fn, mesh, steps_per_call=steps_per_call)
 
     state = initial_state if initial_state is not None else init_state(
         model, jax.random.key(seed), sample, tx
@@ -248,9 +247,16 @@ def train(
                 if len(starts_block) < steps_per_call:
                     continue
                 rng, step_rng = jax.random.split(rng)
-                state, losses = step_fn(
-                    state, buffers, jnp.asarray(np.stack(starts_block)), step_rng
-                )
+                block = jnp.asarray(np.stack(starts_block))
+                if use_mesh:
+                    from jax.sharding import NamedSharding, PartitionSpec as P
+
+                    from sed_tpu.parallel.mesh import DATA_AXIS
+
+                    block = jax.device_put(
+                        block, NamedSharding(mesh, P(None, DATA_AXIS)))
+                    step_rng = _replicate(mesh, step_rng)
+                state, losses = step_fn(state, buffers, block, step_rng)
                 starts_block = []
                 iterations += steps_per_call
                 pending_losses.extend([losses[i] for i in range(steps_per_call)])

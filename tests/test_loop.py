@@ -195,3 +195,31 @@ def test_metrics_jsonl_written_without_plots(tmp_path):
     rec = json.loads(open(path).read().strip())
     assert np.isfinite(rec["train_loss"])
     assert not os.path.exists(os.path.join(str(tmp_path), "Training_loss.png"))
+
+
+def test_train_loop_with_mesh_and_steps_per_call(tmp_path):
+    """mesh x steps_per_call composed through train() (VERDICT r1 #4)."""
+    from sed_tpu.parallel.mesh import create_mesh
+    from sed_tpu.train.loop import train
+
+    ds = _FakeSpectrogramDataset()
+    ds.train_start_indices = ds.train_start_indices.astype("int32")
+    ds.epoch_start_indices = lambda bs, drop_last=True: iter(
+        [ds.train_start_indices[i:i + bs]
+         for i in range(0, len(ds.train_start_indices) - bs + 1, bs)]
+    )
+    ds.__class__.__len__ = lambda self: len(self.train_start_indices)
+
+    model = CnnAvgPooling(classes_num=1, model_config=((8, 2), (16, 2)))
+    mesh = create_mesh(8)
+    state = train(
+        model, ds, "spectogram",
+        num_steps=4, lr=1e-3, log_freq=2,
+        outputs_dir=str(tmp_path), batch_size=16,
+        pos_weight=5.0, cfg=CFG, make_plots=False, mesh=mesh,
+        steps_per_call=2,
+    )
+    assert int(state.step) == 4
+    import os
+
+    assert "iteration_4.ckpt" in os.listdir(os.path.join(str(tmp_path), "checkpoints"))

@@ -2,6 +2,7 @@
 step equivalence, sharded inference, time-axis windowed inference exactness,
 and the driver graft entry points."""
 
+import os
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -212,3 +213,114 @@ def test_waveform_data_parallel_step_matches_single_device():
     for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g8)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-3, atol=5e-6)
+
+
+def test_mesh_with_steps_per_call_matches_sequential_sharded():
+    """mesh x steps_per_call (VERDICT r1 #4): a sharded K-step scan must equal
+    K sequential sharded steps with the same per-step RNG discipline, with
+    augmentation ON so the in-scan RNG path is exercised."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from sed_tpu.data.device_pipeline import make_multi_step
+    from sed_tpu.parallel.mesh import DATA_AXIS
+
+    buffers, total = _tiny_buffers()
+    model = CnnAvgPooling(classes_num=1, model_config=((8, 2), (16, 2)))
+    tx = make_optimizer(1e-3)
+    crop, mel = CFG.train_crop_size, CFG.mel_bins
+    batch, K = 16, 3
+    sample = jnp.zeros((batch, crop, mel, 1), jnp.float32)
+    starts_block = np.random.default_rng(1).integers(
+        0, total - crop, size=(K, batch), dtype=np.int32)
+    rng = jax.random.key(2)
+    mesh = create_mesh(8)
+
+    raw = make_spectrogram_train_step(model, tx, CFG, 5.0, "logMel", True, jit=False)
+
+    # K sequential sharded single steps, replicating make_multi_step's
+    # rng split discipline (rng, step_rng = split(rng) before each step).
+    state_seq = replicate(mesh, init_state(model, jax.random.key(0), sample, tx))
+    step1 = shard_train_step(raw, mesh)
+    r = rng
+    seq_losses = []
+    bufs = replicate(mesh, buffers)
+    for k in range(K):
+        r, step_rng = jax.random.split(r)
+        state_seq, loss = step1(state_seq, bufs,
+                                shard_batch(mesh, jnp.asarray(starts_block[k])),
+                                replicate(mesh, step_rng))
+        seq_losses.append(float(loss))
+
+    # One sharded K-step scan over the same block.
+    state_blk = replicate(mesh, init_state(model, jax.random.key(0), sample, tx))
+    multi = make_multi_step(raw, K, jit=False)
+    stepK = shard_train_step(multi, mesh, steps_per_call=K)
+    block = jax.device_put(jnp.asarray(starts_block),
+                           NamedSharding(mesh, P(None, DATA_AXIS)))
+    state_blk, losses = stepK(state_blk, replicate(mesh, buffers), block,
+                              replicate(mesh, rng))
+
+    np.testing.assert_allclose(np.asarray(losses), np.asarray(seq_losses), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(state_seq.params), jax.tree.leaves(state_blk.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+    for a, b in zip(jax.tree.leaves(state_seq.batch_stats),
+                    jax.tree.leaves(state_blk.batch_stats)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+
+
+def test_multihost_two_process_smoke():
+    """2-process jax.distributed CPU smoke (VERDICT r1 #9): each process runs
+    initialize_multihost + a cross-process psum over a 2-device global mesh.
+    Spawned as real subprocesses so the DCN coordinator path actually runs."""
+    import subprocess
+    import sys
+    import socket
+
+    # Pick a free port for the coordinator.
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    worker = r"""
+import sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+sys.path.insert(0, {repo!r})
+from sed_tpu.parallel.multihost import initialize_multihost, is_primary_host
+
+pid = int(sys.argv[1])
+initialize_multihost(coordinator_address="127.0.0.1:{port}",
+                     num_processes=2, process_id=pid)
+assert jax.process_count() == 2, jax.process_count()
+assert is_primary_host() == (pid == 0)
+
+import numpy as np
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+devices = np.array(jax.devices()).reshape(2)
+mesh = Mesh(devices, ("data",))
+sharding = NamedSharding(mesh, P("data"))
+
+# Each process contributes its process_index+1; global psum must see both.
+local = jnp.full((1,), float(pid + 1))
+garr = jax.make_array_from_single_device_arrays(
+    (2,), sharding, [jax.device_put(local, jax.local_devices()[0])])
+total = jax.jit(lambda x: jnp.sum(x), out_shardings=NamedSharding(mesh, P()))(garr)
+# Fully-addressable replicated output: safe to read on every host.
+assert float(total) == 3.0, float(total)
+print("OK", pid)
+""".format(repo=os.path.dirname(os.path.dirname(os.path.abspath(__file__))), port=port)
+
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)  # one CPU device per process
+    env["JAX_PLATFORMS"] = "cpu"
+    procs = [
+        subprocess.Popen([sys.executable, "-c", worker, str(pid)],
+                         stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env)
+        for pid in (0, 1)
+    ]
+    outs = [p.communicate(timeout=240) for p in procs]
+    for p, (out, err) in zip(procs, outs):
+        assert p.returncode == 0, (out.decode(), err.decode()[-2000:])
+    assert b"OK" in outs[0][0] and b"OK" in outs[1][0]
