@@ -98,3 +98,56 @@ def windowed_forward(
 
     scores = np.concatenate(pieces, axis=0)[None]
     return scores
+
+
+def pool_product(model_config: Sequence[Tuple[int, int]]) -> int:
+    p = 1
+    for _, pool in model_config:
+        p *= pool
+    return p
+
+
+def bucketed_forward_exact(
+    forward: Callable,
+    x: jnp.ndarray,
+    stride: int,
+    halo: int,
+    bucket: int = 64,
+) -> np.ndarray:
+    """Variable-length exact forward with O(#buckets + stride) compiled shapes.
+
+    Whole-recording eval jits one program per distinct recording length
+    (SURVEY.md §7 "hard parts": bucket/pad).  Zero-padding the time axis is
+    NOT output-preserving for a fully convolutional stack — the pad region
+    becomes nonzero after the first BN bias, so outputs within
+    ``receptive_field/2`` of the true end are corrupted.  This runs:
+
+      * a MAIN pass on x zero-padded to the next ``bucket`` multiple — exact
+        for output frames < c = stride*floor((t - halo)/stride) because their
+        receptive fields end before the pad junction (halo >= rf/2, and the
+        junction's layer-1 outputs are identical to the unpadded forward's own
+        conv zero padding);
+      * a TAIL pass on x[:, s:t] with s = c - halo — its right edge is the
+        TRUE recording end, so edge behavior is exact; outputs >= halo past
+        its left cut are uncorrupted.  s is stride-aligned so pooling phase
+        matches, and len = t - s is bounded in [2*halo, 2*halo + stride),
+        giving at most ``stride`` distinct tail shapes.
+
+    Recordings shorter than 2*halo + stride run the raw forward (one compile
+    per distinct short length).  Returns (1, stride*floor(t/stride), classes)
+    numpy logits identical to ``forward(x)``.
+    """
+    assert halo % stride == 0 and bucket % stride == 0
+    t = x.shape[1]
+    if t < 2 * halo + stride:
+        return np.asarray(forward(x))
+    t_out = stride * (t // stride)
+    c = stride * ((t - halo) // stride)
+
+    b = bucket * (-(-t // bucket))
+    xp = jnp.pad(x, ((0, 0), (0, b - t)) + ((0, 0),) * (x.ndim - 2))
+    main = np.asarray(forward(xp))  # (1, b, classes)
+
+    s = c - halo
+    tail = np.asarray(forward(x[:, s:t]))  # (1, t_out - s, classes)
+    return np.concatenate([main[:, :c], tail[:, c - s:t_out - s]], axis=1)

@@ -24,12 +24,18 @@ from sed_tpu.data.device_pipeline import (
     waveform_buffers_from_dataset,
 )
 from sed_tpu.train.checkpoint import save_checkpoint
-from sed_tpu.train.loss import weighted_bce_with_logits
+from sed_tpu.train.loss import weighted_bce_with_logits_np
 from sed_tpu.train.optim import make_optimizer
 from sed_tpu.train.state import init_state, make_eval_forward
 from sed_tpu.utils.metrics import calculate_metrics
 from sed_tpu.utils.plotting import plot_sample_features
 from sed_tpu.utils.progress import ProgressPlotter
+
+
+def _sigmoid_np(x: np.ndarray) -> np.ndarray:
+    x = np.asarray(x, np.float64)
+    return np.where(x >= 0, 1.0 / (1.0 + np.exp(-x)),
+                    np.exp(x) / (1.0 + np.exp(x))).astype(np.float32)
 
 
 def evaluate(
@@ -47,8 +53,14 @@ def evaluate(
     """Whole-recording eval (reference: train.py:12-74).
 
     Spectrogram mode: each validation recording goes through the fully
-    convolutional model as one (1, frames, mel, channels) batch.  Waveform
-    mode: a recording is a batch of hop-strided frames, each scoring one logit.
+    convolutional model as one (1, frames, mel, channels) batch — bucketed
+    with an exact tail pass (parallel.time_shard.bucketed_forward_exact), so
+    mixed-length validation sets compile O(#buckets) programs instead of one
+    per distinct recording length (SURVEY.md §7 "hard parts").  Waveform
+    mode: a recording is a batch of hop-strided frames, each scoring one
+    logit; the batch axis is padded to a bucket (frames are independent, so
+    batch padding is output-preserving).  Per-recording losses are computed
+    on host (numpy) to keep variable shapes off the device entirely.
     Sigmoid is applied here since models emit logits (train.py:44).
     Returns (losses, recall_sets, precision_sets, APs).
     """
@@ -56,25 +68,55 @@ def evaluate(
     losses, recal_sets, precision_sets, aps = [], [], [], []
     debug = []  # (input, output_scores, target, name)
 
+    model_config = getattr(model, "model_config", None)
+    if mode == "spectogram" and model_config is not None:
+        from sed_tpu.models.cnn import num_pools
+        from sed_tpu.parallel.time_shard import (
+            bucketed_forward_exact,
+            pool_product,
+            receptive_field,
+        )
+
+        stride = pool_product(model_config)
+        # The exactness argument assumes the interpolate ratio matches the
+        # actual time decimation (true for every shipped config; the
+        # reference's num_pools quirk could break it for exotic ones).
+        if 2 ** num_pools(model_config) != stride:
+            model_config = None
+        else:
+            rf = receptive_field(model_config)
+            halo = stride * (-(-(rf // 2 + 1) // stride))
+
     for input_np, target_np, name in dataset.get_validation_sampler(limit_val_samples):
         if mode == "spectogram":
             # (1, channels, frames, mel) -> NHWC
             x = jnp.transpose(jnp.asarray(input_np), (0, 2, 3, 1))
-            logits = forward(state.params, state.batch_stats, x)
-            loss = weighted_bce_with_logits(
-                logits, jnp.asarray(target_np), pos_weight, multi_frame=True
+            if model_config is not None:
+                logits = bucketed_forward_exact(
+                    lambda b: forward(state.params, state.batch_stats, b),
+                    x, stride, halo,
+                )
+            else:
+                logits = np.asarray(forward(state.params, state.batch_stats, x))
+            loss = weighted_bce_with_logits_np(
+                logits, np.asarray(target_np), pos_weight, multi_frame=True
             )
-            scores = np.asarray(jax.nn.sigmoid(logits))[0]
+            scores = _sigmoid_np(logits)[0]
             target = np.asarray(target_np)[0]
             plot_input = np.asarray(input_np)[0]
         else:
             # (frames, channels, samples) -> NWC batch of frames
             x = jnp.transpose(jnp.asarray(input_np), (0, 2, 1))
-            logits = forward(state.params, state.batch_stats, x)
-            loss = weighted_bce_with_logits(
-                logits, jnp.asarray(target_np), pos_weight, multi_frame=False
+            n = x.shape[0]
+            bucket = 32
+            padded = bucket * (-(-n // bucket))
+            if padded != n:
+                x = jnp.pad(x, ((0, padded - n), (0, 0), (0, 0)))
+            logits = np.asarray(forward(state.params, state.batch_stats, x))[:n]
+            loss = weighted_bce_with_logits_np(
+                logits, np.asarray(target_np), pos_weight, multi_frame=False
             )
-            scores = np.asarray(jax.nn.sigmoid(logits))
+            scores = _sigmoid_np(logits)
             target = np.asarray(target_np).reshape(-1, 1)
             plot_input = np.transpose(np.asarray(input_np), (1, 0, 2))
 

@@ -33,3 +33,23 @@ def weighted_bce_with_logits(
     targets = targets.astype(logits.dtype)
     loss = pos_weight * targets * softplus(-logits) + (1.0 - targets) * softplus(logits)
     return jnp.mean(loss)
+
+
+def weighted_bce_with_logits_np(logits, targets, pos_weight: float = 5.0,
+                                multi_frame: bool = True) -> float:
+    """Host numpy twin of :func:`weighted_bce_with_logits` for the eval loop,
+    where per-recording shapes vary — computing the scalar loss on host avoids
+    compiling a device program per distinct validation length."""
+    import numpy as np
+
+    logits = np.asarray(logits, np.float64)
+    targets = np.asarray(targets, np.float64)
+    if multi_frame:
+        n = min(logits.shape[1], targets.shape[1])
+        logits = logits[:, :n]
+        targets = targets[:, :n]
+    else:
+        logits = logits.reshape(-1)
+    sp = lambda z: np.logaddexp(0.0, z)  # log(1 + e^z), overflow-safe
+    loss = pos_weight * targets * sp(-logits) + (1.0 - targets) * sp(logits)
+    return float(loss.mean())
