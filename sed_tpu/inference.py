@@ -94,3 +94,61 @@ def batch_predict_files(
         for i, path in enumerate(paths):
             results[path] = scores[i]
     return results
+
+
+def make_batch_evaluator(
+    model,
+    cfg: SpectrogramConfig = DEFAULT_SPECTROGRAM,
+    mesh=None,
+    mean: Optional[np.ndarray] = None,
+    std: Optional[np.ndarray] = None,
+    pos_weight: float = 5.0,
+):
+    """Fused device evaluator: one dispatch scores AND grades a whole
+    equal-length validation batch.
+
+    (params, batch_stats, waveforms, targets) -> (scores, per-recording
+    losses, recalls (B, 21), precisions (B, 21), APs (B,)) — the 21-threshold
+    metric sweep (utils/metric_utils.py:4-33 semantics via
+    sed_tpu.utils.metrics.calculate_metrics_jax) runs on device, vmapped over
+    recordings, so a full validation pass costs a single host round trip
+    instead of one per recording — the eval analog of the fused train step.
+    Targets must already be truncated/padded to the model's output frame
+    count (min-frame truncation is applied on the frame axis like
+    utils/common.py:20-22).
+    """
+    from sed_tpu.train.loss import weighted_bce_with_logits
+    from sed_tpu.utils.metrics import calculate_metrics_jax
+
+    mean_arr = None if mean is None else jnp.asarray(np.asarray(mean, np.float32))
+    std_arr = None if std is None else jnp.asarray(np.asarray(std, np.float32))
+
+    def evaluate(params, batch_stats, waveforms, targets):
+        feats = logmel_features_batch(waveforms, cfg)
+        if mean_arr is not None:
+            feats = (feats - mean_arr) / std_arr
+        x = jnp.transpose(feats, (0, 2, 3, 1))
+        logits = model.apply({"params": params, "batch_stats": batch_stats},
+                             x, train=False)
+        n = min(logits.shape[1], targets.shape[1])
+        logits = logits[:, :n]
+        t = targets[:, :n]
+        scores = jax.nn.sigmoid(logits)
+        losses = jax.vmap(
+            lambda lg, tg: weighted_bce_with_logits(lg[None], tg[None],
+                                                    pos_weight, True)
+        )(logits, t)
+        recalls, precisions, aps = jax.vmap(calculate_metrics_jax)(scores, t)
+        return scores, losses, recalls, precisions, aps
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from sed_tpu.parallel.mesh import DATA_AXIS
+
+        rep = NamedSharding(mesh, P())
+        sharded = NamedSharding(mesh, P(DATA_AXIS))
+        return jax.jit(evaluate,
+                       in_shardings=(rep, rep, sharded, sharded),
+                       out_shardings=(sharded,) * 5)
+    return jax.jit(evaluate)

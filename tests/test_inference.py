@@ -91,3 +91,52 @@ def test_export_roundtrip(tmp_path):
         {"params": state.params, "batch_stats": state.batch_stats},
         jnp.asarray(x), train=False)))
     np.testing.assert_allclose(got, ref, atol=1e-6)
+
+
+def test_batch_evaluator_matches_host_metrics():
+    """make_batch_evaluator (fused device eval): per-recording losses, P/R
+    sweeps, and APs from one dispatch must equal the host-side path
+    (evaluate-loop semantics: sigmoid here, min-frame truncation, 21-threshold
+    sweep)."""
+    import jax
+
+    from sed_tpu.inference import make_batch_evaluator, make_batch_predictor
+    from sed_tpu.models.cnn import CnnAvgPooling
+    from sed_tpu.train.loss import weighted_bce_with_logits_np
+    from sed_tpu.train.optim import make_optimizer
+    from sed_tpu.train.state import init_state
+    from sed_tpu.utils.metrics import calculate_metrics
+
+    cfg = SpectrogramConfig(working_sample_rate=8000, time_margin=0.33)
+    rng = np.random.default_rng(0)
+    b, seconds = 3, 6
+    waveforms = rng.standard_normal(
+        (b, seconds * cfg.working_sample_rate, 1)).astype(np.float32) * 0.1
+    n_frames = 1 + seconds * cfg.frames_per_second
+    targets = (rng.random((b, n_frames, 1)) > 0.7).astype(np.float32)
+
+    model = CnnAvgPooling(classes_num=1, model_config=((8, 2), (16, 2)))
+    state = init_state(model, jax.random.key(0),
+                       jnp.zeros((1, cfg.train_crop_size, cfg.mel_bins, 1)),
+                       make_optimizer(1e-3))
+
+    ev = make_batch_evaluator(model, cfg)
+    scores, losses, recalls, precisions, aps = jax.tree.map(
+        np.asarray,
+        ev(state.params, state.batch_stats, jnp.asarray(waveforms),
+           jnp.asarray(targets)))
+
+    predictor = make_batch_predictor(model, cfg)
+    host_scores = np.asarray(
+        predictor(state.params, state.batch_stats, jnp.asarray(waveforms)))
+    n = min(host_scores.shape[1], targets.shape[1])
+    for i in range(b):
+        r, p, ap = calculate_metrics(host_scores[i, :n], targets[i, :n])
+        np.testing.assert_allclose(aps[i], ap, atol=1e-6)
+        np.testing.assert_allclose(recalls[i], r, atol=1e-6)
+        np.testing.assert_allclose(precisions[i], p, atol=1e-6)
+        logits = np.log(host_scores[i, :n]) - np.log1p(-host_scores[i, :n])
+        expect_loss = weighted_bce_with_logits_np(
+            logits[None], targets[i:i + 1, :n], 5.0, True)
+        np.testing.assert_allclose(losses[i], expect_loss, rtol=1e-4)
+    np.testing.assert_allclose(scores[:, :n], host_scores[:, :n], atol=1e-6)
