@@ -28,10 +28,18 @@ from sed_tpu.ops import stft as stft_ops
 FftImpl = Literal["fft", "matmul", "auto"]
 
 
-def resolve_pallas(use_pallas):
-    """'auto' -> the fully fused Pallas path on TPU, plain XLA elsewhere."""
+def resolve_pallas(use_pallas, cfg: SpectrogramConfig = DEFAULT_SPECTROGRAM):
+    """'auto' -> the fully fused Pallas path on TPU, plain XLA elsewhere.
+
+    The fused kernel's two-stage matmul FFT needs both stage sizes >= 128
+    lanes (nfft >= 32768, i.e. the production config) — Mosaic rejects the
+    smaller reshapes ("unsupported shape cast", observed for nfft=1024 on
+    hardware), so small configs fall back to the XLA path even on TPU.
+    """
     if use_pallas == "auto":
-        return "full" if jax.default_backend() == "tpu" else False
+        if jax.default_backend() != "tpu":
+            return False
+        return "full" if cfg.nfft >= 32768 else False
     return use_pallas
 
 
@@ -140,7 +148,7 @@ def logmel_features(
     """
     chans_first = jnp.swapaxes(waveform, 0, 1)
 
-    use_pallas = resolve_pallas(use_pallas)
+    use_pallas = resolve_pallas(use_pallas, cfg)
     if use_pallas == "full":
         from sed_tpu.ops.pallas_featurizer import logmel_frames_pallas
 
@@ -179,7 +187,7 @@ def logmel_features_batch(
     int16 input means PCM16 (de-quantized by 1/32768) on every path; see
     :func:`logmel_features`.
     """
-    use_pallas = resolve_pallas(use_pallas)
+    use_pallas = resolve_pallas(use_pallas, cfg)
     if use_pallas == "full":
         # Flatten (batch, channels, frames) into kernel rows — one grid covers
         # the whole batch.
