@@ -48,12 +48,15 @@ def main(batch: int = 256, iters: int = 20) -> None:
 
     print(f"{frames_sec:.0f} frames/sec -> {audio_sec:.0f} audio-sec/sec (hop-strided)",
           file=sys.stderr)
-    print(json.dumps({
+    result = {
         "metric": "M5 waveform inference (31680-sample frames)",
         "value": round(audio_sec, 1),
         "unit": "audio-sec/sec/chip",
         "vs_baseline": round(audio_sec / 100.0, 2),
-    }))
+    }
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "M5_BENCH.json"), "w") as f:
+        json.dump(result, f, indent=2)
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -69,12 +69,15 @@ def main(batch: int = 128, steps: int = 50) -> None:
 
     print(f"{im_sec:.0f} im/sec (batch {batch}, {1000 * elapsed / steps:.2f} ms/step)",
           file=sys.stderr)
-    print(json.dumps({
+    result = {
         "metric": "fused train step throughput (crops/sec, batch 128, augment on)",
         "value": round(im_sec, 1),
         "unit": "im/sec/chip",
         "vs_baseline": None,
-    }))
+    }
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "TRAIN_BENCH.json"), "w") as f:
+        json.dump(result, f, indent=2)
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -118,35 +118,31 @@ def _noise(rng, x, batch: int, real_axis_only: bool = False):
     return jnp.where(r > 0.5, x + noise.astype(x.dtype), x)
 
 
-def make_spectrogram_train_step(
-    model,
-    tx: optax.GradientTransformation,
-    cfg: SpectrogramConfig,
-    pos_weight: float = 5.0,
-    preprocessed_mode: str = "logMel",
-    augment: bool = False,
-    jit: bool = True,
-) -> Callable:
-    """Fused step: (state, buffers, starts (B,), rng) -> (state, loss).
+def make_gather_crops(cfg: SpectrogramConfig) -> Callable:
+    """(buffers, starts (B,)) -> ((B, C, crop, bins[, 2]), (B, crop, classes))
+    crop gatherer — exposed for the train-step profiler and custom pipelines.
 
-    ``jit=False`` returns the raw traceable function so callers (the
-    data-parallel wrapper) can jit it with explicit shardings.
-    """
+    Implemented as one advanced-indexing row gather instead of
+    vmap(dynamic_slice): hardware-measured 2x faster on TPU v5e (0.62 vs
+    1.17 ms for the augmented 512-crop volume; benchmarks/probe_gather.py) —
+    XLA lowers the per-sample dynamic slices into a slow scalar-offset loop,
+    while a single gather op vectorizes."""
     crop = cfg.train_crop_size
-    complex_mode = preprocessed_mode != "logMel"
 
     def gather_crops(buffers: SpectrogramBuffers, starts):
-        shape = buffers.features.shape
-        classes = buffers.events.shape[1]
-        sizes = (shape[0], crop) + shape[2:]
-        zeros = (0,) * (len(shape) - 2)
+        idx = starts[:, None] + jnp.arange(crop)     # (B, crop)
+        f = buffers.features[:, idx]                 # (C, B, crop, ...)
+        f = jnp.moveaxis(f, 1, 0)                    # (B, C, crop, ...)
+        e = buffers.events[idx]                      # (B, crop, classes)
+        return f, e
 
-        def one(s):
-            f = jax.lax.dynamic_slice(buffers.features, (0, s) + zeros, sizes)
-            e = jax.lax.dynamic_slice(buffers.events, (s, 0), (crop, classes))
-            return f, e
+    return gather_crops
 
-        return jax.vmap(one)(starts)
+
+def make_transform(cfg: SpectrogramConfig, preprocessed_mode: str = "logMel") -> Callable:
+    """Normalization (+ Complex-mode normalize-then-logmel quirk,
+    spectograms_dataset.py:104-110)."""
+    complex_mode = preprocessed_mode != "logMel"
 
     def transform(buffers: SpectrogramBuffers, x):
         if complex_mode:
@@ -155,6 +151,14 @@ def make_spectrogram_train_step(
             power = jnp.sum(x * x, axis=-1)
             return power_to_logmel(power, cfg)
         return (x - buffers.mean) / buffers.std
+
+    return transform
+
+
+def make_augment_batch(cfg: SpectrogramConfig, preprocessed_mode: str = "logMel") -> Callable:
+    """Mix + noise augmentation (reference spectograms_dataset.py:112-135)."""
+    complex_mode = preprocessed_mode != "logMel"
+    gather_crops = make_gather_crops(cfg)
 
     def augment_batch(rng, buffers: SpectrogramBuffers, feats, events):
         batch = feats.shape[0]
@@ -172,6 +176,27 @@ def make_spectrogram_train_step(
         events = jnp.maximum(events, (ee * emask).max(axis=1))
         feats = _noise(noise_key, feats, batch, real_axis_only=complex_mode)
         return feats, events
+
+    return augment_batch
+
+
+def make_spectrogram_train_step(
+    model,
+    tx: optax.GradientTransformation,
+    cfg: SpectrogramConfig,
+    pos_weight: float = 5.0,
+    preprocessed_mode: str = "logMel",
+    augment: bool = False,
+    jit: bool = True,
+) -> Callable:
+    """Fused step: (state, buffers, starts (B,), rng) -> (state, loss).
+
+    ``jit=False`` returns the raw traceable function so callers (the
+    data-parallel wrapper) can jit it with explicit shardings.
+    """
+    gather_crops = make_gather_crops(cfg)
+    transform = make_transform(cfg, preprocessed_mode)
+    augment_batch = make_augment_batch(cfg, preprocessed_mode)
 
     def step(state: TrainState, buffers: SpectrogramBuffers, starts, rng):
         feats, events = gather_crops(buffers, starts)
