@@ -82,26 +82,39 @@ def main() -> None:
     out.block_until_ready()
     log(f"compile+first run: {time.time() - t0:.1f}s, output {out.shape}")
 
-    # Headline: HBM-resident steady state, measured as a device-side loop so
-    # the per-dispatch RPC latency of this harness's TPU relay does not count
-    # against the chip (one dispatch runs `iters` pipeline applications; a
-    # tiny input perturbation per iteration defeats CSE).
-    iters = 20
+    # Headline: HBM-resident steady state, measured as two device-side loops
+    # of different lengths; the per-step time is the SLOPE between them, which
+    # cancels this harness's ~30 ms relay RPC floor exactly (a tiny input
+    # perturbation per iteration defeats CSE).
+    iters1, iters2 = 10, 30
 
-    @jax.jit
-    def pipeline_loop(w):
-        def body(i, carry):
-            w, acc = carry
-            out = pipeline_body(w)
-            return (w + jnp.int16(1), acc + out.sum())
+    def make_loop(body_fn, iters):
+        @jax.jit
+        def loop(w):
+            def body(i, carry):
+                w, acc = carry
+                return (w + jnp.int16(1), acc + body_fn(w).sum())
 
-        return jax.lax.fori_loop(0, iters, body, (w, jnp.float32(0.0)))[1]
+            return jax.lax.fori_loop(0, iters, body, (w, jnp.float32(0.0)))[1]
 
-    pipeline_loop(staged).block_until_ready()  # compile
-    t0 = time.time()
-    pipeline_loop(staged).block_until_ready()
-    compute_elapsed = time.time() - t0
-    compute_rate = batch * clip_seconds * iters / compute_elapsed
+        return loop
+
+    def slope_time(body_fn):
+        """Seconds per pipeline application, relay floor cancelled."""
+        times = []
+        for iters in (iters1, iters2):
+            loop = make_loop(body_fn, iters)
+            loop(staged).block_until_ready()  # compile + warm
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.time()
+                loop(staged).block_until_ready()
+                best = min(best, time.time() - t0)
+            times.append(best)
+        return (times[1] - times[0]) / (iters2 - iters1)
+
+    per_call = slope_time(pipeline_body)
+    compute_rate = batch * clip_seconds / per_call
 
     full_ab = os.environ.get("SED_BENCH_FULL", "") == "1"
 
@@ -113,36 +126,11 @@ def main() -> None:
         logits = model.apply({"params": params, "batch_stats": batch_stats}, x, train=False)
         return jax.nn.sigmoid(logits)
 
-    @jax.jit
-    def fast_loop(w):
-        def body(i, carry):
-            w, acc = carry
-            return (w + jnp.int16(1), acc + fast_body(w).sum())
-
-        return jax.lax.fori_loop(0, iters, body, (w, jnp.float32(0.0)))[1]
-
     if full_ab:
-        fast_loop(staged).block_until_ready()
-        t0 = time.time()
-        fast_loop(staged).block_until_ready()
-        fast_rate = batch * clip_seconds * iters / (time.time() - t0)
+        fast_rate = batch * clip_seconds / slope_time(fast_body)
         log(f"fast mode (FFT bf16x4, <=2e-4 dB): {fast_rate:.0f} audio-sec/sec")
-
-    # A/B: the pure-XLA featurizer path, same device-loop methodology.
-    @jax.jit
-    def xla_loop(w):
-        def body(i, carry):
-            w, acc = carry
-            out = xla_pipeline_body(w)
-            return (w + jnp.int16(1), acc + out.sum())
-
-        return jax.lax.fori_loop(0, iters, body, (w, jnp.float32(0.0)))[1]
-
-    if full_ab:
-        xla_loop(staged).block_until_ready()
-        t0 = time.time()
-        xla_loop(staged).block_until_ready()
-        xla_rate = batch * clip_seconds * iters / (time.time() - t0)
+        # A/B: the pure-XLA featurizer path, same slope methodology.
+        xla_rate = batch * clip_seconds / slope_time(xla_pipeline_body)
         log(f"XLA-featurizer path: {xla_rate:.0f} audio-sec/sec")
 
     # End-to-end including int16 H2D, copies overlapped with compute.

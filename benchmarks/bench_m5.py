@@ -25,24 +25,40 @@ def main(batch: int = 256, iters: int = 20) -> None:
 
     from sed_tpu.configs import DEFAULT_WAVEFORM as cfg
     from sed_tpu.models.m5 import M5
-    from sed_tpu.train.state import make_eval_forward
 
     model = M5(classes_num=cfg.classes_num)
     x = jnp.asarray(np.random.default_rng(0).standard_normal(
         (batch, cfg.frame_size, cfg.audio_channels)).astype(np.float32))
     variables = model.init(jax.random.key(0), x, train=False)
-    fwd = make_eval_forward(model)
+    params, batch_stats = variables["params"], variables.get("batch_stats", {})
+
+    def make_loop(k_iters):
+        @jax.jit
+        def loop(x0):
+            def body(i, carry):
+                xv, acc = carry
+                out = model.apply({"params": params, "batch_stats": batch_stats},
+                                  xv, train=False)
+                return (xv + 1e-6, acc + out.sum())
+
+            return jax.lax.fori_loop(0, k_iters, body, (x0, jnp.float32(0)))[1]
+
+        return loop
 
     print("compiling M5...", file=sys.stderr, flush=True)
-    out = fwd(variables["params"], variables.get("batch_stats", {}), x)
-    out.block_until_ready()
-
-    t0 = time.time()
-    for _ in range(iters):
-        out = fwd(variables["params"], variables.get("batch_stats", {}), x)
-    out.block_until_ready()
-    elapsed = time.time() - t0
-    frames_sec = batch * iters / elapsed
+    # Two-point slope over device loops cancels the ~30 ms relay RPC floor.
+    times = []
+    for k_iters in (iters, 3 * iters):
+        loop = make_loop(k_iters)
+        loop(x).block_until_ready()
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            loop(x).block_until_ready()
+            best = min(best, time.time() - t0)
+        times.append(best)
+    per_call = (times[1] - times[0]) / (2 * iters)
+    frames_sec = batch / per_call
     # hop-strided frames: one frame per hop => audio-sec/sec = frames/sec * hop / sr.
     audio_sec = frames_sec * cfg.hop_size / cfg.working_sample_rate
 

@@ -48,24 +48,39 @@ def main(batch: int = 128, steps: int = 50) -> None:
     model = CnnAvgPooling(classes_num=cfg.classes_num, model_config=TRAIN_CHANNEL_AND_POOL)
     tx = make_optimizer(1e-6)
     state = init_state(model, jax.random.key(0), jnp.zeros((batch, crop, mel, 1)), tx)
-    step = make_spectrogram_train_step(model, tx, cfg, pos_weight=5.0,
-                                       preprocessed_mode="logMel", augment=True)
-
     key = jax.random.key(1)
-    starts = jnp.asarray(rng.integers(0, total - crop, size=(steps + 5, batch), dtype=np.int32))
-    print("compiling train step...", file=sys.stderr, flush=True)
-    for i in range(5):  # warmup
-        key, k = jax.random.split(key)
-        state, loss = step(state, buffers, starts[i], k)
-    loss.block_until_ready()
+    k1, k2 = steps, 4 * steps
+    starts = jnp.asarray(rng.integers(0, total - crop, size=(k2, batch), dtype=np.int32))
+    raw = make_spectrogram_train_step(model, tx, cfg, pos_weight=5.0,
+                                      preprocessed_mode="logMel", augment=True,
+                                      jit=False)
 
-    t0 = time.time()
-    for i in range(steps):
-        key, k = jax.random.split(key)
-        state, loss = step(state, buffers, starts[5 + i], k)
-    loss.block_until_ready()
-    elapsed = time.time() - t0
-    im_sec = steps * batch / elapsed
+    def make_loop(k_iters):
+        def body(carry, st):
+            state, key = carry
+            key, kk = jax.random.split(key)
+            state, loss = raw(state, buffers, st, kk)
+            return (state, key), loss
+
+        return jax.jit(lambda state, key: jax.lax.scan(
+            body, (state, key), starts[:k_iters])[1].sum())
+
+    print("compiling train step...", file=sys.stderr, flush=True)
+    # Two-point slope over device-side scans cancels this harness's ~30 ms
+    # relay RPC floor (ROADMAP.md "Environment notes").
+    times = []
+    for k_iters in (k1, k2):
+        loop = make_loop(k_iters)
+        loop(state, key).block_until_ready()
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            loop(state, key).block_until_ready()
+            best = min(best, time.time() - t0)
+        times.append(best)
+    elapsed = (times[1] - times[0]) / (k2 - k1)
+    im_sec = batch / elapsed
+    elapsed *= steps  # keep the per-step print below correct
 
     print(f"{im_sec:.0f} im/sec (batch {batch}, {1000 * elapsed / steps:.2f} ms/step)",
           file=sys.stderr)

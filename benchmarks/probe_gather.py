@@ -115,3 +115,88 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def probe_packed():
+    """Second-round variants: pack rows so the gather moves fewer, larger rows
+    (TPU gathers are per-row latency-bound), then extract the 30-crop with
+    vector ops."""
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+    import jax.numpy as jnp
+
+    from sed_tpu.configs import DEFAULT_SPECTROGRAM as cfg
+
+    log = lambda *a: print(*a, file=sys.stderr, flush=True)
+    crop, mel = cfg.train_crop_size, cfg.mel_bins
+    total = 200 * crop
+    rng = np.random.default_rng(0)
+    features = jnp.asarray(rng.standard_normal((total, mel)).astype(np.float32))
+    starts0 = jnp.asarray(rng.integers(0, total - crop - 8, size=(B * MIX,), dtype=np.int32))
+
+    def timed(name, fn):
+        loop = jax.jit(lambda s: jax.lax.fori_loop(
+            0, K, lambda i, c: (c[0] + 1, c[1] + fn(c[0]).sum()),
+            (s, jnp.float32(0)))[1])
+        loop(starts0).block_until_ready()
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            loop(starts0).block_until_ready()
+            best = min(best, time.perf_counter() - t0)
+        log(f"{name:40s} {1e3 * best / K:7.3f} ms")
+        return best / K
+
+    def v_rowgather(starts):  # baseline winner from round 1 of this probe
+        idx = starts[:, None] + jnp.arange(crop)
+        return features[idx]
+
+    P = 8
+    packed = features.reshape(total // P, P * mel)  # (750, 512)
+    nblk = crop // P + 2  # 5 packed rows cover offset + 30
+
+    def blocks_of(starts):
+        base = starts // P
+        off = starts % P
+        idx = base[:, None] + jnp.arange(nblk)          # (N, 5)
+        blk = packed[idx].reshape(-1, nblk * P, mel)    # (N, 40, mel)
+        return blk, off
+
+    # F: packed gather + take_along_axis extract.
+    def v_packed_taa(starts):
+        blk, off = blocks_of(starts)
+        rows = off[:, None] + jnp.arange(crop)          # (N, 30)
+        return jnp.take_along_axis(blk, rows[:, :, None], axis=1)
+
+    # G: packed gather + selection-matmul extract (MXU).
+    def v_packed_mm(starts):
+        blk, off = blocks_of(starts)
+        r = jnp.arange(nblk * P)
+        sel = (off[:, None, None] + jnp.arange(crop)[None, :, None]
+               == r[None, None, :]).astype(jnp.float32)  # (N, 30, 40)
+        return jnp.einsum("njr,nrf->njf", sel, blk,
+                          precision=jax.lax.Precision.HIGHEST)
+
+    # H: packed gather + 8-way select ladder (static slices).
+    def v_packed_sel(starts):
+        blk, off = blocks_of(starts)
+        cands = jnp.stack([blk[:, q:q + crop] for q in range(P)], axis=1)  # (N, 8, 30, mel)
+        onehot = (jnp.arange(P)[None, :] == off[:, None]).astype(blk.dtype)
+        return jnp.einsum("nq,nqjf->njf", onehot, cands)
+
+    times = {}
+    times["B row gather (prev winner)"] = timed("B row gather (prev winner)", v_rowgather)
+    for name, fn in [("F packed8 + take_along_axis", v_packed_taa),
+                     ("G packed8 + selection matmul", v_packed_mm),
+                     ("H packed8 + select ladder", v_packed_sel)]:
+        times[name] = timed(name, fn)
+        got = np.asarray(jax.jit(fn)(starts0))
+        want = np.asarray(jax.jit(v_rowgather)(starts0))
+        assert np.array_equal(got, want), name
+    log("packed variants agree with row gather")
+
+
+if __name__ == "__main__" and os.environ.get("PROBE_PACKED") == "1":
+    probe_packed()
+    sys.exit(0)

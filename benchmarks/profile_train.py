@@ -32,7 +32,11 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 BATCH = 128
-K = 50  # scan iterations per timed dispatch
+# Two-point slope timing: time scans of K1 and K2 iterations and divide the
+# difference — cancels this harness's ~30 ms relay-RPC floor exactly
+# (ROADMAP.md "Environment notes"; a single-K measurement at K=50 inflates a
+# 0.9 ms step to 1.5 ms).
+K1, K2 = 50, 250
 
 # Dense bf16 peak FLOP/s per chip by TPU generation (public numbers).
 # device_kind strings: "TPU v4", "TPU v5 lite" (v5e), "TPU v5p", "TPU v6 lite".
@@ -89,7 +93,7 @@ def main():
                           model_config=TRAIN_CHANNEL_AND_POOL)
     tx = make_optimizer(1e-6)
     state0 = init_state(model, jax.random.key(0), jnp.zeros((BATCH, crop, mel, 1)), tx)
-    starts = jnp.asarray(rng.integers(0, total - crop, size=(K, BATCH), dtype=np.int32))
+    starts = jnp.asarray(rng.integers(0, total - crop, size=(K2, BATCH), dtype=np.int32))
     key0 = jax.random.key(1)
 
     gather = make_gather_crops(cfg)
@@ -109,24 +113,24 @@ def main():
         return weighted_bce_with_logits(out, events, 5.0, True), updates["batch_stats"]
 
     # --- component programs (each one jitted scan) --------------------------
-    def prog_data():
+    def prog_data(k_iters):
         def body(carry, st):
             key = carry
             key, k = jax.random.split(key)
             x, ev = data_body(buffers, st, k)
             return key, x.sum() + ev.sum()
-        return jax.jit(lambda key: jax.lax.scan(body, key, starts)[1].sum())
+        return jax.jit(lambda key: jax.lax.scan(body, key, starts[:k_iters])[1].sum())
 
-    def prog_fwd():
+    def prog_fwd(k_iters):
         def body(carry, st):
             key = carry
             key, k = jax.random.split(key)
             x, ev = data_body(buffers, st, k)
             loss, _ = loss_of(state0.params, state0.batch_stats, x, ev)
             return key, loss
-        return jax.jit(lambda key: jax.lax.scan(body, key, starts)[1].sum())
+        return jax.jit(lambda key: jax.lax.scan(body, key, starts[:k_iters])[1].sum())
 
-    def prog_fwdbwd():
+    def prog_fwdbwd(k_iters):
         def body(carry, st):
             key = carry
             key, k = jax.random.split(key)
@@ -135,45 +139,53 @@ def main():
                 lambda p: loss_of(p, state0.batch_stats, x, ev), has_aux=True
             )(state0.params)
             return key, loss + sum(jnp.sum(g) for g in jax.tree.leaves(grads))
-        return jax.jit(lambda key: jax.lax.scan(body, key, starts)[1].sum())
+        return jax.jit(lambda key: jax.lax.scan(body, key, starts[:k_iters])[1].sum())
 
     def prog_step(augment_on):
         raw = make_spectrogram_train_step(model, tx, cfg, 5.0, "logMel",
                                           augment_on, jit=False)
 
-        def body(carry, st):
-            state, key = carry
-            key, k = jax.random.split(key)
-            state, loss = raw(state, buffers, st, k)
-            return (state, key), loss
-        return jax.jit(
-            lambda state, key: jax.lax.scan(body, (state, key), starts)[1].sum())
+        def make(k_iters):
+            def body(carry, st):
+                state, key = carry
+                key, k = jax.random.split(key)
+                state, loss = raw(state, buffers, st, k)
+                return (state, key), loss
+            return jax.jit(lambda state, key: jax.lax.scan(
+                body, (state, key), starts[:k_iters])[1].sum())
+        return make
 
     programs = {
-        "data (gather+augment+normalize)": (prog_data(), (key0,)),
-        "data + fwd": (prog_fwd(), (key0,)),
-        "data + fwd + bwd": (prog_fwdbwd(), (key0,)),
+        "data (gather+augment+normalize)": (prog_data, (key0,)),
+        "data + fwd": (prog_fwd, (key0,)),
+        "data + fwd + bwd": (prog_fwdbwd, (key0,)),
         "full step (augment on)": (prog_step(True), (state0, key0)),
         "full step (augment off)": (prog_step(False), (state0, key0)),
     }
 
-    times = {}
-    for name, (fn, args) in programs.items():
-        log(f"compiling: {name} ...")
-        fn(*args).block_until_ready()
+    def best_of(fn, args, n=3):
+        fn(*args).block_until_ready()  # compile + warm
         best = float("inf")
-        for _ in range(3):
+        for _ in range(n):
             t0 = time.perf_counter()
             fn(*args).block_until_ready()
             best = min(best, time.perf_counter() - t0)
-        times[name] = best / K
-        log(f"  {name}: {1e3 * times[name]:.3f} ms/step")
+        return best
+
+    times = {}
+    for name, (make, args) in programs.items():
+        log(f"compiling: {name} ...")
+        t_k1 = best_of(make(K1), args)
+        t_k2 = best_of(make(K2), args)
+        times[name] = (t_k2 - t_k1) / (K2 - K1)
+        log(f"  {name}: {1e3 * times[name]:.3f} ms/step "
+            f"(floor {1e3 * (t_k1 - K1 * times[name]):.1f} ms)")
 
     step_t = times["full step (augment on)"]
     fwd_macs = BATCH * conv_stack_flops(TRAIN_CHANNEL_AND_POOL, crop, mel)
     fwd_flops = 2 * fwd_macs
     train_flops = 3 * fwd_flops  # fwd + dgrad + wgrad
-    kind = dev.device_kind.lower().replace(" ", "")
+    kind = dev.device_kind.lower()
     peak = next((v for k, v in PEAK_FLOPS.items() if k in kind), None)
     mfu = train_flops / step_t / peak if peak else None
 
@@ -193,7 +205,7 @@ def main():
     out = {
         "batch": BATCH,
         "device_kind": dev.device_kind,
-        "method": f"jitted lax.scan of K={K} steps per dispatch, best of 3",
+        "method": f"two-point slope over lax.scan of K={K1}/{K2} steps (cancels the relay RPC floor), best of 3",
         "times_ms_per_step": {k: round(1e3 * v, 4) for k, v in times.items()},
         "breakdown_ms": {k: round(v, 4) for k, v in breakdown.items()},
         "conv_train_gflops_per_step": round(train_flops / 1e9, 2),
