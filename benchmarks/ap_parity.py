@@ -164,6 +164,7 @@ def torch_train_and_eval(xs, ys, val_f, val_e, lr: float, log=print):
                 g["lr"] *= 0.997
         if (i + 1) % max(1, steps // 5) == 0:
             log(f"  torch step {i + 1}/{steps} loss={loss.item():.4f}")
+    final_loss = float(loss.item())
 
     model.eval()
     aps, recs, precs = [], [], []
@@ -177,7 +178,7 @@ def torch_train_and_eval(xs, ys, val_f, val_e, lr: float, log=print):
             precs.append(p)
     avg_r, avg_p = np.mean(recs, axis=0), np.mean(precs, axis=0)
     f1 = float(np.max(f_score(avg_r, avg_p, precision_importance_factor=1)))
-    return float(np.mean(aps)), f1, init_sd, model.state_dict()
+    return float(np.mean(aps)), f1, init_sd, final_loss
 
 
 def torch_params_to_flax(init_sd, n_blocks: int):
@@ -241,6 +242,7 @@ def jax_train_and_eval(xs, ys, val_f, val_e, lr: float, torch_init_sd, log=print
         state, loss = step_fn(state, x, y)
         if (i + 1) % max(1, steps // 5) == 0:
             log(f"  jax   step {i + 1}/{steps} loss={float(loss):.4f}")
+    final_loss = float(loss)
 
     fwd = make_eval_forward(model)
     aps, recs, precs = [], [], []
@@ -253,7 +255,7 @@ def jax_train_and_eval(xs, ys, val_f, val_e, lr: float, torch_init_sd, log=print
         precs.append(p)
     avg_r, avg_p = np.mean(recs, axis=0), np.mean(precs, axis=0)
     f1 = float(np.max(f_score(avg_r, avg_p, precision_importance_factor=1)))
-    return float(np.mean(aps)), f1, state
+    return float(np.mean(aps)), f1, final_loss
 
 
 def initial_forward_parity(torch_init_sd, val_f):
@@ -292,10 +294,12 @@ def run(steps=1500, batch=64, files=28, seconds=14.0, lr=1e-4, seed=0, log=print
         f"train frames {sum(len(f) for f in train_f)}, val files {len(val_f)}")
     xs, ys = build_batches(train_f, train_e, steps, batch, seed)
 
-    torch_ap, torch_f1, init_sd, _ = torch_train_and_eval(xs, ys, val_f, val_e, lr, log)
+    torch_ap, torch_f1, init_sd, torch_loss = torch_train_and_eval(
+        xs, ys, val_f, val_e, lr, log)
     init_parity = initial_forward_parity(init_sd, val_f)
     log(f"init forward parity (max |logit diff|): {init_parity:.2e}")
-    jax_ap, jax_f1, _ = jax_train_and_eval(xs, ys, val_f, val_e, lr, init_sd, log)
+    jax_ap, jax_f1, jax_loss = jax_train_and_eval(xs, ys, val_f, val_e, lr,
+                                                  init_sd, log)
 
     result = {
         "config": {"steps": steps, "batch": batch, "files": files,
@@ -305,8 +309,11 @@ def run(steps=1500, batch=64, files=28, seconds=14.0, lr=1e-4, seed=0, log=print
                    "augmentation": False},
         "positive_frame_fraction": pos_frac,
         "init_forward_max_logit_diff": init_parity,
-        "torch": {"mean_ap": torch_ap, "max_f1": torch_f1},
-        "sed_tpu": {"mean_ap": jax_ap, "max_f1": jax_f1},
+        "torch": {"mean_ap": torch_ap, "max_f1": torch_f1,
+                  "final_loss": torch_loss},
+        "sed_tpu": {"mean_ap": jax_ap, "max_f1": jax_f1,
+                    "final_loss": jax_loss},
+        "final_loss_delta": abs(torch_loss - jax_loss),
         "ap_delta_points": abs(torch_ap - jax_ap) * 100.0,
         "north_star": "frame AP within 0.5 points (BASELINE.json)",
         "pass": bool(abs(torch_ap - jax_ap) * 100.0 < 0.5),

@@ -62,6 +62,9 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         help=">1 trains data-parallel over a ('data',) mesh of "
                              "that many local devices; batch_size is global")
     parser.add_argument("--seed", default=0, type=int)
+    parser.add_argument("--bf16", action="store_true", default=False,
+                        help="Compute the model in bfloat16 (params stay f32; "
+                             "~MXU 2x fast mode, opt-in).")
     parser.add_argument("--debug_nans", action="store_true", default=False,
                         help="enable jax NaN checking (aux debugging, SURVEY §5)")
     parser.add_argument("--profile_dir", type=str, default="",
@@ -104,7 +107,11 @@ def get_spectrogram_dataset_and_model(args):
         seed=args.seed,
     )
     # Model config from the reference training CLI (main.py:35).
-    model = CnnAvgPooling(classes_num=cfg.classes_num, model_config=TRAIN_CHANNEL_AND_POOL)
+    import jax.numpy as jnp
+
+    dtype = jnp.bfloat16 if getattr(args, "bf16", False) else jnp.float32
+    model = CnnAvgPooling(classes_num=cfg.classes_num,
+                          model_config=TRAIN_CHANNEL_AND_POOL, dtype=dtype)
     descriptor = f"{args.preprocess_mode}-{cfg.cfg_descriptor}"
     return dataset, model, cfg, descriptor, "spectogram"
 
@@ -139,7 +146,10 @@ def get_waveform_dataset_and_model(args):
         cfg=cfg,
         seed=args.seed,
     )
-    model = M5(1)
+    import jax.numpy as jnp
+
+    dtype = jnp.bfloat16 if getattr(args, "bf16", False) else jnp.float32
+    model = M5(1, dtype=dtype)
     return dataset, model, cfg, cfg.cfg_descriptor, "waveform"
 
 

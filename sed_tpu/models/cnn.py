@@ -50,14 +50,20 @@ class CnnAvgPooling(nn.Module):
 
     classes_num: int
     model_config: Tuple[Tuple[int, int], ...] = DEFAULT_CHANNEL_AND_POOL
+    # bf16 fast mode: compute in bfloat16 (params/BN stats stay float32,
+    # logits cast back to float32 for the loss).  Opt-in; parity mode is f32.
+    dtype: type = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        x = x.astype(self.dtype)
         for out_channels, pool in self.model_config:
-            x = ConvBlock(out_channels, pool)(x, train=train)
+            x = ConvBlock(out_channels, pool, dtype=self.dtype)(x, train=train)
         x = jnp.mean(x, axis=2)  # mean over mel bins -> (batch, frames', features)
-        x = nn.Dense(self.classes_num, kernel_init=kaiming_uniform)(x)  # logits
-        return interpolate(x, 2 ** num_pools(self.model_config))
+        x = nn.Dense(self.classes_num, kernel_init=kaiming_uniform,
+                     dtype=self.dtype)(x)  # logits
+        logits = interpolate(x, 2 ** num_pools(self.model_config))
+        return logits.astype(jnp.float32)
 
     def scores(self, x: jnp.ndarray) -> jnp.ndarray:
         """Sigmoid confidences (reference ``logits`` helper, spectogram_models.py:204-205)."""

@@ -44,6 +44,7 @@ class ConvBlock(nn.Module):
 
     out_channels: int
     pool_size: int = 2
+    dtype: type = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -55,9 +56,11 @@ class ConvBlock(nn.Module):
                 padding=1,
                 use_bias=False,
                 kernel_init=kaiming_uniform,
+                dtype=self.dtype,
             )(x)
             x = nn.BatchNorm(
-                use_running_average=not train, momentum=BN_MOMENTUM, epsilon=BN_EPS
+                use_running_average=not train, momentum=BN_MOMENTUM,
+                epsilon=BN_EPS, dtype=self.dtype,
             )(x)
             x = nn.relu(x)
         if self.pool_size > 1:

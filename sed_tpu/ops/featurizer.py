@@ -150,20 +150,17 @@ def logmel_features(
 
     use_pallas = resolve_pallas(use_pallas, cfg)
     if use_pallas == "full":
-        from sed_tpu.ops.pallas_featurizer import logmel_frames_pallas
+        from sed_tpu.ops.pallas_featurizer import logmel_waveform_pallas
 
-        # int16 PCM stays int16 through framing (half the HBM traffic); the
-        # kernel de-quantizes exactly via the pre-scaled window.
-        if chans_first.dtype != jnp.int16:
+        # Framing happens INSIDE the kernel (row-granular HBM DMA + rolls) —
+        # no (frames, n_fft) array ever exists in HBM.  1.18x the XLA-framing
+        # path on v5e (benchmarks/README.md, round 2).
+        if chans_first.dtype == jnp.int16:
+            chans_first = chans_first.astype(jnp.float32) / 32768.0
+        else:
             chans_first = chans_first.astype(jnp.float32)
-        channels = chans_first.shape[0]
-        frames = jax.vmap(
-            lambda y: stft_ops.frame_signal(y, cfg.nfft, cfg.hop_size)
-        )(chans_first)  # (channels, n_frames, n_fft); window lives in-kernel
-        n_frames = frames.shape[1]
-        mel = logmel_frames_pallas(frames.reshape(channels * n_frames, cfg.nfft), cfg,
-                                   precision=pallas_precision)
-        return mel.reshape(channels, n_frames, cfg.mel_bins)
+        return logmel_waveform_pallas(chans_first, cfg,
+                                      precision=pallas_precision)
 
     if chans_first.dtype == jnp.int16:
         chans_first = chans_first.astype(jnp.float32) / 32768.0
@@ -189,21 +186,19 @@ def logmel_features_batch(
     """
     use_pallas = resolve_pallas(use_pallas, cfg)
     if use_pallas == "full":
-        # Flatten (batch, channels, frames) into kernel rows — one grid covers
-        # the whole batch.
-        from sed_tpu.ops.pallas_featurizer import logmel_frames_pallas
+        # Flatten (batch, channels) into kernel signals — one grid covers the
+        # whole batch; framing happens inside the kernel (see logmel_features).
+        from sed_tpu.ops.pallas_featurizer import logmel_waveform_pallas
 
-        b, _, c = waveforms.shape
+        b, samples, c = waveforms.shape
         chans_first = jnp.transpose(waveforms, (0, 2, 1))
-        if chans_first.dtype != jnp.int16:
+        if chans_first.dtype == jnp.int16:
+            chans_first = chans_first.astype(jnp.float32) / 32768.0
+        else:
             chans_first = chans_first.astype(jnp.float32)
-        frames = jax.vmap(jax.vmap(
-            lambda y: stft_ops.frame_signal(y, cfg.nfft, cfg.hop_size)
-        ))(chans_first)  # (B, C, F, n_fft)
-        n_frames = frames.shape[2]
-        mel = logmel_frames_pallas(frames.reshape(b * c * n_frames, cfg.nfft), cfg,
-                                   precision=pallas_precision)
-        return mel.reshape(b, c, n_frames, cfg.mel_bins)
+        mel = logmel_waveform_pallas(chans_first.reshape(b * c, samples), cfg,
+                                     precision=pallas_precision)
+        return mel.reshape(b, c, -1, cfg.mel_bins)
     return jax.vmap(
         lambda w: logmel_features(w, cfg, fft_impl, use_pallas, pallas_precision)
     )(waveforms)

@@ -112,3 +112,42 @@ def test_kaiming_uniform_bound():
     kk = np.asarray(k)
     assert kk.min() >= -bound and kk.max() <= bound
     assert kk.max() > 0.8 * bound  # actually fills the range
+
+
+def test_bf16_fast_mode():
+    """Opt-in bf16 compute: params stay f32, logits come back f32 and close
+    to the f32 model's output; a train step stays finite."""
+    import jax
+
+    from sed_tpu.models.cnn import CnnAvgPooling, TRAIN_CHANNEL_AND_POOL
+    from sed_tpu.models.m5 import M5
+    from sed_tpu.train.optim import make_optimizer
+    from sed_tpu.train.state import init_state, make_train_step
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 30, 64, 1)).astype(np.float32))
+
+    f32 = CnnAvgPooling(classes_num=1, model_config=TRAIN_CHANNEL_AND_POOL)
+    bf16 = CnnAvgPooling(classes_num=1, model_config=TRAIN_CHANNEL_AND_POOL,
+                         dtype=jnp.bfloat16)
+    v = f32.init(jax.random.key(0), x, train=False)
+    # Same param tree/dtypes: the bf16 model runs with the f32 params.
+    vb = bf16.init(jax.random.key(0), x, train=False)
+    assert all(l.dtype == jnp.float32 for l in jax.tree.leaves(vb["params"]))
+    out32 = f32.apply(v, x, train=False)
+    out16 = bf16.apply(v, x, train=False)
+    assert out16.dtype == jnp.float32
+    assert np.abs(np.asarray(out16) - np.asarray(out32)).max() < 0.15
+
+    tx = make_optimizer(1e-3)
+    state = init_state(bf16, jax.random.key(0), x, tx)
+    step = make_train_step(bf16, tx)
+    y = jnp.asarray((rng.random((2, 30, 1)) > 0.8).astype(np.float32))
+    state, loss = step(state, x, y)
+    assert np.isfinite(float(loss))
+
+    m5_16 = M5(classes_num=1, dtype=jnp.bfloat16)
+    w = jnp.asarray(rng.standard_normal((2, 31680, 1)).astype(np.float32))
+    vm = m5_16.init(jax.random.key(0), w, train=False)
+    out = m5_16.apply(vm, w, train=False)
+    assert out.dtype == jnp.float32 and np.isfinite(np.asarray(out)).all()

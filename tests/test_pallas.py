@@ -75,9 +75,11 @@ def test_dma_framing_fused_kernel_matches_xla_path():
         np.asarray(logmel_features(sigs[i][:, None], cfg, "fft", use_pallas=False))[0]
         for i in range(3)
     ])
-    got = np.asarray(logmel_waveform_pallas(jnp.asarray(sigs), cfg, interpret=True))
-    assert got.shape == ref.shape
-    np.testing.assert_allclose(got, ref, atol=1e-4)
+    for impl in ("roll", "slice"):
+        got = np.asarray(logmel_waveform_pallas(jnp.asarray(sigs), cfg,
+                                                interpret=True, impl=impl))
+        assert got.shape == ref.shape, impl
+        np.testing.assert_allclose(got, ref, atol=1e-4, err_msg=impl)
 
 
 def test_int16_frames_path_exact():
