@@ -133,21 +133,41 @@ def main() -> None:
         xla_rate = batch * clip_seconds / slope_time(xla_pipeline_body)
         log(f"XLA-featurizer path: {xla_rate:.0f} audio-sec/sec")
 
-    # End-to-end including int16 H2D, copies overlapped with compute.
+    # End-to-end including int16 H2D: threaded double-buffer (a worker thread
+    # streams the next batch while the device computes on the current one) —
+    # hardware-measured best of {serial, async-pipelined, threaded} in this
+    # harness.  The asymptote is the relay link itself: raw device_put of one
+    # batch is measured alongside, and e2e is reported with its link
+    # utilization (e2e is 100% transfer-bound here; compute is ~18 ms/batch
+    # against ~2.7 s/batch of transfer at ~34 MB/s).
+    from concurrent.futures import ThreadPoolExecutor
+
     t0 = time.time()
+    for i in range(3):
+        jax.device_put(host_batches[i % 2]).block_until_ready()
+    put_floor = (time.time() - t0) / 3
+    floor_rate = batch * clip_seconds / put_floor
+
+    ex = ThreadPoolExecutor(1)
+    n_e2e = 4
+    t0 = time.time()
+    fut = ex.submit(jax.device_put, host_batches[0])
     pending = []
-    for i in range(4):
-        nxt = jax.device_put(host_batches[(i + 1) % 2])
+    for i in range(n_e2e):
+        staged = fut.result()
+        fut = ex.submit(jax.device_put, host_batches[(i + 1) % 2])
         pending.append(pipeline(staged))
-        staged = nxt
-    for p in pending:
-        p.block_until_ready()
-    e2e_elapsed = time.time() - t0
-    e2e_rate = batch * clip_seconds * 4 / e2e_elapsed
+    for pnd in pending:
+        pnd.block_until_ready()
+    e2e_rate = batch * clip_seconds * n_e2e / (time.time() - t0)
+    ex.shutdown(wait=False)
 
     log(f"HBM-resident: {compute_rate:.0f} audio-sec/sec "
         f"({compute_rate / clip_seconds:.1f} clips/s)")
-    log(f"end-to-end (int16 H2D via relay): {e2e_rate:.0f} audio-sec/sec")
+    log(f"relay H2D floor: {floor_rate:.0f} audio-sec/sec "
+        f"({host_batches[0].nbytes / put_floor / 1e6:.1f} MB/s)")
+    log(f"end-to-end (int16 H2D, threaded double-buffer): {e2e_rate:.0f} "
+        f"audio-sec/sec = {100 * e2e_rate / floor_rate:.0f}% of the link floor")
 
     print(json.dumps({
         "metric": "featurize+infer throughput, 60s clips, HBM-resident",

@@ -76,23 +76,41 @@ def batch_predict_files(
 
     results = {}
     n_dev = 1 if mesh is None else mesh.devices.size
-    for _, group in sorted(by_len.items()):
-        paths = [p for p, _ in group]
+
+    def staged_batch(group):
         batch = np.stack([w for _, w in group])
         pad = (-len(batch)) % n_dev
         if pad:
             batch = np.concatenate([batch, np.zeros((pad,) + batch.shape[1:], batch.dtype)])
         if mesh is not None:
-            from sed_tpu.parallel.mesh import replicate, shard_batch
+            from sed_tpu.parallel.mesh import shard_batch
 
-            scores = np.asarray(predictor(
-                replicate(mesh, state.params), replicate(mesh, state.batch_stats),
-                shard_batch(mesh, jnp.asarray(batch)),
-            ))
-        else:
-            scores = np.asarray(predictor(state.params, state.batch_stats, jnp.asarray(batch)))
-        for i, path in enumerate(paths):
-            results[path] = scores[i]
+            return shard_batch(mesh, jnp.asarray(batch))
+        return jax.device_put(jnp.asarray(batch))
+
+    # Double-buffer: a worker thread uploads the next group's waveforms while
+    # the device scores the current one (host->device copies are the
+    # bottleneck for long-form batches; see bench.py's e2e methodology).
+    from concurrent.futures import ThreadPoolExecutor
+
+    groups = [g for _, g in sorted(by_len.items())]
+    with ThreadPoolExecutor(1) as ex:
+        fut = ex.submit(staged_batch, groups[0]) if groups else None
+        for gi, group in enumerate(groups):
+            batch = fut.result()
+            if gi + 1 < len(groups):
+                fut = ex.submit(staged_batch, groups[gi + 1])
+            if mesh is not None:
+                from sed_tpu.parallel.mesh import replicate
+
+                scores = np.asarray(predictor(
+                    replicate(mesh, state.params),
+                    replicate(mesh, state.batch_stats), batch,
+                ))
+            else:
+                scores = np.asarray(predictor(state.params, state.batch_stats, batch))
+            for i, (path, _) in enumerate(group):
+                results[path] = scores[i]
     return results
 
 
