@@ -71,11 +71,12 @@ def main(batch: int = 128, steps: int = 50) -> None:
     times = []
     for k_iters in (k1, k2):
         loop = make_loop(k_iters)
-        loop(state, key).block_until_ready()
+        float(loop(state, key))  # compile + fetch
         best = float("inf")
-        for _ in range(3):
+        for rep in range(3):
+            kr = jax.random.fold_in(key, rep)  # fresh rng defeats relay caching
             t0 = time.time()
-            loop(state, key).block_until_ready()
+            float(loop(state, kr))  # forced value fetch (see bench.py note)
             best = min(best, time.time() - t0)
         times.append(best)
     elapsed = (times[1] - times[0]) / (k2 - k1)

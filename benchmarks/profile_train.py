@@ -164,11 +164,21 @@ def main():
     }
 
     def best_of(fn, args, n=3):
-        fn(*args).block_until_ready()  # compile + warm
+        float(fn(*args))  # compile + fetch
         best = float("inf")
-        for _ in range(n):
+        for rep in range(n):
+            # Fresh rng per rep + forced value fetch: the relay can serve
+            # repeated identical executions from a cache, and
+            # block_until_ready() can return optimistically.
+            import jax.numpy as _jnp
+
+            args_r = tuple(
+                jax.random.fold_in(a, rep)
+                if hasattr(a, "dtype") and _jnp.issubdtype(a.dtype, jax.dtypes.prng_key)
+                else a
+                for a in args)
             t0 = time.perf_counter()
-            fn(*args).block_until_ready()
+            float(fn(*args_r))
             best = min(best, time.perf_counter() - t0)
         return best
 

@@ -95,13 +95,18 @@ def _matmul_fft_constants(n_fft: int):
     """Precompute split-radix constants for the two-stage matmul FFT.
 
     Balanced factorization n_fft = n1 * n2 with n1 ~ n2 ~ sqrt(n_fft): at the
-    production size (m = 16384) both DFT stages become 128x128 matmuls that
-    exactly fill the MXU systolic array (a lopsided 256x64 split measured ~2x
-    slower).  Returns float32 real/imag parts.
+    packed production size (m = 16384) both DFT stages become 128x128 matmuls
+    that exactly fill the MXU systolic array (a lopsided 256x64 split measured
+    ~2x slower).  For odd log2 sizes the SMALLER factor goes to n1 (the outer
+    stage): real-input callers run the inner stage as 2 real matmuls but the
+    outer as 4 (complex x complex), so FLOPs = 4*N*n2 + 8*N*n1 — putting the
+    larger factor on the 2-matmul inner stage is a 1.25x FLOP cut at
+    n_fft = 32768 (n1=128, n2=256 vs the reverse).  Returns float32
+    real/imag parts.
     """
     k = int(np.log2(n_fft))
     assert 2 ** k == n_fft, f"matmul FFT requires power-of-two size, got {n_fft}"
-    n1 = 2 ** ((k + 1) // 2)
+    n1 = 2 ** (k // 2)
     n2 = n_fft // n1
     w2 = _dft_matrix(n2)                       # inner stage (n2, n2)
     w1 = _dft_matrix(n1)                       # outer stage (n1, n1)
