@@ -118,6 +118,26 @@ def _folded_filterbank(cfg: SpectrogramConfig, k_padded: int) -> np.ndarray:
     return out
 
 
+@functools.lru_cache(maxsize=4)
+def _onesided_tile_filterbank(cfg: SpectrogramConfig, k_padded: int) -> np.ndarray:
+    """One-sided mel filterbank permuted to the HALF-size FFT's tile layout
+    (packed even/odd path): row j = k2*n1 + k1 holds fb[bin n2*k1 + k2] for
+    bins 0..m-1 (m = n_fft//2), and row m holds the Nyquist row fb[m] — the
+    unpack stage appends |X[m]|^2 as power column m."""
+    from sed_tpu.ops import stft as stft_ops
+
+    m = cfg.nfft // 2
+    n1, n2, *_ = stft_ops._matmul_fft_constants(m)
+    fb = mel_ops.mel_filterbank(cfg, dtype=np.float64)  # (m+1, mel)
+    k2 = np.arange(n2)[:, None]
+    k1 = np.arange(n1)[None, :]
+    bins = (n2 * k1 + k2).reshape(-1)  # flat j = k2*n1 + k1 -> spectral bin
+    out = np.zeros((k_padded, LANES), dtype=np.float32)
+    out[:m, : cfg.mel_bins] = fb[bins].astype(np.float32)
+    out[m, : cfg.mel_bins] = fb[m].astype(np.float32)
+    return out
+
+
 def _split_bf16(a):
     """f32 -> (hi, lo) with hi = bf16-rounded leading bits, lo = residual."""
     hi = a.astype(jnp.bfloat16).astype(jnp.float32)
@@ -136,6 +156,17 @@ def _make_dot(precision):
     above the 1e-4 budget) — the FFT kernel therefore defaults to HIGHEST
     (the full 3-way split) and offers bf16x4 only as an explicit fast mode.
     """
+    if precision == "bf16x1":
+        # Single-pass bf16 matmul — NOT accurate enough for any production
+        # tier; exists so profiling can put a floor under the matmul cost.
+        d = jax.lax.Precision.DEFAULT
+
+        def dot1(a, b, dn):
+            return jax.lax.dot_general(a, b, dn, precision=d,
+                                       preferred_element_type=jnp.float32)
+
+        return dot1
+
     if precision in ("bf16x3", "bf16x4"):
         d = jax.lax.Precision.DEFAULT
         passes = 4 if precision == "bf16x4" else 3
@@ -191,8 +222,19 @@ def _make_dot(precision):
     return dot
 
 
-def _make_fft_power_kernel(n_fft: int, n1: int, n2: int, precision=None):
+def _stage_dots(precision):
+    """Per-stage matmul accuracy: a single tier for both FFT stages, or a
+    ``(inner, outer)`` tuple — the two stages have different cancellation
+    profiles, so mixed tiers (e.g. HIGHEST inner / bf16x4 outer) are a
+    legitimate speed/accuracy point to probe on hardware."""
+    if isinstance(precision, tuple):
+        return _make_dot(precision[0]), _make_dot(precision[1])
     dot = _make_dot(precision)
+    return dot, dot
+
+
+def _make_fft_power_kernel(n_fft: int, n1: int, n2: int, precision=None):
+    dot_inner, dot_outer = _stage_dots(precision)
 
     def kernel(frames_ref, window_ref, w2r_ref, w2i_ref, w1r_ref, w1i_ref,
                twr_ref, twi_ref, out_ref):
@@ -204,8 +246,8 @@ def _make_fft_power_kernel(n_fft: int, n1: int, n2: int, precision=None):
         # Inner DFT over n2, all frames as one matmul: (n2, n2) @ (n2, R*n1).
         x2 = jnp.transpose(x, (1, 0, 2)).reshape(n2, rows * n1)
         dn = (((1,), (0,)), ((), ()))
-        yr = dot(w2r_ref[:], x2, dn)
-        yi = dot(w2i_ref[:], x2, dn)
+        yr = dot_inner(w2r_ref[:], x2, dn)
+        yi = dot_inner(w2i_ref[:], x2, dn)
         # Twiddle W_N^{n1*k2}: (n2, n1) broadcast over frames.
         yr = yr.reshape(n2, rows, n1)
         yi = yi.reshape(n2, rows, n1)
@@ -216,8 +258,8 @@ def _make_fft_power_kernel(n_fft: int, n1: int, n2: int, precision=None):
         # Outer DFT over n1, frames x k2 rows folded: (R*n2, n1) @ (n1, n1).
         tr = jnp.transpose(tr, (1, 0, 2)).reshape(rows * n2, n1)
         ti = jnp.transpose(ti, (1, 0, 2)).reshape(rows * n2, n1)
-        zr = dot(tr, w1r_ref[:], dn) - dot(ti, w1i_ref[:], dn)
-        zi = dot(tr, w1i_ref[:], dn) + dot(ti, w1r_ref[:], dn)
+        zr = dot_outer(tr, w1r_ref[:], dn) - dot_outer(ti, w1i_ref[:], dn)
+        zi = dot_outer(tr, w1i_ref[:], dn) + dot_outer(ti, w1r_ref[:], dn)
         power = zr * zr + zi * zi                         # (R*n2, n1): [f, k2, k1]
         out_ref[:] = power.reshape(rows, n_fft)           # flat idx k2*n1 + k1
 
@@ -296,7 +338,7 @@ def _make_wave_fft_power_kernel(n_fft: int, n1: int, n2: int, hop: int,
 
 def _make_wave_fft_power_kernel_roll(n_fft: int, n1: int, n2: int, hop: int,
                                      s_pad: int, span_len: int, phases,
-                                     precision=None):
+                                     precision=None, debug_frame_mode="roll"):
     """DMA-framing kernel, roll-based frame extraction.
 
     The slice-based kernel above fails to lower because Mosaic rejects
@@ -357,18 +399,26 @@ def _make_wave_fft_power_kernel_roll(n_fft: int, n1: int, n2: int, hop: int,
 
             return _build
 
-        phase_idx = jax.lax.rem(t, len(phases))
-        frames = jax.lax.switch(phase_idx, [build(p) for p in phases])
+        if debug_frame_mode == "aligned":
+            # PROFILING ONLY (wrong values): skip the roll machinery and take
+            # 8 aligned slices — isolates the framing cost in-situ.
+            frames = jnp.stack([
+                span_vmem[(f * (hop // 1024) * 8):(f * (hop // 1024) * 8) + frame_rows, :]
+                for f in range(FFT_TILE_R)
+            ])
+        else:
+            phase_idx = jax.lax.rem(t, len(phases))
+            frames = jax.lax.switch(phase_idx, [build(p) for p in phases])
         frames = frames.reshape(FFT_TILE_R, n_fft)
 
         rows = FFT_TILE_R
-        dot = _make_dot(precision)
+        dot_inner, dot_outer = _stage_dots(precision)
         x = frames * window_ref[0]
         x = x.reshape(rows, n2, n1)
         x2 = jnp.transpose(x, (1, 0, 2)).reshape(n2, rows * n1)
         dn = (((1,), (0,)), ((), ()))
-        yr = dot(w2r_ref[:], x2, dn)
-        yi = dot(w2i_ref[:], x2, dn)
+        yr = dot_inner(w2r_ref[:], x2, dn)
+        yi = dot_inner(w2i_ref[:], x2, dn)
         yr = yr.reshape(n2, rows, n1)
         yi = yi.reshape(n2, rows, n1)
         twr = twr_ref[:].reshape(n2, 1, n1)
@@ -377,12 +427,286 @@ def _make_wave_fft_power_kernel_roll(n_fft: int, n1: int, n2: int, hop: int,
         ti = yr * twi + yi * twr
         tr = jnp.transpose(tr, (1, 0, 2)).reshape(rows * n2, n1)
         ti = jnp.transpose(ti, (1, 0, 2)).reshape(rows * n2, n1)
-        zr = dot(tr, w1r_ref[:], dn) - dot(ti, w1i_ref[:], dn)
-        zi = dot(tr, w1i_ref[:], dn) + dot(ti, w1r_ref[:], dn)
+        zr = dot_outer(tr, w1r_ref[:], dn) - dot_outer(ti, w1i_ref[:], dn)
+        zi = dot_outer(tr, w1i_ref[:], dn) + dot_outer(ti, w1r_ref[:], dn)
         power = zr * zr + zi * zi
         out_ref[:] = power.reshape(rows, n_fft)
 
     return kernel
+
+
+# ---------------------------------------------------------------------------
+# Packed even/odd rFFT featurizer ('pack').  The classic rFFT halving: frame
+# even/odd half-waveforms in-kernel (same roll framing, half hop / half frame
+# length), run ONE half-size complex FFT on z = x_even + i*x_odd per frame —
+# 2x fewer MXU FLOPs than the full-N real transform — then recover the
+# one-sided power spectrum with a pure-XLA hermitian unpack between the two
+# kernels, and project with a HALF-K mel kernel (16385 vs 32768 K rows).
+# The unpack mirror conj(Z[(m-k) mod m]) is flips/rolls on the (k2, k1) tile
+# axes in XLA, where they are cheap relayouts — in-kernel lane reversal is
+# exactly what Mosaic cannot lower (ROADMAP.md "Environment notes").
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=4)
+def _packed_fft_constants(n_fft: int, win_length: int):
+    from sed_tpu.ops import stft as stft_ops
+
+    m = n_fft // 2
+    n1, n2, (w2r, w2i), (w1r, w1i), (twr, twi) = stft_ops._matmul_fft_constants(m)
+    window = stft_ops.padded_window(win_length, n_fft).astype(np.float64)
+    return (m, n1, n2, w2r, w2i, w1r, w1i, twr, twi,
+            window[0::2].astype(np.float32).copy(),
+            window[1::2].astype(np.float32).copy())
+
+
+@functools.lru_cache(maxsize=4)
+def _packed_unpack_constants(n_fft: int):
+    """cos/sin of -2*pi*bin/n_fft for bins laid out in the half-size FFT's
+    (k2, k1) tile order: flat j = k2*n1 + k1 holds spectral bin n2*k1 + k2."""
+    from sed_tpu.ops import stft as stft_ops
+
+    m = n_fft // 2
+    n1, n2, *_ = stft_ops._matmul_fft_constants(m)
+    k2 = np.arange(n2)[:, None]
+    k1 = np.arange(n1)[None, :]
+    bins = (n2 * k1 + k2).reshape(-1)
+    theta = -2.0 * np.pi * bins / n_fft
+    return np.cos(theta).astype(np.float32), np.sin(theta).astype(np.float32), n1, n2
+
+
+def packed_power_onesided(zr: jnp.ndarray, zi: jnp.ndarray, n_fft: int) -> jnp.ndarray:
+    """(..., m) tile-layout packed FFT -> (..., m+1) one-sided power.
+
+    Hermitian unpack of Z = FFT_m(x_even + i*x_odd) (same math as
+    stft.rfft_matmul_realimag:165, re-derived in tile layout):
+      E[k] = (Z[k] + conj(Z[-k]))/2,  O[k] = (Z[k] - conj(Z[-k]))/(2i),
+      X[k] = E[k] + W_N^k O[k],       X[m] = Re(Z[0]) - Im(Z[0]).
+    The mirror Z[(m-k) mod m] in (k2, k1) tile layout is flip+roll on the k2
+    axis combined with a flip on k1 (row k2=0 mirrors within itself) — all
+    XLA relayout ops.  Output column m is the Nyquist power, matching
+    :func:`_onesided_tile_filterbank` row m.
+    """
+    c, s, n1, n2 = _packed_unpack_constants(n_fft)
+    m = n_fft // 2
+    lead = zr.shape[:-1]
+    zr3 = zr.reshape(lead + (n2, n1))
+    zi3 = zi.reshape(lead + (n2, n1))
+
+    def mirror(z):
+        # k2 > 0 rows: (k2, k1) -> (n2-k2, n1-1-k1); row 0: k1 -> (n1-k1)%n1.
+        main = jnp.flip(jnp.roll(jnp.flip(z, axis=-2), 1, axis=-2), axis=-1)
+        row0 = jnp.roll(jnp.flip(z[..., :1, :], axis=-1), 1, axis=-1)
+        return jnp.concatenate([row0, main[..., 1:, :]], axis=-2)
+
+    zmr = mirror(zr3).reshape(lead + (m,))
+    zmi = mirror(zi3).reshape(lead + (m,))
+    er = 0.5 * (zr + zmr)
+    ei = 0.5 * (zi - zmi)
+    orr = 0.5 * (zi + zmi)
+    oi = 0.5 * (zmr - zr)
+    c = jnp.asarray(c)
+    s = jnp.asarray(s)
+    xr = er + c * orr - s * oi
+    xi = ei + c * oi + s * orr
+    power = xr * xr + xi * xi
+    nyq = (zr[..., :1] - zi[..., :1]) ** 2  # X[m] = Re(Z[0]) - Im(Z[0])
+    return jnp.concatenate([power, nyq], axis=-1)
+
+
+def _make_wave_packed_fft_kernel(m: int, n1: int, n2: int, hop2: int,
+                                 s_pad2: int, span_len: int, phases,
+                                 precision=None):
+    """Packed even/odd FFT kernel with in-kernel roll framing.
+
+    Inputs: the deinterleaved half-waveforms (even samples, odd samples) as
+    flat (rows, 128) HBM views.  Each grid step DMAs both tiles' 1024-aligned
+    spans, extracts the 8 half-frames from each via the sublane/lane roll
+    machinery (see _make_wave_fft_power_kernel_roll), windows with the
+    deinterleaved Hann halves, and runs ONE complex m-point FFT per frame on
+    z = even + i*odd.  Outputs Z's real/imag parts in (k2, k1) tile layout.
+    """
+    tile_stride = FFT_TILE_R * hop2
+    span_rows = span_len // 128
+    frame_rows = m // 128
+
+    def kernel(we_ref, wo_ref, window_e_ref, window_o_ref, w2r_ref, w2i_ref,
+               w1r_ref, w1i_ref, twr_ref, twi_ref, outr_ref, outi_ref,
+               span_e, span_o, sem_e, sem_o):
+        c = pl.program_id(0)
+        t = pl.program_id(1)
+        flat_base = c * s_pad2 + t * tile_stride
+        aligned_row = pl.multiple_of((flat_base // 1024) * 8, 8)
+        dma_e = pltpu.make_async_copy(
+            we_ref.at[pl.ds(aligned_row, span_rows)], span_e, sem_e)
+        dma_o = pltpu.make_async_copy(
+            wo_ref.at[pl.ds(aligned_row, span_rows)], span_o, sem_o)
+        dma_e.start()
+        dma_o.start()
+        dma_e.wait()
+        dma_o.wait()
+
+        lane = jax.lax.broadcasted_iota(jnp.int32, (frame_rows, 128), 1)
+
+        def extract(span_vmem, phase, f):
+            o = phase + f * hop2
+            rs, ls = o // 128, o % 128
+            a8 = (rs // 8) * 8
+            sub = rs - a8
+            piece = span_vmem[a8:a8 + frame_rows + 8, :]
+            rows_p = frame_rows + 8
+            a = pltpu.roll(piece, (rows_p - sub) % rows_p, 0)[:frame_rows]
+            if ls == 0:
+                return a
+            b = pltpu.roll(piece, (rows_p - sub - 1) % rows_p, 0)[:frame_rows]
+            ar = pltpu.roll(a, 128 - ls, 1)
+            br = pltpu.roll(b, 128 - ls, 1)
+            return jnp.where(lane < 128 - ls, ar, br)
+
+        def build(phase):
+            def _build():
+                return jnp.stack(
+                    [extract(span_e, phase, f) for f in range(FFT_TILE_R)]
+                    + [extract(span_o, phase, f) for f in range(FFT_TILE_R)]
+                )  # (2R, frame_rows, 128)
+
+            return _build
+
+        phase_idx = jax.lax.rem(t, len(phases))
+        eo = jax.lax.switch(phase_idx, [build(p) for p in phases])
+        rows = FFT_TILE_R
+        xr = eo[:rows].reshape(rows, m) * window_e_ref[0]
+        xi = eo[rows:].reshape(rows, m) * window_o_ref[0]
+
+        dot_inner, dot_outer = _stage_dots(precision)
+        xr = xr.reshape(rows, n2, n1)
+        xi = xi.reshape(rows, n2, n1)
+        xr2 = jnp.transpose(xr, (1, 0, 2)).reshape(n2, rows * n1)
+        xi2 = jnp.transpose(xi, (1, 0, 2)).reshape(n2, rows * n1)
+        dn = (((1,), (0,)), ((), ()))
+        yr = dot_inner(w2r_ref[:], xr2, dn) - dot_inner(w2i_ref[:], xi2, dn)
+        yi = dot_inner(w2r_ref[:], xi2, dn) + dot_inner(w2i_ref[:], xr2, dn)
+        yr = yr.reshape(n2, rows, n1)
+        yi = yi.reshape(n2, rows, n1)
+        twr = twr_ref[:].reshape(n2, 1, n1)
+        twi = twi_ref[:].reshape(n2, 1, n1)
+        tr = yr * twr - yi * twi
+        ti = yr * twi + yi * twr
+        tr = jnp.transpose(tr, (1, 0, 2)).reshape(rows * n2, n1)
+        ti = jnp.transpose(ti, (1, 0, 2)).reshape(rows * n2, n1)
+        zr = dot_outer(tr, w1r_ref[:], dn) - dot_outer(ti, w1i_ref[:], dn)
+        zi = dot_outer(tr, w1i_ref[:], dn) + dot_outer(ti, w1r_ref[:], dn)
+        outr_ref[:] = zr.reshape(rows, m)
+        outi_ref[:] = zi.reshape(rows, m)
+
+    return kernel
+
+
+def stft_packed_from_waveform_pallas(
+    waveforms: jnp.ndarray,
+    cfg: SpectrogramConfig = DEFAULT_SPECTROGRAM,
+    interpret=None,
+    precision=None,
+):
+    """(n_signals, samples) -> (Zr, Zi), each (n_signals, n_frames, m).
+
+    Z = FFT_m(frame_even + i*frame_odd) per centered frame (m = n_fft//2) in
+    the kernel's (k2, k1) tile layout; framing happens in-kernel from the
+    deinterleaved half-waveforms (hop/2-strided).  Feed through
+    :func:`packed_power_onesided` + :func:`_onesided_mel_from_power`.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    n_fft, hop = cfg.nfft, cfg.hop_size
+    assert n_fft % 2 == 0 and hop % 2 == 0, "packed path needs even nfft/hop"
+    m = n_fft // 2
+    hop2 = hop // 2
+    n_signals, n_samples = waveforms.shape
+    n_frames = 1 + n_samples // hop
+    n_tiles = pl.cdiv(n_frames, FFT_TILE_R)
+
+    tile_stride = FFT_TILE_R * hop2
+    phase_step = tile_stride % 1024
+    phases = []
+    p = 0
+    while True:
+        phases.append(p)
+        p = (p + phase_step) % 1024
+        if p == 0:
+            break
+    span_len = 1024 + (FFT_TILE_R - 1) * hop2 + m
+    span_len += (-span_len) % 1024
+
+    pad = n_fft // 2
+    wave = jnp.pad(waveforms.astype(jnp.float32), ((0, 0), (pad, pad)),
+                   mode="reflect")
+    # Deinterleave: frame f's even part = even_half[f*hop2 : f*hop2+m] (hop
+    # and the reflect pad are both even, so every frame start is even).
+    total = (wave.shape[1] // 2) * 2
+    eo = wave[:, :total].reshape(n_signals, -1, 2)
+    needed = (n_tiles * FFT_TILE_R - 1) * hop2 + m + 1024
+    s_pad2 = max(needed, eo.shape[1])
+    s_pad2 += (-s_pad2) % 1024
+
+    def flatten_half(h):
+        h = jnp.pad(h, ((0, 0), (0, s_pad2 - h.shape[1]))).reshape(-1)
+        total_needed = (n_signals - 1) * s_pad2 + (n_tiles - 1) * tile_stride + span_len
+        if total_needed > h.shape[0]:
+            h = jnp.pad(h, (0, total_needed - h.shape[0]))
+        h = jnp.pad(h, (0, (-h.shape[0]) % 128))
+        return h.reshape(-1, 128)
+
+    wave_e = flatten_half(eo[:, :, 0])
+    wave_o = flatten_half(eo[:, :, 1])
+
+    (m_, n1, n2, w2r, w2i, w1r, w1i, twr, twi, win_e, win_o) = \
+        _packed_fft_constants(n_fft, cfg.frame_size)
+    consts = [jnp.asarray(win_e)[None, :], jnp.asarray(win_o)[None, :],
+              jnp.asarray(w2r), jnp.asarray(w2i), jnp.asarray(w1r),
+              jnp.asarray(w1i), jnp.asarray(twr), jnp.asarray(twi)]
+    const_specs = [
+        pl.BlockSpec(c.shape, lambda i, j: (0, 0), memory_space=pltpu.VMEM)
+        for c in consts
+    ]
+
+    kernel = _make_wave_packed_fft_kernel(
+        m, n1, n2, hop2, s_pad2, span_len, tuple(phases), precision)
+
+    out_spec = pl.BlockSpec(
+        (FFT_TILE_R, m), lambda c, t: (c * n_tiles + t, 0),
+        memory_space=pltpu.VMEM,
+    )
+    out_shape = jax.ShapeDtypeStruct((n_signals * n_tiles * FFT_TILE_R, m),
+                                     jnp.float32)
+    zr, zi = pl.pallas_call(
+        kernel,
+        grid=(n_signals, n_tiles),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),  # even half, HBM
+            pl.BlockSpec(memory_space=pltpu.ANY),  # odd half, HBM
+            *const_specs,
+        ],
+        out_specs=(out_spec, out_spec),
+        out_shape=(out_shape, out_shape),
+        scratch_shapes=[
+            pltpu.VMEM((span_len // 128, 128), jnp.float32),
+            pltpu.VMEM((span_len // 128, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=n_signals * n_tiles * FFT_TILE_R * (8 * n2 * n2 * n1 + 8 * n2 * n1 * n1),
+            bytes_accessed=n_signals * n_tiles * (2 * span_len + 2 * FFT_TILE_R * m) * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(wave_e, wave_o, *consts)
+    zr = zr.reshape(n_signals, n_tiles * FFT_TILE_R, m)[:, :n_frames]
+    zi = zi.reshape(n_signals, n_tiles * FFT_TILE_R, m)[:, :n_frames]
+    return zr, zi
 
 
 def stft_power_from_waveform_pallas(
@@ -447,9 +771,10 @@ def stft_power_from_waveform_pallas(
         for c in consts
     ]
 
-    if impl == "roll":
+    if impl.startswith("roll"):
         kernel = _make_wave_fft_power_kernel_roll(
-            n_fft, n1, n2, hop, s_pad, span_len, phases, precision)
+            n_fft, n1, n2, hop, s_pad, span_len, phases, precision,
+            debug_frame_mode="aligned" if impl == "roll_aligned_debug" else "roll")
         wave = wave.reshape(-1, 128)  # row-granular DMA view
         span_scratch = pltpu.VMEM((span_len // 128, 128), jnp.float32)
     else:
@@ -499,14 +824,24 @@ def logmel_waveform_pallas(
     """Fully fused featurizer from raw waveforms, framing included:
     (n_signals, samples) -> (n_signals, n_frames, mel_bins).
 
-    ``impl='roll'`` is the production path: framing happens INSIDE the FFT
-    kernel via row-granular HBM DMA + sublane/lane rolls, so no
-    (frames, n_fft) array ever exists in HBM.  Hardware-measured (v5e, round
-    2): 1.18x the XLA-framing path end to end (55.0k vs 46.5k audio-s/s on
-    16x60 s batches) at 1.1e-5 dB parity.  ``precision=None`` = HIGHEST
-    (parity); 'bf16x4' = fast mode (<=2e-4 dB on tonal content)."""
+    ``impl='pack'`` (production): the packed even/odd half-size complex FFT —
+    2x fewer MXU FLOPs and a half-K mel kernel (see
+    :func:`stft_packed_from_waveform_pallas`); framing still happens INSIDE
+    the kernel from the deinterleaved half-waveforms.  ``impl='roll'``: the
+    full-N real FFT with in-kernel roll framing and the hermitian-FOLDED mel
+    kernel.  Both keep all framing traffic out of HBM — no (frames, n_fft)
+    array ever exists there.  ``precision=None`` = HIGHEST (parity);
+    'bf16x4' = fast mode (<=2e-4 dB on tonal content)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if impl == "pack":
+        zr, zi = stft_packed_from_waveform_pallas(waveforms, cfg, interpret,
+                                                  precision)
+        n_signals, n_frames, m = zr.shape
+        power = packed_power_onesided(zr, zi, cfg.nfft)
+        mel = _onesided_mel_from_power(
+            power.reshape(n_signals * n_frames, m + 1), cfg, interpret)
+        return mel.reshape(n_signals, n_frames, cfg.mel_bins)
     power = stft_power_from_waveform_pallas(waveforms, cfg, interpret, impl,
                                             precision)
     n_signals, n_frames, n_fft = power.shape
@@ -516,14 +851,22 @@ def logmel_waveform_pallas(
 
 def _folded_mel_from_power(power, cfg: SpectrogramConfig, interpret):
     """K-tiled mel+log kernel over the hermitian-folded, layout-matched fb."""
-    rows = power.shape[0]
-    k = cfg.nfft
+    return _mel_from_power_fb(power, cfg, interpret, _folded_filterbank)
+
+
+def _onesided_mel_from_power(power, cfg: SpectrogramConfig, interpret):
+    """K-tiled mel+log kernel over the one-sided tile-layout fb (packed path)."""
+    return _mel_from_power_fb(power, cfg, interpret, _onesided_tile_filterbank)
+
+
+def _mel_from_power_fb(power, cfg: SpectrogramConfig, interpret, fb_fn):
+    rows, k = power.shape
     k_tiles = pl.cdiv(k, TILE_K)
     k_padded = k_tiles * TILE_K
     r_tiles = pl.cdiv(rows, TILE_R)
     r_padded = r_tiles * TILE_R
     x = jnp.pad(power, ((0, r_padded - rows), (0, k_padded - k)))
-    fb = jnp.asarray(_folded_filterbank(cfg, k_padded))
+    fb = jnp.asarray(fb_fn(cfg, k_padded))
 
     out = pl.pallas_call(
         _kernel,
