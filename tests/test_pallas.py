@@ -75,7 +75,7 @@ def test_dma_framing_fused_kernel_matches_xla_path():
         np.asarray(logmel_features(sigs[i][:, None], cfg, "fft", use_pallas=False))[0]
         for i in range(3)
     ])
-    for impl in ("roll", "slice"):
+    for impl in ("roll", "slice", "eo", "pack"):
         got = np.asarray(logmel_waveform_pallas(jnp.asarray(sigs), cfg,
                                                 interpret=True, impl=impl))
         assert got.shape == ref.shape, impl
