@@ -1,0 +1,128 @@
+"""int8 PTQ serving bench: quantized vs float CnnAvgPooling forward (ROADMAP #4).
+
+Measures score-only throughput (the model-serving density axis, independent of
+the featurizer) for the float32 forward, the bfloat16 fast mode, and the int8
+PTQ path (models/quantize.py) on long-form input — batch 16 x 60 s of frames —
+plus the int8/f32 sigmoid fidelity on the same input.
+
+Slope-timed like every bench here (ROADMAP.md "Environment notes").
+
+Run: python benchmarks/bench_int8.py     (TPU)
+Writes benchmarks/INT8_BENCH.json and prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+BATCH = 16
+CLIP_SECONDS = 60
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    import jax.numpy as jnp
+
+    from sed_tpu.configs import DEFAULT_SPECTROGRAM as cfg
+    from sed_tpu.models.cnn import CnnAvgPooling, TRAIN_CHANNEL_AND_POOL
+    from sed_tpu.models.quantize import quantize_cnn, quantized_scores
+
+    log = lambda *a: print(*a, file=sys.stderr, flush=True)
+    dev = jax.devices()[0]
+    log(f"device: {dev} ({dev.device_kind})")
+
+    frames = 1 + cfg.working_sample_rate * CLIP_SECONDS // cfg.hop_size
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal(
+        (BATCH, frames, cfg.mel_bins, 1)).astype(np.float32))
+
+    model = CnnAvgPooling(classes_num=cfg.classes_num,
+                          model_config=TRAIN_CHANNEL_AND_POOL)
+    model16 = CnnAvgPooling(classes_num=cfg.classes_num,
+                            model_config=TRAIN_CHANNEL_AND_POOL,
+                            dtype=jnp.bfloat16)
+    variables = model.init(jax.random.key(0), x, train=False)
+    params, batch_stats = variables["params"], variables["batch_stats"]
+    q = quantize_cnn(model, params, batch_stats, [np.asarray(x[:4])])
+
+    def f32_scores(inp):
+        return jax.nn.sigmoid(model.apply(
+            {"params": params, "batch_stats": batch_stats}, inp, train=False))
+
+    def bf16_scores(inp):
+        return jax.nn.sigmoid(model16.apply(
+            {"params": params, "batch_stats": batch_stats}, inp, train=False))
+
+    ref = jax.jit(f32_scores)(x)
+    ref.block_until_ready()
+    got = jax.jit(lambda inp: quantized_scores(q, inp))(x)
+    got.block_until_ready()
+    fid = float(jnp.max(jnp.abs(ref - got)))
+    log(f"int8 vs f32 sigmoid max |diff|: {fid:.4f}")
+
+    def slope(fn):
+        def make(it):
+            @jax.jit
+            def loop(w):
+                def body(i, c):
+                    w, acc = c
+                    w = w.at[0, 0, 0, 0].add(1e-6)
+                    return (w, acc + fn(w)[0, 0, 0])
+                return jax.lax.fori_loop(0, it, body, (w, jnp.float32(0)))[1]
+            return loop
+        ts = []
+        for it in (8, 24):
+            lp = make(it)
+            float(lp(x))
+            best = float("inf")
+            for r in range(3):
+                xr = x + 1e-5 * (r + 1)
+                xr.block_until_ready()
+                t0 = time.perf_counter()
+                float(lp(xr))
+                best = min(best, time.perf_counter() - t0)
+            ts.append(best)
+        return (ts[1] - ts[0]) / 16
+
+    res = {}
+    for name, fn in [("f32", f32_scores), ("bf16", bf16_scores),
+                     ("int8", lambda inp: quantized_scores(q, inp))]:
+        log(f"compiling {name} ...")
+        t = slope(fn)
+        res[name] = t
+        log(f"  {name}: {1e3 * t:.3f} ms/batch "
+            f"({BATCH * CLIP_SECONDS / t:.0f} audio-s/s scoring-only)")
+
+    out = {
+        "batch": BATCH,
+        "clip_seconds": CLIP_SECONDS,
+        "device_kind": dev.device_kind,
+        "int8_vs_f32_sigmoid_maxdiff": round(fid, 5),
+        "ms_per_batch": {k: round(1e3 * v, 4) for k, v in res.items()},
+        "speedup_int8_vs_f32": round(res["f32"] / res["int8"], 3),
+    }
+    with open(os.path.join(REPO, "benchmarks", "INT8_BENCH.json"), "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps({
+        "metric": "int8 PTQ scoring speedup vs f32 (CnnAvgPooling, 16x60s)",
+        "value": out["speedup_int8_vs_f32"],
+        "unit": "x",
+        "detail": out["ms_per_batch"],
+        "fidelity_sigmoid_maxdiff": out["int8_vs_f32_sigmoid_maxdiff"],
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,176 @@
+"""Post-training int8 quantization for serving density (ROADMAP #4).
+
+The reference has no quantization story; this is a TPU-native extension.
+Scheme (standard PTQ, chosen for the v5e MXU whose int8 path runs at 2x the
+bf16 peak):
+
+  * conv / dense WEIGHTS: symmetric per-output-channel int8
+    (scale = absmax / 127 over each output channel's fan-in);
+  * ACTIVATIONS: symmetric per-tensor int8, scales calibrated with an
+    absolute-max sweep over sample batches;
+  * the convolutions run int8 x int8 -> int32 on the MXU
+    (``preferred_element_type=int32``); everything between them —
+    dequantize, inference-mode BatchNorm (an affine in the running stats,
+    models/layers.py BN semantics), ReLU, average pooling, requantize — is
+    float32 elementwise that XLA fuses into the conv epilogue.
+
+Exactness note: this is a lossy serving mode, NOT the parity path.  The
+golden-tested float pipeline (CLAUDE.md invariants) is untouched; tests pin
+the int8/f32 score deviation instead.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sed_tpu.models.layers import BN_EPS
+
+DN = ("NHWC", "HWIO", "NHWC")  # lax conv dimension numbers for 2-D blocks
+
+
+def _per_channel_scale(w: jnp.ndarray) -> jnp.ndarray:
+    """absmax/127 over all but the last (output-channel) axis; zero-safe."""
+    absmax = jnp.max(jnp.abs(w), axis=tuple(range(w.ndim - 1)))
+    return jnp.maximum(absmax, 1e-12) / 127.0
+
+
+def _quantize_weight(w: jnp.ndarray):
+    scale = _per_channel_scale(w)
+    q = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
+    return q, scale.astype(jnp.float32)
+
+
+def _quantize_act(x: jnp.ndarray, scale: jnp.ndarray) -> jnp.ndarray:
+    return jnp.clip(jnp.round(x / scale), -127, 127).astype(jnp.int8)
+
+
+def _bn_affine(bn_params: Dict[str, Any], bn_stats: Dict[str, Any]):
+    """Inference-mode BatchNorm as y = g*x + b (running stats folded)."""
+    inv = bn_params["scale"] / jnp.sqrt(bn_stats["var"] + BN_EPS)
+    return inv, bn_params["bias"] - bn_stats["mean"] * inv
+
+
+def quantize_cnn(model, params, batch_stats, calib_batches: Sequence[jnp.ndarray]):
+    """Build the int8 serving artifact for a trained CnnAvgPooling.
+
+    ``calib_batches``: NHWC sample inputs (e.g. a few training batches) used
+    to calibrate per-layer activation scales with an absmax sweep of the
+    FLOAT forward's intermediate activations.
+
+    Returns a pytree dict consumable by :func:`quantized_cnn_forward`.
+    """
+    from sed_tpu.models.cnn import num_pools
+
+    cfg = model.model_config
+    layers: List[Dict[str, Any]] = []
+    # Walk the float forward once per calibration batch, recording per-conv
+    # input absmax.
+    n_convs = 2 * len(cfg)
+    absmax = np.zeros(n_convs + 1)  # +1 for the dense head input
+
+    def float_forward(x, record):
+        i = 0
+        for b, (out_c, pool) in enumerate(cfg):
+            block = params[f"ConvBlock_{b}"]
+            stats = batch_stats[f"ConvBlock_{b}"]
+            for c in range(2):
+                record(i, x)
+                w = block[f"Conv_{c}"]["kernel"]
+                x = jax.lax.conv_general_dilated(
+                    x, w, (1, 1), [(1, 1), (1, 1)], dimension_numbers=DN)
+                g, bias = _bn_affine(block[f"BatchNorm_{c}"], stats[f"BatchNorm_{c}"])
+                x = jnp.maximum(x * g + bias, 0.0)
+                i += 1
+            if pool > 1:
+                x = jax.lax.reduce_window(
+                    x, 0.0, jax.lax.add, (1, pool, pool, 1), (1, pool, pool, 1),
+                    "VALID") / (pool * pool)
+        x = jnp.mean(x, axis=2)
+        record(i, x)
+        return x
+
+    for cb in calib_batches:
+        vals = {}
+        float_forward(jnp.asarray(cb),
+                      lambda i, x: vals.__setitem__(i, float(jnp.max(jnp.abs(x)))))
+        for i, v in vals.items():
+            absmax[i] = max(absmax[i], v)
+
+    act_scales = np.maximum(absmax, 1e-12) / 127.0
+
+    i = 0
+    for b, (out_c, pool) in enumerate(cfg):
+        block = params[f"ConvBlock_{b}"]
+        stats = batch_stats[f"ConvBlock_{b}"]
+        convs = []
+        for c in range(2):
+            qw, w_scale = _quantize_weight(block[f"Conv_{c}"]["kernel"])
+            g, bias = _bn_affine(block[f"BatchNorm_{c}"], stats[f"BatchNorm_{c}"])
+            convs.append({
+                "qweight": qw,
+                "w_scale": w_scale,
+                "act_scale": jnp.float32(act_scales[i]),
+                "bn_gain": g.astype(jnp.float32),
+                "bn_bias": bias.astype(jnp.float32),
+            })
+            i += 1
+        layers.append({"convs": convs, "pool": pool})
+
+    dense = params["Dense_0"]
+    qd, d_scale = _quantize_weight(dense["kernel"])
+    return {
+        "layers": layers,
+        "dense": {"qweight": qd, "w_scale": d_scale,
+                  "act_scale": jnp.float32(act_scales[n_convs]),
+                  "bias": dense["bias"].astype(jnp.float32)},
+        "interp": 2 ** num_pools(cfg),
+    }
+
+
+def quantized_cnn_forward(qparams, x: jnp.ndarray) -> jnp.ndarray:
+    """int8 serving forward: NHWC float input -> per-frame logits.
+
+    Mirrors CnnAvgPooling.__call__ (models/cnn.py:57-66; reference
+    spectogram_models.py:163-205) with every conv/dense contraction on the
+    int8 MXU path.
+
+    ``qparams`` mixes arrays with static structure (pool sizes, the
+    interpolation ratio), so close over it when jitting —
+    ``jax.jit(lambda x: quantized_cnn_forward(qparams, x))`` — rather than
+    passing it as a traced argument.
+    """
+    for layer in qparams["layers"]:
+        for conv in layer["convs"]:
+            sa = conv["act_scale"]
+            xq = _quantize_act(x, sa)
+            acc = jax.lax.conv_general_dilated(
+                xq, conv["qweight"], (1, 1), [(1, 1), (1, 1)],
+                dimension_numbers=DN,
+                preferred_element_type=jnp.int32,
+            )
+            x = acc.astype(jnp.float32) * (sa * conv["w_scale"])
+            x = jnp.maximum(x * conv["bn_gain"] + conv["bn_bias"], 0.0)
+        pool = layer["pool"]
+        if pool > 1:
+            x = jax.lax.reduce_window(
+                x, 0.0, jax.lax.add, (1, pool, pool, 1), (1, pool, pool, 1),
+                "VALID") / (pool * pool)
+    x = jnp.mean(x, axis=2)  # mel-axis mean -> (batch, frames', feat)
+    d = qparams["dense"]
+    sa = d["act_scale"]
+    xq = _quantize_act(x, sa)
+    acc = jax.lax.dot_general(
+        xq, d["qweight"], (((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    x = acc.astype(jnp.float32) * (sa * d["w_scale"]) + d["bias"]
+    return jnp.repeat(x, qparams["interp"], axis=1)
+
+
+def quantized_scores(qparams, x: jnp.ndarray) -> jnp.ndarray:
+    """Sigmoid confidences from the int8 forward (CnnAvgPooling.scores analog)."""
+    return jax.nn.sigmoid(quantized_cnn_forward(qparams, x))

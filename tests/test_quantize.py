@@ -1,0 +1,65 @@
+"""int8 PTQ serving path: structure + fidelity vs the float forward."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from sed_tpu.configs import SpectrogramConfig
+from sed_tpu.models.cnn import CnnAvgPooling, TRAIN_CHANNEL_AND_POOL
+from sed_tpu.models.quantize import (
+    quantize_cnn,
+    quantized_cnn_forward,
+    quantized_scores,
+)
+
+CFG = SpectrogramConfig()
+
+
+def _trained_ish_model(seed=0):
+    """Init + a few nudges so BN running stats are not the (0, 1) init."""
+    model = CnnAvgPooling(classes_num=CFG.classes_num,
+                          model_config=TRAIN_CHANNEL_AND_POOL)
+    rng = np.random.default_rng(seed)
+    x = jnp.asarray(rng.standard_normal((8, CFG.train_crop_size, CFG.mel_bins, 1)),
+                    jnp.float32)
+    variables = model.init(jax.random.key(seed), x, train=False)
+    params, batch_stats = variables["params"], variables["batch_stats"]
+    # run two train-mode passes to move the running stats off their init
+    for _ in range(2):
+        _, upd = model.apply({"params": params, "batch_stats": batch_stats},
+                             x, train=True, mutable=["batch_stats"])
+        batch_stats = upd["batch_stats"]
+    return model, params, batch_stats, x
+
+
+def test_quantized_forward_matches_float_closely():
+    model, params, batch_stats, x = _trained_ish_model()
+    q = quantize_cnn(model, params, batch_stats, [np.asarray(x)])
+    ref = np.asarray(jax.nn.sigmoid(model.apply(
+        {"params": params, "batch_stats": batch_stats}, x, train=False)))
+    got = np.asarray(quantized_scores(q, x))
+    assert got.shape == ref.shape
+    # lossy serving mode: sigmoid confidences within a few percent
+    assert np.max(np.abs(got - ref)) < 0.05, np.max(np.abs(got - ref))
+    # and strongly correlated overall
+    c = np.corrcoef(got.ravel(), ref.ravel())[0, 1]
+    assert c > 0.999, c
+
+
+def test_quantized_weights_are_int8():
+    model, params, batch_stats, x = _trained_ish_model(1)
+    q = quantize_cnn(model, params, batch_stats, [np.asarray(x)])
+    for layer in q["layers"]:
+        for conv in layer["convs"]:
+            assert conv["qweight"].dtype == jnp.int8
+            assert conv["w_scale"].shape == (conv["qweight"].shape[-1],)
+    assert q["dense"]["qweight"].dtype == jnp.int8
+
+
+def test_quantized_forward_jits_and_is_deterministic():
+    model, params, batch_stats, x = _trained_ish_model(2)
+    q = quantize_cnn(model, params, batch_stats, [np.asarray(x)])
+    f = jax.jit(lambda inp: quantized_cnn_forward(q, inp))  # close over qparams
+    a = np.asarray(f(x))
+    b = np.asarray(f(x))
+    np.testing.assert_array_equal(a, b)
