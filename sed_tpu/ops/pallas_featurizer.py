@@ -1025,6 +1025,273 @@ def stft_eo_power_from_waveform_pallas(
     return out[:, :n_frames]
 
 
+def _make_wave_fft_power_kernel_rollraw(n_fft: int, n1: int, n2: int, hop: int,
+                                        n_samples: int, stride_l: int,
+                                        stride_r: int, t_lo: int, t_hi: int,
+                                        span_len: int, phase_g: int,
+                                        precision=None):
+    """Roll-framing FFT kernel that reads INTERIOR tiles straight from the
+    raw (unpadded) waveform.
+
+    The legacy roll kernel requires an XLA pre-pass (reflect pad + repack to
+    a 1024-aligned per-signal stride) costing ~1.6 ms per 16x60 s batch.
+    Here only the boundary tiles touching the reflect pad read from two SMALL
+    XLA-built edge buffers (one span each side per signal); every interior
+    tile DMAs from the raw 2-D waveform flattened row-major — valid whenever
+    n_samples % 128 == 0 (every whole-second 48 kHz clip).  The span phase
+    mod 1024 then depends on BOTH (signal, tile), but stays inside the static
+    set {0, phase_g, 2*phase_g, ...}, so extraction is one lax.switch over
+    1024/phase_g branches with a dynamically computed index.
+
+    Tile classes (t = tile index within a signal):
+      t <  t_lo : left-edge  -> left_ref  at offset c*stride_l + t*ts
+      t <= t_hi : interior   -> raw_ref   at offset c*n_samples + t*ts - pad
+      t >  t_hi : right-edge -> right_ref at offset c*stride_r + (t-t_hi-1)*ts
+    All three layouts are constructed so offset % 1024 lands in the same
+    phase set.  Span DMAs are double-buffered across grid steps.
+    """
+    ts = FFT_TILE_R * hop
+    pad = n_fft // 2
+    span_rows = span_len // 128
+    frame_rows = n_fft // 128
+    phases = tuple(range(0, 1024, phase_g))
+
+    def kernel(raw_ref, left_ref, right_ref, window_ref, w2r_ref, w2i_ref,
+               w1r_ref, w1i_ref, twr_ref, twi_ref, out_ref,
+               span_a, span_b, sem_a, sem_b):
+        c = pl.program_id(0)
+        t = pl.program_id(1)
+        n_tiles = pl.num_programs(1)
+        n_sigs = pl.num_programs(0)
+        linear = c * n_tiles + t
+        slot = jax.lax.rem(linear, 2)
+        total = n_sigs * n_tiles
+
+        def flat_of(ci, ti):
+            interior = ci * n_samples + ti * ts - pad
+            left = ci * stride_l + ti * ts
+            right = ci * stride_r + (ti - (t_hi + 1)) * ts
+            return jnp.where(ti < t_lo, left,
+                             jnp.where(ti > t_hi, right, interior))
+
+        def dma(span, sem, ci, ti, action):
+            def issue(ref, flat):
+                row = pl.multiple_of((flat // 1024) * 8, 8)
+                cp = pltpu.make_async_copy(
+                    ref.at[pl.ds(row, span_rows)], span, sem)
+                cp.start() if action == "start" else cp.wait()
+
+            @pl.when(ti < t_lo)
+            def _l():
+                issue(left_ref, ci * stride_l + ti * ts)
+
+            @pl.when((ti >= t_lo) & (ti <= t_hi))
+            def _i():
+                issue(raw_ref, ci * n_samples + ti * ts - pad)
+
+            @pl.when(ti > t_hi)
+            def _r():
+                issue(right_ref, ci * stride_r + (ti - (t_hi + 1)) * ts)
+
+        nlin = linear + 1
+        nc = nlin // n_tiles
+        nt = nlin - nc * n_tiles
+
+        @pl.when(linear == 0)
+        def _prologue():
+            dma(span_a, sem_a, c, t, "start")
+
+        @pl.when((slot == 0) & (nlin < total))
+        def _prefetch_b():
+            dma(span_b, sem_b, nc, nt, "start")
+
+        @pl.when((slot == 1) & (nlin < total))
+        def _prefetch_a():
+            dma(span_a, sem_a, nc, nt, "start")
+
+        @pl.when(slot == 0)
+        def _wait_a():
+            dma(span_a, sem_a, c, t, "wait")
+
+        @pl.when(slot == 1)
+        def _wait_b():
+            dma(span_b, sem_b, c, t, "wait")
+
+        lane = jax.lax.broadcasted_iota(jnp.int32, (frame_rows, 128), 1)
+
+        def build(span_vmem, phase):
+            def _build():
+                frames = []
+                for f in range(FFT_TILE_R):
+                    o = phase + f * hop
+                    rs, ls = o // 128, o % 128
+                    a8 = (rs // 8) * 8
+                    sub = rs - a8
+                    piece = span_vmem[a8:a8 + frame_rows + 8, :]
+                    rows = frame_rows + 8
+                    a = pltpu.roll(piece, (rows - sub) % rows, 0)[:frame_rows]
+                    if ls == 0:
+                        frames.append(a)
+                        continue
+                    b = pltpu.roll(piece, (rows - sub - 1) % rows, 0)[:frame_rows]
+                    ar = pltpu.roll(a, 128 - ls, 1)
+                    br = pltpu.roll(b, 128 - ls, 1)
+                    frames.append(jnp.where(lane < 128 - ls, ar, br))
+                return jnp.stack(frames)
+
+            return _build
+
+        phase_idx = jax.lax.rem(flat_of(c, t), 1024) // phase_g
+
+        def extract(span_vmem):
+            return jax.lax.switch(phase_idx,
+                                  [build(span_vmem, p) for p in phases])
+
+        frames = jax.lax.cond(slot == 0,
+                              lambda: extract(span_a),
+                              lambda: extract(span_b))
+        frames = frames.reshape(FFT_TILE_R, n_fft)
+
+        rows = FFT_TILE_R
+        dot_inner, dot_outer = _stage_dots(precision)
+        x = frames * window_ref[0]
+        x = x.reshape(rows, n2, n1)
+        x2 = jnp.transpose(x, (1, 0, 2)).reshape(n2, rows * n1)
+        dn = (((1,), (0,)), ((), ()))
+        yr = dot_inner(w2r_ref[:], x2, dn)
+        yi = dot_inner(w2i_ref[:], x2, dn)
+        yr = yr.reshape(n2, rows, n1)
+        yi = yi.reshape(n2, rows, n1)
+        twr = twr_ref[:].reshape(n2, 1, n1)
+        twi = twi_ref[:].reshape(n2, 1, n1)
+        tr = yr * twr - yi * twi
+        ti_ = yr * twi + yi * twr
+        tr = jnp.transpose(tr, (1, 0, 2)).reshape(rows * n2, n1)
+        ti_ = jnp.transpose(ti_, (1, 0, 2)).reshape(rows * n2, n1)
+        zr = dot_outer(tr, w1r_ref[:], dn) - dot_outer(ti_, w1i_ref[:], dn)
+        zi = dot_outer(tr, w1i_ref[:], dn) + dot_outer(ti_, w1r_ref[:], dn)
+        power = zr * zr + zi * zi
+        out_ref[:] = power.reshape(rows, n_fft)
+
+    return kernel
+
+
+def _rollraw_layout(cfg: SpectrogramConfig, n_signals: int, n_samples: int):
+    """Static geometry of the raw-read roll kernel, or None if ineligible."""
+    import math
+
+    n_fft, hop = cfg.nfft, cfg.hop_size
+    if n_samples % 128 != 0 or n_fft < 32768:
+        return None
+    pad = n_fft // 2
+    ts = FFT_TILE_R * hop
+    n_frames = 1 + n_samples // hop
+    n_tiles = pl.cdiv(n_frames, FFT_TILE_R)
+    span_len = 1024 + (FFT_TILE_R - 1) * hop + n_fft
+    span_len += (-span_len) % 1024
+    t_lo = -(-pad // ts)  # first tile whose span never enters the left pad
+    t_hi = (n_samples - span_len) // ts
+    if t_hi < t_lo:  # too short: no interior tiles, use the legacy path
+        return None
+    phase_g = math.gcd(1024, math.gcd(n_samples % 1024 or 1024,
+                                      math.gcd(ts % 1024 or 1024,
+                                               pad % 1024 or 1024)))
+    # Left buffer: logical [-pad, -pad + L_len) per signal.
+    l_len = (t_lo - 1) * ts + span_len
+    stride_l = l_len + ((-l_len) % 1024)
+    # Right buffer: logical [R0, R0 + R_len), R0 = (t_hi+1)*ts - pad.
+    r0 = (t_hi + 1) * ts - pad
+    r_len = (n_tiles - 1 - t_hi) * ts + span_len
+    stride_r = r_len + ((-r_len) % 1024)
+    return dict(pad=pad, ts=ts, n_frames=n_frames, n_tiles=n_tiles,
+                span_len=span_len, t_lo=t_lo, t_hi=t_hi, phase_g=phase_g,
+                l_len=l_len, stride_l=stride_l, r0=r0, r_len=r_len,
+                stride_r=stride_r)
+
+
+def stft_power_from_waveform_raw_pallas(
+    waveforms: jnp.ndarray,
+    cfg: SpectrogramConfig = DEFAULT_SPECTROGRAM,
+    interpret=None,
+    precision=None,
+):
+    """Raw-read variant of :func:`stft_power_from_waveform_pallas`: interior
+    tiles DMA straight from the unpadded waveform; only two small edge
+    buffers (reflect pad regions) are built in XLA.  Caller must check
+    :func:`_rollraw_layout` eligibility (production 60 s clips qualify)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    n_signals, n_samples = waveforms.shape
+    geo = _rollraw_layout(cfg, n_signals, n_samples)
+    assert geo is not None, "ineligible shape for the raw-read roll kernel"
+    n_fft, hop = cfg.nfft, cfg.hop_size
+    pad, ts = geo["pad"], geo["ts"]
+
+    w = waveforms.astype(jnp.float32)
+    raw = w.reshape(-1, 128)
+
+    # Left edge: [reflect(pad) | head of the signal], zero-padded to stride.
+    left = jnp.concatenate(
+        [jnp.flip(w[:, 1:pad + 1], axis=1), w[:, : geo["l_len"] - pad]], axis=1)
+    left = jnp.pad(left, ((0, 0), (0, geo["stride_l"] - left.shape[1])))
+    left = left.reshape(-1, 128)
+    # Right edge: [tail from R0 | reflect(pad)], zero-padded to stride.
+    tail = jnp.concatenate(
+        [w[:, geo["r0"]:], jnp.flip(w[:, n_samples - pad - 1:n_samples - 1], axis=1)],
+        axis=1)
+    tail = tail[:, : geo["r_len"]]
+    tail = jnp.pad(tail, ((0, 0), (0, geo["stride_r"] - tail.shape[1])))
+    right = tail.reshape(-1, 128)
+
+    n1, n2, w2r, w2i, w1r, w1i, twr, twi, window = _fft_power_constants(
+        n_fft, cfg.frame_size
+    )
+    consts = [jnp.asarray(window)[None, :], jnp.asarray(w2r), jnp.asarray(w2i),
+              jnp.asarray(w1r), jnp.asarray(w1i), jnp.asarray(twr), jnp.asarray(twi)]
+    const_specs = [
+        pl.BlockSpec(c.shape, lambda i, j: (0, 0), memory_space=pltpu.VMEM)
+        for c in consts
+    ]
+
+    kernel = _make_wave_fft_power_kernel_rollraw(
+        n_fft, n1, n2, hop, n_samples, geo["stride_l"], geo["stride_r"],
+        geo["t_lo"], geo["t_hi"], geo["span_len"], geo["phase_g"], precision)
+
+    n_tiles = geo["n_tiles"]
+    span_scratch = pltpu.VMEM((geo["span_len"] // 128, 128), jnp.float32)
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_signals, n_tiles),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),  # raw waveform, HBM
+            pl.BlockSpec(memory_space=pltpu.ANY),  # left edge buffer
+            pl.BlockSpec(memory_space=pltpu.ANY),  # right edge buffer
+            *const_specs,
+        ],
+        out_specs=pl.BlockSpec(
+            (FFT_TILE_R, n_fft), lambda c, t: (c * n_tiles + t, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (n_signals * n_tiles * FFT_TILE_R, n_fft), jnp.float32
+        ),
+        scratch_shapes=[span_scratch, span_scratch,
+                        pltpu.SemaphoreType.DMA(()), pltpu.SemaphoreType.DMA(())],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=32 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=n_signals * n_tiles * FFT_TILE_R * (4 * n2 * n2 * n1 + 8 * n2 * n1 * n1),
+            bytes_accessed=n_signals * n_tiles * (geo["span_len"] + FFT_TILE_R * n_fft) * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(raw, left, right, *consts)
+    out = out.reshape(n_signals, n_tiles * FFT_TILE_R, n_fft)
+    return out[:, : geo["n_frames"]]
+
+
 def stft_power_from_waveform_pallas(
     waveforms: jnp.ndarray,
     cfg: SpectrogramConfig = DEFAULT_SPECTROGRAM,
@@ -1040,14 +1307,23 @@ def stft_power_from_waveform_pallas(
     array is ever materialized in HBM.  Power bins come out in the kernel's
     flat (k2, k1) layout for :func:`_folded_mel_from_power`.
 
-    EXPERIMENTAL: verified in interpreter mode; the Mosaic version in this
-    environment cannot yet lower the unaligned static frame extracts
-    ("result/input offset mismatch on non-concat dimension"), so the
-    production 'full' path uses :func:`logmel_frames_pallas` with XLA
-    framing instead (see ROADMAP.md).
+    ``impl='rollraw'`` selects the raw-read kernel
+    (:func:`stft_power_from_waveform_raw_pallas`): interior tiles DMA from
+    the unpadded waveform, skipping the ~1.6 ms reflect-pad/repack pre-pass.
+    MEASURED NEGATIVE RESULT on v5e: same-process A/B 14.2 vs 13.3 ms per
+    16x60 s batch — the 3-way source branching + dynamic phase cost more
+    in-kernel than the XLA pre-pass they replace — so 'roll' (padded layout)
+    stays the default.  ``impl='slice'`` keeps the historical slice-based
+    kernel (interpreter only: Mosaic cannot lower its unaligned static
+    extracts).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if impl == "rollraw":
+        assert _rollraw_layout(cfg, *waveforms.shape) is not None, \
+            "rollraw needs n_samples % 128 == 0 and nfft >= 32768"
+        return stft_power_from_waveform_raw_pallas(waveforms, cfg, interpret,
+                                                   precision)
     n_fft, hop = cfg.nfft, cfg.hop_size
     n_signals, n_samples = waveforms.shape
     n_frames = 1 + n_samples // hop

@@ -82,6 +82,30 @@ def test_dma_framing_fused_kernel_matches_xla_path():
         np.testing.assert_allclose(got, ref, atol=1e-4, err_msg=impl)
 
 
+def test_rollraw_kernel_matches_xla_path():
+    """Raw-read roll kernel (impl='rollraw'): interior tiles DMA from the
+    unpadded waveform, edges from small reflect buffers.  Production-shape
+    config (the only eligible one), 10 s signal -> exercises the left,
+    interior, and right tile classes (t_lo=1, t_hi=2, n_tiles=4)."""
+    import numpy as np
+
+    from sed_tpu.configs import SpectrogramConfig
+    from sed_tpu.ops.featurizer import logmel_features
+    from sed_tpu.ops.pallas_featurizer import _rollraw_layout, logmel_waveform_pallas
+
+    cfg = SpectrogramConfig()
+    n = cfg.working_sample_rate * 10
+    geo = _rollraw_layout(cfg, 1, n)
+    assert geo is not None and geo["t_lo"] <= geo["t_hi"] < geo["n_tiles"] - 1
+    rng = np.random.default_rng(0)
+    sig = (0.2 * rng.standard_normal(n)).astype(np.float32)
+    ref = np.asarray(logmel_features(jnp.asarray(sig)[:, None], cfg,
+                                     use_pallas=False))[0]
+    got = np.asarray(logmel_waveform_pallas(jnp.asarray(sig)[None, :], cfg,
+                                            interpret=True, impl="rollraw"))[0]
+    np.testing.assert_allclose(got, ref, atol=1e-4)
+
+
 def test_int16_frames_path_exact():
     """int16 PCM frames with the in-kernel pre-scaled window must equal the
     f32/32768 path exactly (PCM16 de-quantization is lossless)."""
