@@ -105,13 +105,71 @@ def main():
         log(f"  {name}: {1e3 * t:.3f} ms/batch "
             f"({BATCH * CLIP_SECONDS / t:.0f} audio-s/s scoring-only)")
 
+    # --- M5 waveform model, hop-strided frame batches --------------------
+    from sed_tpu.configs import DEFAULT_WAVEFORM as wcfg
+    from sed_tpu.models.m5 import M5
+    from sed_tpu.models.quantize import quantize_m5, quantized_m5_forward
+
+    m5_batch = 256
+    m5 = M5(classes_num=wcfg.classes_num)
+    xw = jnp.asarray(rng.standard_normal(
+        (m5_batch, wcfg.frame_size, 1)).astype(np.float32) * 0.1)
+    mv = m5.init(jax.random.key(1), xw, train=False)
+    qm5 = quantize_m5(m5, mv["params"], mv["batch_stats"], [np.asarray(xw[:32])])
+
+    def m5_f32(inp):
+        return m5.apply({"params": mv["params"], "batch_stats": mv["batch_stats"]},
+                        inp, train=False)
+
+    m5_ref = jax.jit(m5_f32)(xw)
+    m5_ref.block_until_ready()
+    m5_got = jax.jit(lambda inp: quantized_m5_forward(qm5, inp))(xw)
+    m5_got.block_until_ready()
+    m5_fid = float(jnp.max(jnp.abs(jax.nn.sigmoid(m5_ref) - jax.nn.sigmoid(m5_got))))
+    log(f"M5 int8 vs f32 sigmoid max |diff|: {m5_fid:.4f}")
+
+    def slope_m5(fn):
+        def make(it):
+            @jax.jit
+            def loop(w):
+                def body(i, c):
+                    w, acc = c
+                    w = w.at[0, 0, 0].add(1e-6)
+                    return (w, acc + fn(w)[0, 0])
+                return jax.lax.fori_loop(0, it, body, (w, jnp.float32(0)))[1]
+            return loop
+        ts = []
+        for it in (8, 24):
+            lp = make(it)
+            float(lp(xw))
+            best = float("inf")
+            for r in range(3):
+                xr = xw + 1e-5 * (r + 1)
+                xr.block_until_ready()
+                t0 = time.perf_counter()
+                float(lp(xr))
+                best = min(best, time.perf_counter() - t0)
+            ts.append(best)
+        return (ts[1] - ts[0]) / 16
+
+    for name, fn in [("m5_f32", m5_f32),
+                     ("m5_int8", lambda inp: quantized_m5_forward(qm5, inp))]:
+        log(f"compiling {name} ...")
+        t = slope_m5(fn)
+        res[name] = t
+        log(f"  {name}: {1e3 * t:.3f} ms/batch-256 "
+            f"({m5_batch / t:.0f} frames/s)")
+
     out = {
         "batch": BATCH,
         "clip_seconds": CLIP_SECONDS,
+        "m5_batch_frames": m5_batch,
         "device_kind": dev.device_kind,
         "int8_vs_f32_sigmoid_maxdiff": round(fid, 5),
+        "m5_int8_vs_f32_sigmoid_maxdiff": round(m5_fid, 5),
         "ms_per_batch": {k: round(1e3 * v, 4) for k, v in res.items()},
         "speedup_int8_vs_f32": round(res["f32"] / res["int8"], 3),
+        "m5_speedup_int8_vs_f32": round(res["m5_f32"] / res["m5_int8"], 3),
     }
     with open(os.path.join(REPO, "benchmarks", "INT8_BENCH.json"), "w") as f:
         json.dump(out, f, indent=2)

@@ -198,6 +198,10 @@ def main():
     kind = dev.device_kind.lower()
     peak = next((v for k, v in PEAK_FLOPS.items() if k in kind), None)
     mfu = train_flops / step_t / peak if peak else None
+    # f32 convolutions lower to 3 bf16 MXU passes on this hardware, so the
+    # honest utilization figure for the parity-mode (f32) step is against
+    # peak/3 — BWD_PROBE.json shows the conv stack is at ~100% of that.
+    mfu_f32_effective = 3 * mfu if mfu else None
 
     breakdown = {
         "data_ms": 1e3 * times["data (gather+augment+normalize)"],
@@ -220,7 +224,9 @@ def main():
         "breakdown_ms": {k: round(v, 4) for k, v in breakdown.items()},
         "conv_train_gflops_per_step": round(train_flops / 1e9, 2),
         "assumed_peak_tflops": peak and peak / 1e12,
-        "conv_mfu_pct": mfu and round(100 * mfu, 2),
+        "conv_mfu_pct_vs_bf16_peak": mfu and round(100 * mfu, 2),
+        "conv_mfu_pct_vs_effective_f32_peak": mfu_f32_effective
+        and round(100 * mfu_f32_effective, 2),
         "im_per_sec": round(BATCH / step_t, 1),
     }
     with open(os.path.join(REPO, "benchmarks", "TRAIN_PROFILE.json"), "w") as f:
@@ -230,7 +236,7 @@ def main():
         "value": round(1e3 * step_t, 3),
         "unit": "ms/step",
         "im_per_sec": out["im_per_sec"],
-        "conv_mfu_pct": out["conv_mfu_pct"],
+        "conv_mfu_pct_vs_effective_f32_peak": out["conv_mfu_pct_vs_effective_f32_peak"],
     }))
 
 

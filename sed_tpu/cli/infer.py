@@ -34,6 +34,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         help="time-axis window (frames) for very long recordings")
     parser.add_argument("--halo", type=int, default=64)
     parser.add_argument("--no_plot", action="store_true", default=False)
+    parser.add_argument("--quantize", choices=["int8"], default=None,
+                        help="serve with int8 post-training quantization "
+                             "(models/quantize.py); calibrated per file on "
+                             "its own features — lossy fast mode, not the "
+                             "parity path")
     parser.add_argument("--batch", action="store_true", default=False,
                         help="score files as batches grouped by length "
                              "(fastest for many equal-length clips)")
@@ -58,10 +63,12 @@ def load_model_and_state(ckpt_path: str, cfg, batch_hint: int = 1):
 
 
 def predict_file(model, state, audio_path: str, cfg, mean=None, std=None,
-                 window: int = 1024, halo: int = 64):
+                 window: int = 1024, halo: int = 64, quantize: str = None):
     """Featurize one file and score every frame.
 
     Returns (log_mel (channels, frames, mel), scores (frames', classes)).
+    ``quantize='int8'`` scores with the PTQ path (models/quantize.py),
+    calibrated on this file's own features.
     """
     import jax
     import jax.numpy as jnp
@@ -83,10 +90,20 @@ def predict_file(model, state, audio_path: str, cfg, mean=None, std=None,
 
     x = jnp.transpose(jnp.asarray(feats), (1, 2, 0))[None]  # (1, frames, mel, channels)
 
-    def forward(batch):
-        return model.apply(
-            {"params": state.params, "batch_stats": state.batch_stats}, batch, train=False
-        )
+    if quantize == "int8":
+        from sed_tpu.models.quantize import quantize_cnn, quantized_cnn_forward
+
+        calib = np.asarray(x[:, : min(x.shape[1], 2048)])
+        q = quantize_cnn(model, state.params, state.batch_stats, [calib])
+
+        def forward(batch):
+            return quantized_cnn_forward(q, batch)
+    else:
+        def forward(batch):
+            return model.apply(
+                {"params": state.params, "batch_stats": state.batch_stats},
+                batch, train=False
+            )
 
     logits = windowed_forward(forward, x, window=window, halo=halo)
     scores = np.asarray(jax.nn.sigmoid(jnp.asarray(logits)))[0]
@@ -117,6 +134,9 @@ def main(argv=None):
 
     batch_scores = None
     if args.batch:
+        if args.quantize:
+            print("--quantize applies to the per-file windowed path; "
+                  "--batch uses the float forward")
         from sed_tpu.inference import batch_predict_files
 
         batch_scores = batch_predict_files(model, state, args.audio_files, cfg,
@@ -138,7 +158,7 @@ def main(argv=None):
         else:
             log_mel, scores = predict_file(
                 model, state, audio_file, cfg, mean, std,
-                window=args.window, halo=args.halo,
+                window=args.window, halo=args.halo, quantize=args.quantize,
             )
         base = os.path.splitext(os.path.basename(audio_file))[0]
         np.save(os.path.join(args.outputs_dir, f"{base}_scores.npy"), scores)

@@ -174,3 +174,92 @@ def quantized_cnn_forward(qparams, x: jnp.ndarray) -> jnp.ndarray:
 def quantized_scores(qparams, x: jnp.ndarray) -> jnp.ndarray:
     """Sigmoid confidences from the int8 forward (CnnAvgPooling.scores analog)."""
     return jax.nn.sigmoid(quantized_cnn_forward(qparams, x))
+
+
+# ---------------------------------------------------------------------------
+# M5 (1-D waveform CNN, models/m5.py; reference waveform_models.py:9-75)
+# ---------------------------------------------------------------------------
+
+DN1 = ("NWC", "WIO", "NWC")
+# (stride, padding, maxpool-after) per conv, mirroring M5.__call__.
+_M5_SPEC = [(4, 39, 4), (1, 1, None), (1, 1, 4), (1, 1, None), (1, 1, 4),
+            (1, 1, None), (1, 1, 4), (1, 1, None), (1, 1, None)]
+
+
+def quantize_m5(model, params, batch_stats, calib_batches: Sequence[jnp.ndarray]):
+    """int8 PTQ artifact for a trained M5 (NWC waveform input).
+
+    M5's convs carry biases (unlike ConvBlock); they fold into the BN affine:
+    BN(conv + b) = g*conv + (g*b + c).
+    """
+    absmax = np.zeros(len(_M5_SPEC) + 1)
+
+    def float_forward(x, record):
+        for i, (stride, padw, pool) in enumerate(_M5_SPEC):
+            record(i, x)
+            w = params[f"Conv_{i}"]["kernel"]
+            b = params[f"Conv_{i}"]["bias"]
+            x = jax.lax.conv_general_dilated(
+                x, w, (stride,), [(padw, padw)], dimension_numbers=DN1) + b
+            g, bias = _bn_affine(params[f"BatchNorm_{i}"],
+                                 batch_stats[f"BatchNorm_{i}"])
+            x = jnp.maximum(x * g + bias, 0.0)
+            if pool:
+                x = jax.lax.reduce_window(
+                    x, -jnp.inf, jax.lax.max, (1, pool, 1), (1, pool, 1), "VALID")
+        x = jnp.mean(x, axis=1)
+        record(len(_M5_SPEC), x)
+        return x
+
+    for cb in calib_batches:
+        vals = {}
+        float_forward(jnp.asarray(cb),
+                      lambda i, x: vals.__setitem__(i, float(jnp.max(jnp.abs(x)))))
+        for i, v in vals.items():
+            absmax[i] = max(absmax[i], v)
+    act_scales = np.maximum(absmax, 1e-12) / 127.0
+
+    convs = []
+    for i, (stride, padw, pool) in enumerate(_M5_SPEC):
+        qw, w_scale = _quantize_weight(params[f"Conv_{i}"]["kernel"])
+        g, bias = _bn_affine(params[f"BatchNorm_{i}"], batch_stats[f"BatchNorm_{i}"])
+        convs.append({
+            "qweight": qw, "w_scale": w_scale,
+            "act_scale": jnp.float32(act_scales[i]),
+            "bn_gain": g.astype(jnp.float32),
+            # conv bias folded through BN: g*b + (bias from BN affine)
+            "bn_bias": (g * params[f"Conv_{i}"]["bias"] + bias).astype(jnp.float32),
+            "stride": stride, "pad": padw, "pool": pool,
+        })
+    dense = params["Dense_0"]
+    qd, d_scale = _quantize_weight(dense["kernel"])
+    return {
+        "convs": convs,
+        "dense": {"qweight": qd, "w_scale": d_scale,
+                  "act_scale": jnp.float32(act_scales[len(_M5_SPEC)]),
+                  "bias": dense["bias"].astype(jnp.float32)},
+    }
+
+
+def quantized_m5_forward(qparams, x: jnp.ndarray) -> jnp.ndarray:
+    """int8 M5 forward: (batch, samples, channels) float -> (batch, classes)
+    logits.  Close over ``qparams`` when jitting (static pool/stride fields)."""
+    for conv in qparams["convs"]:
+        sa = conv["act_scale"]
+        xq = _quantize_act(x, sa)
+        acc = jax.lax.conv_general_dilated(
+            xq, conv["qweight"], (conv["stride"],), [(conv["pad"], conv["pad"])],
+            dimension_numbers=DN1, preferred_element_type=jnp.int32)
+        x = acc.astype(jnp.float32) * (sa * conv["w_scale"])
+        x = jnp.maximum(x * conv["bn_gain"] + conv["bn_bias"], 0.0)
+        if conv["pool"]:
+            p = conv["pool"]
+            x = jax.lax.reduce_window(
+                x, -jnp.inf, jax.lax.max, (1, p, 1), (1, p, 1), "VALID")
+    x = jnp.mean(x, axis=1)
+    d = qparams["dense"]
+    sa = d["act_scale"]
+    xq = _quantize_act(x, sa)
+    acc = jax.lax.dot_general(xq, d["qweight"], (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+    return acc.astype(jnp.float32) * (sa * d["w_scale"]) + d["bias"]

@@ -91,6 +91,20 @@ def test_train_cli_end_to_end(film_clap_root, tmp_path):
     assert os.path.exists(os.path.join(out_dir, f"{base}.png"))
     assert os.path.exists(os.path.join(out_dir, f"{base}_scores.csv"))
 
+    # int8 PTQ serving path via the CLI: same shape, scores near the float run.
+    out_dir_q = str(tmp_path / "inference_int8")
+    infer_main([
+        wav,
+        "--ckpt", os.path.join(run_dir, "checkpoints", "iteration_4.ckpt"),
+        "--outputs_dir", out_dir_q,
+        "--device", "cpu",
+        "--no_plot",
+        "--quantize", "int8",
+    ])
+    q_scores = np.load(os.path.join(out_dir_q, f"{base}_scores.npy"))
+    assert q_scores.shape == scores.shape
+    assert np.max(np.abs(q_scores - scores)) < 0.05
+
 
 def test_waveform_train_cli(film_clap_root, tmp_path):
     from sed_tpu.cli.main import main

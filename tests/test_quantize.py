@@ -56,6 +56,31 @@ def test_quantized_weights_are_int8():
     assert q["dense"]["qweight"].dtype == jnp.int8
 
 
+def test_quantized_m5_matches_float_closely():
+    from sed_tpu.configs import WaveformConfig
+    from sed_tpu.models.m5 import M5
+    from sed_tpu.models.quantize import quantize_m5, quantized_m5_forward
+
+    wcfg = WaveformConfig()
+    model = M5(classes_num=wcfg.classes_num)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((4, wcfg.frame_size, 1)) * 0.1,
+                    jnp.float32)
+    variables = model.init(jax.random.key(3), x, train=False)
+    params, batch_stats = variables["params"], variables["batch_stats"]
+    for _ in range(2):
+        _, upd = model.apply({"params": params, "batch_stats": batch_stats},
+                             x, train=True, mutable=["batch_stats"])
+        batch_stats = upd["batch_stats"]
+
+    q = quantize_m5(model, params, batch_stats, [np.asarray(x)])
+    ref = np.asarray(jax.nn.sigmoid(model.apply(
+        {"params": params, "batch_stats": batch_stats}, x, train=False)))
+    got = np.asarray(jax.nn.sigmoid(quantized_m5_forward(q, x)))
+    assert got.shape == ref.shape
+    assert np.max(np.abs(got - ref)) < 0.05, np.max(np.abs(got - ref))
+
+
 def test_quantized_forward_jits_and_is_deterministic():
     model, params, batch_stats, x = _trained_ish_model(2)
     q = quantize_cnn(model, params, batch_stats, [np.asarray(x)])
