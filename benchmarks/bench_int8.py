@@ -72,29 +72,42 @@ def main():
     fid = float(jnp.max(jnp.abs(ref - got)))
     log(f"int8 vs f32 sigmoid max |diff|: {fid:.4f}")
 
-    def slope(fn):
-        def make(it):
-            @jax.jit
-            def loop(w):
-                def body(i, c):
-                    w, acc = c
-                    w = w.at[0, 0, 0, 0].add(1e-6)
-                    return (w, acc + fn(w)[0, 0, 0])
-                return jax.lax.fori_loop(0, it, body, (w, jnp.float32(0)))[1]
-            return loop
-        ts = []
-        for it in (8, 24):
-            lp = make(it)
-            float(lp(x))
-            best = float("inf")
-            for r in range(3):
-                xr = x + 1e-5 * (r + 1)
-                xr.block_until_ready()
-                t0 = time.perf_counter()
-                float(lp(xr))
-                best = min(best, time.perf_counter() - t0)
-            ts.append(best)
-        return (ts[1] - ts[0]) / 16
+    def make_slope(inp, perturb, consume):
+        """Robust two-point slope: best-of-5 per length, re-measured (up to
+        3 tries) if relay jitter produces a non-positive slope."""
+        def timer(fn):
+            def make(it):
+                @jax.jit
+                def loop(w):
+                    def body(i, c):
+                        w, acc = c
+                        return (perturb(w), acc + consume(fn(w)))
+                    return jax.lax.fori_loop(0, it, body, (w, jnp.float32(0)))[1]
+                return loop
+
+            its = (8, 40)
+            lps = {it: make(it) for it in its}
+            for lp in lps.values():
+                float(lp(inp))  # compile
+            for _ in range(3):
+                ts = []
+                for it in its:
+                    best = float("inf")
+                    for r in range(5):
+                        xr = inp + jnp.asarray(1e-5 * (r + 1), inp.dtype)
+                        xr.block_until_ready()
+                        t0 = time.perf_counter()
+                        float(lps[it](xr))
+                        best = min(best, time.perf_counter() - t0)
+                    ts.append(best)
+                s = (ts[1] - ts[0]) / (its[1] - its[0])
+                if s > 0:
+                    return s
+            return s
+        return timer
+
+    slope = make_slope(x, lambda w: w.at[0, 0, 0, 0].add(1e-6),
+                       lambda out: out[0, 0, 0])
 
     res = {}
     for name, fn in [("f32", f32_scores), ("bf16", bf16_scores),
@@ -128,29 +141,8 @@ def main():
     m5_fid = float(jnp.max(jnp.abs(jax.nn.sigmoid(m5_ref) - jax.nn.sigmoid(m5_got))))
     log(f"M5 int8 vs f32 sigmoid max |diff|: {m5_fid:.4f}")
 
-    def slope_m5(fn):
-        def make(it):
-            @jax.jit
-            def loop(w):
-                def body(i, c):
-                    w, acc = c
-                    w = w.at[0, 0, 0].add(1e-6)
-                    return (w, acc + fn(w)[0, 0])
-                return jax.lax.fori_loop(0, it, body, (w, jnp.float32(0)))[1]
-            return loop
-        ts = []
-        for it in (8, 24):
-            lp = make(it)
-            float(lp(xw))
-            best = float("inf")
-            for r in range(3):
-                xr = xw + 1e-5 * (r + 1)
-                xr.block_until_ready()
-                t0 = time.perf_counter()
-                float(lp(xr))
-                best = min(best, time.perf_counter() - t0)
-            ts.append(best)
-        return (ts[1] - ts[0]) / 16
+    slope_m5 = make_slope(xw, lambda w: w.at[0, 0, 0].add(1e-6),
+                          lambda out: out[0, 0])
 
     for name, fn in [("m5_f32", m5_f32),
                      ("m5_int8", lambda inp: quantized_m5_forward(qm5, inp))]:

@@ -56,6 +56,7 @@ def main():
         depth: int
         use_bn: bool = True
         dtype: type = jnp.float32
+        param_dtype: type = jnp.float32
 
         @nn.compact
         def __call__(self, x, train=True):
@@ -66,7 +67,8 @@ def main():
                 else:
                     for _ in range(2):
                         x = nn.Conv(out_c, (3, 3), padding=1, use_bias=False,
-                                    kernel_init=kaiming_uniform, dtype=self.dtype)(x)
+                                    kernel_init=kaiming_uniform, dtype=self.dtype,
+                                    param_dtype=self.param_dtype)(x)
                         x = nn.relu(x)
                     if pool > 1:
                         x = nn.avg_pool(x, (pool, pool), (pool, pool))
@@ -118,14 +120,17 @@ def main():
         log(f"compiling {name} ...")
         results[name] = timed_grad(Stack(depth=d))
         log(f"  {name}: {1e3 * results[name]:.3f} ms")
-    for d in (4,):
-        name = f"depth-{d} no-bn"
+    ablations = [
+        ("depth-4 no-bn", Stack(depth=4, use_bn=False)),
+        ("depth-4 bf16", Stack(depth=4, dtype=jnp.bfloat16)),
+        ("depth-4 bf16 no-bn", Stack(depth=4, use_bn=False, dtype=jnp.bfloat16)),
+        ("depth-4 bf16 no-bn bf16-params",
+         Stack(depth=4, use_bn=False, dtype=jnp.bfloat16,
+               param_dtype=jnp.bfloat16)),
+    ]
+    for name, stack in ablations:
         log(f"compiling {name} ...")
-        results[name] = timed_grad(Stack(depth=d, use_bn=False))
-        log(f"  {name}: {1e3 * results[name]:.3f} ms")
-        name = f"depth-{d} bf16"
-        log(f"compiling {name} ...")
-        results[name] = timed_grad(Stack(depth=d, dtype=jnp.bfloat16))
+        results[name] = timed_grad(stack)
         log(f"  {name}: {1e3 * results[name]:.3f} ms")
 
     out = {
