@@ -18,6 +18,14 @@ once consumed); the model state is a rolling log-mel buffer trimmed to the
 context the next emission needs.  Forward passes run on bucketed window sizes
 so jit compiles a handful of shapes, with zero padding beyond the trusted
 region (trimmed, so it never affects emitted scores).
+
+Two classes:
+  * :class:`BatchedStreamingDetector` — N concurrent LOCKSTEP streams (every
+    ``push`` feeds the same number of samples to each); all device work is
+    batched, so serving density scales with the chip instead of per-stream
+    dispatch overhead.
+  * :class:`StreamingDetector` — the single-stream API (a thin wrapper over a
+    1-stream batch; exactness-tested against offline inference).
 """
 
 from __future__ import annotations
@@ -33,13 +41,22 @@ from sed_tpu.ops import stft as stft_ops
 from sed_tpu.ops.featurizer import realimag_to_log_mel
 
 
-class StreamingDetector:
+class BatchedStreamingDetector:
+    """Online detection over ``batch`` lockstep streams.
+
+    ``push`` takes (batch, samples) and returns the newly finalized
+    (batch, frames, classes) scores.  All streams share the frame clock
+    (same chunk length per push), which is the natural serving shape for
+    N microphones / N connections multiplexed onto one chip.
+    """
+
     def __init__(
         self,
         model,
         params,
         batch_stats,
         cfg: SpectrogramConfig = DEFAULT_SPECTROGRAM,
+        batch: int = 1,
         halo: int = 64,
         total_stride: int = 8,
         bucket: int = 128,
@@ -61,6 +78,7 @@ class StreamingDetector:
         self.params = params
         self.batch_stats = batch_stats
         self.cfg = cfg
+        self.batch = batch
         self.halo = halo
         self.stride = total_stride
         self.bucket = bucket
@@ -68,15 +86,15 @@ class StreamingDetector:
         self.std = None if std is None else np.asarray(std, np.float32)
 
         self._pad = cfg.nfft // 2
-        self._samples = np.zeros(0, np.float32)  # rolling buffer
-        self._buf_start = 0          # absolute index of _samples[0]
-        self._n_frames = 0           # frames featurized so far
-        self._frames_mel = np.zeros((0, cfg.mel_bins), np.float32)
-        self._mel_start = 0          # absolute frame index of _frames_mel[0]
+        self._samples = np.zeros((batch, 0), np.float32)  # rolling buffers
+        self._buf_start = 0          # absolute index of _samples[:, 0]
+        self._n_frames = 0           # frames featurized so far (per stream)
+        self._frames_mel = np.zeros((batch, 0, cfg.mel_bins), np.float32)
+        self._mel_start = 0          # absolute frame index of _frames_mel[:, 0]
         self._emitted = 0            # frames whose scores have been emitted
         self._window = jnp.asarray(stft_ops.padded_window(cfg.frame_size, cfg.nfft))
 
-        def featurize(frames):
+        def featurize(frames):  # (rows, nfft) across all streams
             re, im = stft_ops.rfft_matmul_realimag(frames * self._window, cfg.nfft)
             lm = realimag_to_log_mel(re, im, cfg)
             if self.mean is not None:
@@ -85,7 +103,7 @@ class StreamingDetector:
 
         self._featurize = jax.jit(featurize)
 
-        def forward(x):  # (1, T, mel, 1) -> (1, T', classes)
+        def forward(x):  # (batch, T, mel, 1) -> (batch, T', classes)
             logits = model.apply(
                 {"params": params, "batch_stats": batch_stats}, x, train=False
             )
@@ -96,18 +114,19 @@ class StreamingDetector:
     # -- featurizer side ----------------------------------------------------
 
     def _frame_slice(self, t: int) -> np.ndarray:
-        """Samples [t*hop - pad, t*hop - pad + nfft) with start reflection."""
+        """Samples [t*hop - pad, t*hop - pad + nfft) with start reflection,
+        per stream: (batch, nfft)."""
         cfg = self.cfg
         start = t * cfg.hop_size - self._pad
         end = start + cfg.nfft
-        out = np.empty(cfg.nfft, np.float32)
+        out = np.empty((self.batch, cfg.nfft), np.float32)
         if start < 0:
             # Reflect indices -i -> +i (numpy 'reflect': no edge repeat).
             neg = np.arange(start, 0)
-            out[: len(neg)] = self._samples[(-neg) - self._buf_start]
-            out[len(neg):] = self._samples[0 - self._buf_start:end - self._buf_start]
+            out[:, : len(neg)] = self._samples[:, (-neg) - self._buf_start]
+            out[:, len(neg):] = self._samples[:, 0 - self._buf_start:end - self._buf_start]
         else:
-            out[:] = self._samples[start - self._buf_start:end - self._buf_start]
+            out[:] = self._samples[:, start - self._buf_start:end - self._buf_start]
         return out
 
     def _featurize_new(self, total_samples: int) -> None:
@@ -116,29 +135,34 @@ class StreamingDetector:
         n_ready = max(0, (total_samples - self._pad) // cfg.hop_size + 1)
         if n_ready <= self._n_frames:
             return
-        new = np.stack([self._frame_slice(t) for t in range(self._n_frames, n_ready)])
+        new = np.stack([self._frame_slice(t)
+                        for t in range(self._n_frames, n_ready)], axis=1)
         lm = self._featurize_bucketed(new)
-        self._frames_mel = np.concatenate([self._frames_mel, lm], axis=0)
+        self._frames_mel = np.concatenate([self._frames_mel, lm], axis=1)
         self._n_frames = n_ready
         # Drop raw samples no longer needed (keep reflect prefix until past
         # it).  Always retain >= pad+1 tail samples so flush() can build the
         # end reflection even for configs with hop >= nfft/2, where the
         # "frames already featurized" trim point would otherwise pass it.
-        total = self._buf_start + len(self._samples)
+        total = self._buf_start + self._samples.shape[1]
         keep_from = max(0, self._n_frames * cfg.hop_size - self._pad)
         keep_from = min(keep_from, max(0, total - (self._pad + 1)))
         if keep_from > self._buf_start:
-            self._samples = self._samples[keep_from - self._buf_start:]
+            self._samples = self._samples[:, keep_from - self._buf_start:]
             self._buf_start = keep_from
 
     def _featurize_bucketed(self, frames: np.ndarray) -> np.ndarray:
-        """Featurize with the frame count padded to a multiple of 8 so jit
-        compiles a handful of batch shapes regardless of chunking pattern."""
-        n = len(frames)
+        """Featurize (batch, k, nfft) with the flattened row count padded to a
+        multiple of 8 so jit compiles a handful of shapes regardless of
+        chunking pattern; returns (batch, k, mel)."""
+        b, k, nfft = frames.shape
+        flat = frames.reshape(b * k, nfft)
+        n = len(flat)
         padded = 8 * (-(-n // 8))
         if padded != n:
-            frames = np.pad(frames, ((0, padded - n), (0, 0)))
-        return np.asarray(self._featurize(jnp.asarray(frames)))[:n]
+            flat = np.pad(flat, ((0, padded - n), (0, 0)))
+        lm = np.asarray(self._featurize(jnp.asarray(flat)))[:n]
+        return lm.reshape(b, k, -1)
 
     # -- model side ----------------------------------------------------------
 
@@ -148,30 +172,30 @@ class StreamingDetector:
         return self.stride * max(0, (self._n_frames - self.halo) // self.stride)
 
     def _run_model(self, upto: int, final: bool) -> np.ndarray:
-        """Score frames [self._emitted, upto) exactly."""
+        """Score frames [self._emitted, upto) exactly: (batch, k, classes)."""
         s = max(0, self.stride * ((self._emitted - self.halo) // self.stride))
-        window = self._frames_mel[s - self._mel_start:self._n_frames - self._mel_start]
-        n = len(window)
+        window = self._frames_mel[:, s - self._mel_start:self._n_frames - self._mel_start]
+        n = window.shape[1]
         if not final:
             # Bucket the window length; zero padding sits beyond the trusted
             # region (>= halo past `upto`) so trimmed outputs are exact.
             padded = self.bucket * (-(-n // self.bucket))
-            window = np.pad(window, ((0, padded - n), (0, 0)))
-        x = jnp.asarray(window)[None, :, :, None]
-        scores = np.asarray(self._forward(x))[0]
-        return scores[self._emitted - s:upto - s]
+            window = np.pad(window, ((0, 0), (0, padded - n), (0, 0)))
+        x = jnp.asarray(window)[:, :, :, None]
+        scores = np.asarray(self._forward(x))
+        return scores[:, self._emitted - s:upto - s]
 
     def push(self, chunk: np.ndarray) -> np.ndarray:
-        """Feed (samples,) float32 audio; returns newly finalized
-        (frames, classes) scores (possibly empty)."""
-        chunk = np.asarray(chunk, np.float32).reshape(-1)
-        self._samples = np.concatenate([self._samples, chunk])
-        total = self._buf_start + len(self._samples)
+        """Feed (batch, samples) float32 audio; returns newly finalized
+        (batch, frames, classes) scores (possibly with 0 frames)."""
+        chunk = np.asarray(chunk, np.float32).reshape(self.batch, -1)
+        self._samples = np.concatenate([self._samples, chunk], axis=1)
+        total = self._buf_start + self._samples.shape[1]
         self._featurize_new(total)
 
         upto = self._emittable(final=False)
         if upto <= self._emitted:
-            return np.zeros((0, self.cfg.classes_num), np.float32)
+            return np.zeros((self.batch, 0, self.cfg.classes_num), np.float32)
         out = self._run_model(upto, final=False)
         self._emitted = upto
         self._trim_mel()
@@ -181,7 +205,7 @@ class StreamingDetector:
         """End of stream: featurize remaining frames (end reflect padding) and
         emit the exact tail."""
         cfg = self.cfg
-        total = self._buf_start + len(self._samples)
+        total = self._buf_start + self._samples.shape[1]
         if total <= self._pad:
             # Same constraint as the offline reflect-padded STFT: the recording
             # must be longer than nfft/2 samples for center padding to exist.
@@ -193,17 +217,21 @@ class StreamingDetector:
             )
         n_total_frames = 1 + (total // cfg.hop_size)
         # Append the end reflection so trailing frames can be featurized.
-        tail_pad = np.flip(self._samples[-self._pad - 1:-1]) if len(self._samples) > 1 else np.zeros(self._pad, np.float32)
-        self._samples = np.concatenate([self._samples, tail_pad])
+        if self._samples.shape[1] > 1:
+            tail_pad = np.flip(self._samples[:, -self._pad - 1:-1], axis=1)
+        else:
+            tail_pad = np.zeros((self.batch, self._pad), np.float32)
+        self._samples = np.concatenate([self._samples, tail_pad], axis=1)
         n_ready = n_total_frames
         if n_ready > self._n_frames:
-            new = np.stack([self._frame_slice(t) for t in range(self._n_frames, n_ready)])
+            new = np.stack([self._frame_slice(t)
+                            for t in range(self._n_frames, n_ready)], axis=1)
             lm = self._featurize_bucketed(new)
-            self._frames_mel = np.concatenate([self._frames_mel, lm], axis=0)
+            self._frames_mel = np.concatenate([self._frames_mel, lm], axis=1)
             self._n_frames = n_ready
         upto = self._emittable(final=True)
         if upto <= self._emitted:
-            return np.zeros((0, cfg.classes_num), np.float32)
+            return np.zeros((self.batch, 0, cfg.classes_num), np.float32)
         out = self._run_model(upto, final=True)
         self._emitted = upto
         return out
@@ -211,5 +239,27 @@ class StreamingDetector:
     def _trim_mel(self) -> None:
         keep_from = max(0, self.stride * ((self._emitted - self.halo) // self.stride))
         if keep_from > self._mel_start:
-            self._frames_mel = self._frames_mel[keep_from - self._mel_start:]
+            self._frames_mel = self._frames_mel[:, keep_from - self._mel_start:]
             self._mel_start = keep_from
+
+
+class StreamingDetector(BatchedStreamingDetector):
+    """Single-stream online detector (1-stream batch; original API)."""
+
+    def __init__(self, model, params, batch_stats,
+                 cfg: SpectrogramConfig = DEFAULT_SPECTROGRAM, halo: int = 64,
+                 total_stride: int = 8, bucket: int = 128,
+                 mean: Optional[np.ndarray] = None,
+                 std: Optional[np.ndarray] = None):
+        super().__init__(model, params, batch_stats, cfg, batch=1, halo=halo,
+                         total_stride=total_stride, bucket=bucket, mean=mean,
+                         std=std)
+
+    def push(self, chunk: np.ndarray) -> np.ndarray:
+        """Feed (samples,) float32 audio; returns newly finalized
+        (frames, classes) scores (possibly empty)."""
+        chunk = np.asarray(chunk, np.float32).reshape(-1)
+        return super().push(chunk[None])[0]
+
+    def flush(self) -> np.ndarray:
+        return super().flush()[0]

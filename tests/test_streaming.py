@@ -121,3 +121,37 @@ def test_streaming_flush_with_hop_ge_half_nfft():
     streamed = np.concatenate(pieces, axis=0)
     assert streamed.shape == offline.shape
     np.testing.assert_allclose(streamed, offline, atol=1e-6)
+
+
+def test_batched_streaming_matches_per_stream():
+    """BatchedStreamingDetector: N lockstep streams, each bit-equal to its
+    own single-stream run (and therefore to offline inference)."""
+    from sed_tpu.streaming import BatchedStreamingDetector
+
+    rng = np.random.default_rng(7)
+    seconds, n_streams = 60, 3
+    ys = (0.1 * rng.standard_normal(
+        (n_streams, seconds * CFG.working_sample_rate))).astype(np.float32)
+    model, state = _model_state()
+
+    batched = BatchedStreamingDetector(model, state.params, state.batch_stats,
+                                       CFG, batch=n_streams, halo=64,
+                                       total_stride=8, bucket=64)
+    singles = [StreamingDetector(model, state.params, state.batch_stats, CFG,
+                                 halo=64, total_stride=8, bucket=64)
+               for _ in range(n_streams)]
+
+    chunk = 3 * CFG.working_sample_rate
+    got, ref = [], [[] for _ in range(n_streams)]
+    for i in range(0, ys.shape[1], chunk):
+        got.append(batched.push(ys[:, i:i + chunk]))
+        for s in range(n_streams):
+            ref[s].append(singles[s].push(ys[s, i:i + chunk]))
+    got.append(batched.flush())
+    for s in range(n_streams):
+        ref[s].append(singles[s].flush())
+
+    got_full = np.concatenate([g for g in got if g.shape[1]], axis=1)
+    for s in range(n_streams):
+        ref_full = np.concatenate([r for r in ref[s] if len(r)], axis=0)
+        np.testing.assert_array_equal(got_full[s], ref_full)
