@@ -115,6 +115,34 @@ def main():
     log(f"batched x{n_streams}: {1e3 * per_second_b:.1f} ms wall per 1 s tick "
         f"-> {density:.0f} audio-s/s streaming density")
 
+    # Device-resident streaming (sed_tpu.device_streaming): rings live in HBM,
+    # each tick uploads only raw int16 chunks and runs one jitted step.
+    from sed_tpu.device_streaming import DeviceStreamingDetector
+
+    streams_i16 = (streams * 32768).astype(np.int16)
+
+    def run_device(n_seconds):
+        det = DeviceStreamingDetector(model, variables["params"],
+                                      variables["batch_stats"], cfg,
+                                      batch=n_streams, chunk_samples=chunk,
+                                      halo=32)
+        for i in range(n_seconds):
+            det.push(streams_i16[:, i * chunk:(i + 1) * chunk])
+        det.flush()
+
+    log("warmup device-resident ...")
+    run_device(8)
+    t0 = time.perf_counter()
+    run_device(12)
+    t_d_short = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    run_device(40)
+    t_d_long = time.perf_counter() - t0
+    per_second_d = (t_d_long - t_d_short) / (40 - 12)
+    density_d = n_streams * CHUNK_SECONDS / per_second_d
+    log(f"device-resident x{n_streams}: {1e3 * per_second_d:.1f} ms wall per "
+        f"1 s tick -> {density_d:.0f} audio-s/s streaming density")
+
     out = {
         "device_kind": dev.device_kind,
         "chunk_seconds": CHUNK_SECONDS,
@@ -123,6 +151,8 @@ def main():
         "batched_streams": n_streams,
         "batched_ms_per_tick": round(1e3 * per_second_b, 2),
         "batched_streaming_density_audio_s_per_s": round(density, 1),
+        "device_resident_ms_per_tick": round(1e3 * per_second_d, 2),
+        "device_resident_density_audio_s_per_s": round(density_d, 1),
         "note": "per-push cost is relay-RPC-dominated in this harness "
                 "(~30 ms/dispatch); structural emission latency is halo/fps s",
     }
@@ -135,6 +165,8 @@ def main():
         "real_time_factor": out["single_stream_real_time_factor"],
         "batched_density_audio_s_per_s":
             out["batched_streaming_density_audio_s_per_s"],
+        "device_resident_density_audio_s_per_s":
+            out["device_resident_density_audio_s_per_s"],
     }))
 
 

@@ -35,6 +35,8 @@ _EXPORTS = {
     "load_checkpoint": "sed_tpu.train.checkpoint",
     "batch_predict_files": "sed_tpu.inference",
     "StreamingDetector": "sed_tpu.streaming",
+    "BatchedStreamingDetector": "sed_tpu.streaming",
+    "DeviceStreamingDetector": "sed_tpu.device_streaming",
     "windowed_forward": "sed_tpu.parallel.time_shard",
     "calculate_metrics": "sed_tpu.utils.metrics",
     "f_score": "sed_tpu.utils.metrics",

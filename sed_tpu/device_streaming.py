@@ -1,0 +1,281 @@
+"""Device-resident batched streaming detection.
+
+The host-driven streaming classes (sed_tpu.streaming) frame on the host and
+upload float32 frame windows every push — measured transfer-bound at scale
+(benchmarks/STREAMING_BENCH.json).  This module keeps ALL streaming state on
+the device: a rolling sample ring (B, L) and a rolling log-mel ring (B, M, mel)
+live in HBM, and each tick runs ONE jitted step that
+
+  1. shifts the sample ring and appends the new chunk (int16 PCM accepted —
+     de-quantized on device, so the per-tick upload is just B*chunk*2 bytes),
+  2. extracts the newly-ready STFT frames with dynamic slices,
+  3. featurizes them (windowed matmul rFFT -> mel -> dB, same math as the
+     offline path) and writes them into the mel ring,
+  4. scores the emission window and returns the newly finalized block.
+
+The host keeps only the *schedule* — pure integer arithmetic (frame counts,
+emission boundaries), identical to BatchedStreamingDetector's — and passes the
+tick's offsets as traced scalars, so ONE compiled program serves every tick.
+The irregular stream start (reflect padding) and the exact tail (flush) reuse
+the proven host-side machinery: the first ticks run through an internal
+BatchedStreamingDetector, whose state then migrates into the device rings;
+flush() migrates back.  Emitted scores are tick-for-tick equal to the host
+classes (and therefore to offline inference) up to jit fusion rounding.
+
+Serving shape: B lockstep streams, FIXED chunk size per push.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sed_tpu.configs import SpectrogramConfig, DEFAULT_SPECTROGRAM
+from sed_tpu.ops import stft as stft_ops
+from sed_tpu.ops.featurizer import realimag_to_log_mel
+from sed_tpu.streaming import BatchedStreamingDetector
+
+
+class DeviceStreamingDetector:
+    def __init__(
+        self,
+        model,
+        params,
+        batch_stats,
+        cfg: SpectrogramConfig = DEFAULT_SPECTROGRAM,
+        batch: int = 1,
+        chunk_samples: int = 48000,
+        halo: int = 64,
+        total_stride: int = 8,
+        bucket: int = 128,
+        mean: Optional[np.ndarray] = None,
+        std: Optional[np.ndarray] = None,
+    ):
+        self.cfg = cfg
+        self.batch = batch
+        self.chunk = int(chunk_samples)
+        self.halo = halo
+        self.stride = total_stride
+        self._pad = cfg.nfft // 2
+
+        hop = cfg.hop_size
+        self._frames_max = -(-self.chunk // hop) + 1
+        self._emit_max = total_stride * (
+            -(-(self._frames_max + total_stride) // total_stride))
+        need = 2 * halo + 2 * total_stride + self._frames_max
+        self._m = bucket * (-(-need // bucket))          # mel ring length
+        self._l = self.chunk + cfg.nfft + hop            # sample ring length
+        self.mean = None if mean is None else np.asarray(mean, np.float32)
+        self.std = None if std is None else np.asarray(std, np.float32)
+
+        # Startup runs through the host-side class until every
+        # reflection-dependent frame is featurized and the ring covers the
+        # live window.
+        self._host = BatchedStreamingDetector(
+            model, params, batch_stats, cfg, batch=batch, halo=halo,
+            total_stride=total_stride, bucket=bucket, mean=mean, std=std)
+        self._switch_after = cfg.nfft + hop  # total samples, then migrate
+        self._device_mode = False
+
+        # host-side schedule counters (valid in device mode)
+        self._t_total = 0
+        self._n_frames = 0
+        self._emitted = 0
+        self._mel_start = 0
+
+        self._buf = None   # (B, L) f32 device
+        self._mel = None   # (B, M, mel) f32 device
+
+        window = jnp.asarray(stft_ops.padded_window(cfg.frame_size, cfg.nfft))
+        mean_j = None if mean is None else jnp.asarray(mean, jnp.float32)
+        std_j = None if std is None else jnp.asarray(std, jnp.float32)
+        B, L, M, C = batch, self._l, self._m, self.chunk
+        F, EM = self._frames_max, self._emit_max
+        nfft, mel_bins = cfg.nfft, cfg.mel_bins
+
+        def step(buf, mel_ring, chunk, offs, n_new, write_pos, win_off,
+                 e_off, shift):
+            # 1. sample ring shift + append (int16 PCM de-quantized here).
+            if chunk.dtype == jnp.int16:
+                newc = chunk.astype(jnp.float32) / 32768.0
+            else:
+                newc = chunk.astype(jnp.float32)
+            buf = jnp.concatenate([buf[:, C:], newc], axis=1)
+
+            # 2. extract the up-to-F newly ready frames.
+            frames = [
+                jax.lax.dynamic_slice(buf, (0, offs[j]), (B, nfft))
+                for j in range(F)
+            ]
+            frames = jnp.stack(frames, axis=1)  # (B, F, nfft)
+
+            # 3. featurize (same math as the offline featurizer).
+            x = frames.reshape(B * F, nfft) * window
+            re, im = stft_ops.rfft_matmul_realimag(x, nfft)
+            lm = realimag_to_log_mel(re, im, cfg)
+            if mean_j is not None:
+                lm = (lm - mean_j) / std_j
+            lm = lm.reshape(B, F, mel_bins)
+
+            cur = jax.lax.dynamic_slice(mel_ring, (0, write_pos, 0),
+                                        (B, F, mel_bins))
+            keep = jnp.arange(F)[None, :, None] < n_new
+            mel_ring = jax.lax.dynamic_update_slice(
+                mel_ring, jnp.where(keep, lm, cur), (0, write_pos, 0))
+
+            # 4. score the emission window (zeros beyond the ring are outside
+            # the trusted region, same exactness argument as the host class).
+            ext = jnp.concatenate(
+                [mel_ring, jnp.zeros((B, M, mel_bins), jnp.float32)], axis=1)
+            win = jax.lax.dynamic_slice(ext, (0, win_off, 0), (B, M, mel_bins))
+            scores = jax.nn.sigmoid(model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                win[:, :, :, None], train=False))
+            sc_ext = jnp.concatenate(
+                [scores, jnp.zeros((B, M, scores.shape[-1]), jnp.float32)],
+                axis=1)
+            out = jax.lax.dynamic_slice(sc_ext, (0, e_off, 0),
+                                        (B, EM, scores.shape[-1]))
+
+            # 5. trim the mel ring for the next tick.
+            mel_ring = jax.lax.dynamic_slice(ext, (0, shift, 0),
+                                             (B, M, mel_bins))
+            return buf, mel_ring, out
+
+        self._step = jax.jit(step)
+
+        def host_forward(x):  # for the host-side flush path (any length)
+            logits = model.apply(
+                {"params": params, "batch_stats": batch_stats}, x, train=False)
+            return jax.nn.sigmoid(logits)
+
+        self._host_forward_fn = jax.jit(host_forward)
+
+    # -- state migration -----------------------------------------------------
+
+    def _migrate_to_device(self):
+        h = self._host
+        self._t_total = h._buf_start + h._samples.shape[1]
+        self._n_frames = h._n_frames
+        self._emitted = h._emitted
+        self._mel_start = h._mel_start
+
+        buf = np.zeros((self.batch, self._l), np.float32)
+        # place host samples [buf_start, T) at ring-relative positions
+        lo = self._t_total - self._l
+        src_lo = max(h._buf_start, lo)
+        buf[:, src_lo - lo:] = h._samples[:, src_lo - h._buf_start:]
+        self._buf = jnp.asarray(buf)
+
+        mel = np.zeros((self.batch, self._m, self.cfg.mel_bins), np.float32)
+        n = h._n_frames - h._mel_start
+        mel[:, :n] = h._frames_mel[:, :n]
+        self._mel = jnp.asarray(mel)
+        self._device_mode = True
+        self._host = None
+
+    def _migrate_to_host(self) -> BatchedStreamingDetector:
+        h = BatchedStreamingDetector.__new__(BatchedStreamingDetector)
+        # minimal state the flush path needs
+        src = self  # noqa: F841
+        h.cfg, h.batch = self.cfg, self.batch
+        h.halo, h.stride, h.bucket = self.halo, self.stride, self._m
+        h.mean, h.std = self.mean, self.std
+        h._pad = self._pad
+        lo = max(0, self._t_total - self._l)
+        buf = np.asarray(self._buf)
+        h._samples = buf[:, lo - (self._t_total - self._l):]
+        h._buf_start = lo
+        h._n_frames = self._n_frames
+        mel = np.asarray(self._mel)
+        h._frames_mel = mel[:, : self._n_frames - self._mel_start]
+        h._mel_start = self._mel_start
+        h._emitted = self._emitted
+        h._window = jnp.asarray(
+            stft_ops.padded_window(self.cfg.frame_size, self.cfg.nfft))
+
+        cfgl = self.cfg
+        mean, std = self.mean, self.std
+
+        def featurize(frames):
+            re, im = stft_ops.rfft_matmul_realimag(frames * h._window, cfgl.nfft)
+            lm = realimag_to_log_mel(re, im, cfgl)
+            if mean is not None:
+                lm = (lm - mean) / std
+            return lm
+
+        h._featurize = jax.jit(featurize)
+        h._forward = self._host_forward_fn
+        return h
+
+    # -- public API ----------------------------------------------------------
+
+    def push(self, chunk: np.ndarray) -> np.ndarray:
+        """Feed (batch, chunk_samples) int16 PCM or float32 audio; returns the
+        newly finalized (batch, frames, classes) block."""
+        chunk = np.asarray(chunk)
+        assert chunk.shape == (self.batch, self.chunk), \
+            f"lockstep push must be {(self.batch, self.chunk)}, got {chunk.shape}"
+        if not self._device_mode:
+            f32 = (chunk.astype(np.float32) / 32768.0
+                   if chunk.dtype == np.int16 else chunk.astype(np.float32))
+            out = self._host.push(f32)
+            if (self._host._buf_start + self._host._samples.shape[1]
+                    >= self._switch_after):
+                self._migrate_to_device()
+            return out
+
+        cfg = self.cfg
+        hop, pad = cfg.hop_size, self._pad
+        t_new = self._t_total + self.chunk
+        n_ready = max(0, (t_new - pad) // hop + 1)
+        n_new = n_ready - self._n_frames
+        assert 0 <= n_new <= self._frames_max
+
+        base = t_new - self._l
+        offs = []
+        for j in range(self._frames_max):
+            if n_new > 0:
+                t = self._n_frames + min(j, n_new - 1)
+            else:
+                # masked-out dummy: the last already-featurized frame, whose
+                # window is still guaranteed inside the ring
+                t = self._n_frames - 1
+            offs.append(t * hop - pad - base)
+        offs = np.asarray(offs, np.int32)
+        assert (offs >= 0).all() and (offs + cfg.nfft <= self._l).all()
+
+        upto = self.stride * max(0, (n_ready - self.halo) // self.stride)
+        emit_n = max(0, upto - self._emitted)
+        assert emit_n <= self._emit_max
+
+        s = max(0, self.stride * ((self._emitted - self.halo) // self.stride))
+        win_off = s - self._mel_start
+        e_off = self._emitted - s
+        write_pos = self._n_frames - self._mel_start
+        new_emitted = self._emitted + emit_n
+        keep = max(0, self.stride * ((new_emitted - self.halo) // self.stride))
+        shift = keep - self._mel_start
+        assert win_off >= 0 and write_pos >= 0 and shift >= 0
+        assert write_pos + self._frames_max <= self._m
+
+        self._buf, self._mel, out = self._step(
+            self._buf, self._mel, jnp.asarray(chunk),
+            jnp.asarray(offs), jnp.int32(n_new), jnp.int32(write_pos),
+            jnp.int32(win_off), jnp.int32(e_off), jnp.int32(shift))
+
+        self._t_total = t_new
+        self._n_frames = n_ready
+        self._emitted = new_emitted
+        self._mel_start = keep
+        return np.asarray(out)[:, :emit_n]
+
+    def flush(self) -> np.ndarray:
+        """End of stream: exact tail via the host-side flush machinery."""
+        if not self._device_mode:
+            return self._host.flush()
+        h = self._migrate_to_host()
+        return h.flush()

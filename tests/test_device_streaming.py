@@ -1,0 +1,86 @@
+"""Device-resident streaming: equality with the host streaming classes."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from sed_tpu.configs import SpectrogramConfig
+from sed_tpu.device_streaming import DeviceStreamingDetector
+from sed_tpu.models.cnn import CnnAvgPooling, TRAIN_CHANNEL_AND_POOL
+from sed_tpu.streaming import BatchedStreamingDetector
+from sed_tpu.train.optim import make_optimizer
+from sed_tpu.train.state import init_state
+
+CFG = SpectrogramConfig(working_sample_rate=8000, time_margin=0.33)
+
+
+def _model_state():
+    model = CnnAvgPooling(classes_num=1, model_config=TRAIN_CHANNEL_AND_POOL)
+    tx = make_optimizer(1e-3)
+    sample = jnp.zeros((1, CFG.train_crop_size, CFG.mel_bins, 1))
+    state = init_state(model, jax.random.key(0), sample, tx)
+    return model, state
+
+
+def _run_pair(ys, chunk, dtype=np.float32, seconds_pushed=None):
+    model, state = _model_state()
+    B = ys.shape[0]
+    ref = BatchedStreamingDetector(model, state.params, state.batch_stats,
+                                   CFG, batch=B, halo=64, total_stride=8,
+                                   bucket=64)
+    dev = DeviceStreamingDetector(model, state.params, state.batch_stats,
+                                  CFG, batch=B, chunk_samples=chunk, halo=64,
+                                  total_stride=8, bucket=64)
+    r_out, d_out = [], []
+    n = ys.shape[1] // chunk
+    for i in range(n):
+        c_f32 = ys[:, i * chunk:(i + 1) * chunk]
+        if dtype == np.int16:
+            c_i16 = (c_f32 * 32768.0).astype(np.int16)
+            c_f32 = c_i16.astype(np.float32) / 32768.0
+            d = dev.push(c_i16)
+        else:
+            d = dev.push(c_f32)
+        r = ref.push(c_f32)
+        assert r.shape == d.shape, (i, r.shape, d.shape)
+        r_out.append(r)
+        d_out.append(d)
+    r_out.append(ref.flush())
+    d_out.append(dev.flush())
+    R = np.concatenate([r for r in r_out if r.shape[1]], axis=1)
+    D = np.concatenate([d for d in d_out if d.shape[1]], axis=1)
+    return R, D
+
+
+@pytest.mark.parametrize("chunk_seconds", [1.0, 0.35])
+def test_device_streaming_matches_host(chunk_seconds):
+    rng = np.random.default_rng(0)
+    B, sec = 2, 70
+    ys = (0.1 * rng.standard_normal(
+        (B, sec * CFG.working_sample_rate))).astype(np.float32)
+    chunk = int(chunk_seconds * CFG.working_sample_rate)
+    ys = ys[:, : (ys.shape[1] // chunk) * chunk]
+    R, D = _run_pair(ys, chunk)
+    assert R.shape == D.shape
+    np.testing.assert_allclose(D, R, atol=1e-5)
+
+
+def test_device_streaming_int16_input():
+    rng = np.random.default_rng(1)
+    B, sec = 2, 60
+    ys = (0.1 * rng.standard_normal(
+        (B, sec * CFG.working_sample_rate))).astype(np.float32)
+    chunk = CFG.working_sample_rate
+    R, D = _run_pair(ys, chunk, dtype=np.int16)
+    assert R.shape == D.shape
+    np.testing.assert_allclose(D, R, atol=1e-5)
+
+
+def test_device_streaming_rejects_wrong_shape():
+    model, state = _model_state()
+    dev = DeviceStreamingDetector(model, state.params, state.batch_stats,
+                                  CFG, batch=2, chunk_samples=8000, halo=64,
+                                  total_stride=8, bucket=64)
+    with pytest.raises(AssertionError):
+        dev.push(np.zeros((2, 4000), np.float32))
