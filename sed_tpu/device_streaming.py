@@ -53,7 +53,12 @@ class DeviceStreamingDetector:
         bucket: int = 128,
         mean: Optional[np.ndarray] = None,
         std: Optional[np.ndarray] = None,
+        mesh=None,
     ):
+        """``mesh``: an optional ``jax.sharding.Mesh`` with a 'data' axis —
+        the stream batch (rings and chunks) is sharded across its devices and
+        jit propagates the sharding through the tick step, so serving density
+        scales over a pod the same way batch inference does."""
         self.cfg = cfg
         self.batch = batch
         self.chunk = int(chunk_samples)
@@ -88,6 +93,14 @@ class DeviceStreamingDetector:
 
         self._buf = None   # (B, L) f32 device
         self._mel = None   # (B, M, mel) f32 device
+        if mesh is not None:
+            from sed_tpu.parallel.mesh import batch_sharding
+
+            assert batch % mesh.size == 0, \
+                f"batch {batch} must divide over the {mesh.size}-device mesh"
+            self._sharding = batch_sharding(mesh)
+        else:
+            self._sharding = None
 
         window = jnp.asarray(stft_ops.padded_window(cfg.frame_size, cfg.nfft))
         mean_j = None if mean is None else jnp.asarray(mean, jnp.float32)
@@ -154,6 +167,11 @@ class DeviceStreamingDetector:
 
         self._host_forward_fn = jax.jit(host_forward)
 
+    def _put(self, x):
+        if self._sharding is not None:
+            return jax.device_put(x, self._sharding)
+        return jnp.asarray(x)
+
     # -- state migration -----------------------------------------------------
 
     def _migrate_to_device(self):
@@ -168,12 +186,12 @@ class DeviceStreamingDetector:
         lo = self._t_total - self._l
         src_lo = max(h._buf_start, lo)
         buf[:, src_lo - lo:] = h._samples[:, src_lo - h._buf_start:]
-        self._buf = jnp.asarray(buf)
+        self._buf = self._put(buf)
 
         mel = np.zeros((self.batch, self._m, self.cfg.mel_bins), np.float32)
         n = h._n_frames - h._mel_start
         mel[:, :n] = h._frames_mel[:, :n]
-        self._mel = jnp.asarray(mel)
+        self._mel = self._put(mel)
         self._device_mode = True
         self._host = None
 
@@ -263,7 +281,7 @@ class DeviceStreamingDetector:
         assert write_pos + self._frames_max <= self._m
 
         self._buf, self._mel, out = self._step(
-            self._buf, self._mel, jnp.asarray(chunk),
+            self._buf, self._mel, self._put(chunk),
             jnp.asarray(offs), jnp.int32(n_new), jnp.int32(write_pos),
             jnp.int32(win_off), jnp.int32(e_off), jnp.int32(shift))
 

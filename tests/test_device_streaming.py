@@ -84,3 +84,35 @@ def test_device_streaming_rejects_wrong_shape():
                                   total_stride=8, bucket=64)
     with pytest.raises(AssertionError):
         dev.push(np.zeros((2, 4000), np.float32))
+
+
+def test_device_streaming_sharded_over_mesh():
+    """Rings and chunks sharded over an 8-device data mesh: outputs equal the
+    unsharded run (serving density scales over the mesh like batch infer)."""
+    from sed_tpu.parallel.mesh import create_mesh
+
+    rng = np.random.default_rng(5)
+    B, sec = 8, 50
+    ys = (0.1 * rng.standard_normal(
+        (B, sec * CFG.working_sample_rate))).astype(np.float32)
+    chunk = CFG.working_sample_rate
+    model, state = _model_state()
+
+    mesh = create_mesh()
+    sharded = DeviceStreamingDetector(model, state.params, state.batch_stats,
+                                      CFG, batch=B, chunk_samples=chunk,
+                                      halo=64, total_stride=8, bucket=64,
+                                      mesh=mesh)
+    plain = DeviceStreamingDetector(model, state.params, state.batch_stats,
+                                    CFG, batch=B, chunk_samples=chunk,
+                                    halo=64, total_stride=8, bucket=64)
+    s_out, p_out = [], []
+    for i in range(sec):
+        c = ys[:, i * chunk:(i + 1) * chunk]
+        s_out.append(sharded.push(c))
+        p_out.append(plain.push(c))
+    s_out.append(sharded.flush())
+    p_out.append(plain.flush())
+    S = np.concatenate([x for x in s_out if x.shape[1]], axis=1)
+    P = np.concatenate([x for x in p_out if x.shape[1]], axis=1)
+    np.testing.assert_allclose(S, P, atol=1e-5)
