@@ -1342,6 +1342,10 @@ def stft_power_from_waveform_pallas(
     span_len += (-span_len) % 1024
 
     pad = n_fft // 2
+    # NOTE a zeros-buffer + three .at[].set() formulation of this pre-pass
+    # (hoping XLA fuses the updates into one pass) measured WORSE on
+    # hardware: 15.2 vs 13.3 ms full path per 16x60 s batch — the update
+    # chain does not fuse.  The jnp.pad chain below stands.
     needed = (n_tiles * FFT_TILE_R - 1) * hop + n_fft + 1024
     wave = jnp.pad(waveforms.astype(jnp.float32), ((0, 0), (pad, pad)), mode="reflect")
     s_pad = max(needed, wave.shape[1])
