@@ -65,6 +65,8 @@ class DeviceStreamingDetector:
         self.halo = halo
         self.stride = total_stride
         self._pad = cfg.nfft // 2
+        self._model, self._params, self._batch_stats = model, params, batch_stats
+        self._closed = False
 
         hop = cfg.hop_size
         self._frames_max = -(-self.chunk // hop) + 1
@@ -158,14 +160,9 @@ class DeviceStreamingDetector:
                                              (B, M, mel_bins))
             return buf, mel_ring, out
 
-        self._step = jax.jit(step)
-
-        def host_forward(x):  # for the host-side flush path (any length)
-            logits = model.apply(
-                {"params": params, "batch_stats": batch_stats}, x, train=False)
-            return jax.nn.sigmoid(logits)
-
-        self._host_forward_fn = jax.jit(host_forward)
+        # The rings are consumed and fully rewritten every tick — donate them
+        # so XLA updates in place instead of allocating fresh buffers.
+        self._step = jax.jit(step, donate_argnums=(0, 1))
 
     def _put(self, x):
         if self._sharding is not None:
@@ -196,44 +193,25 @@ class DeviceStreamingDetector:
         self._host = None
 
     def _migrate_to_host(self) -> BatchedStreamingDetector:
-        h = BatchedStreamingDetector.__new__(BatchedStreamingDetector)
-        # minimal state the flush path needs
-        src = self  # noqa: F841
-        h.cfg, h.batch = self.cfg, self.batch
-        h.halo, h.stride, h.bucket = self.halo, self.stride, self._m
-        h.mean, h.std = self.mean, self.std
-        h._pad = self._pad
         lo = max(0, self._t_total - self._l)
         buf = np.asarray(self._buf)
-        h._samples = buf[:, lo - (self._t_total - self._l):]
-        h._buf_start = lo
-        h._n_frames = self._n_frames
         mel = np.asarray(self._mel)
-        h._frames_mel = mel[:, : self._n_frames - self._mel_start]
-        h._mel_start = self._mel_start
-        h._emitted = self._emitted
-        h._window = jnp.asarray(
-            stft_ops.padded_window(self.cfg.frame_size, self.cfg.nfft))
-
-        cfgl = self.cfg
-        mean, std = self.mean, self.std
-
-        def featurize(frames):
-            re, im = stft_ops.rfft_matmul_realimag(frames * h._window, cfgl.nfft)
-            lm = realimag_to_log_mel(re, im, cfgl)
-            if mean is not None:
-                lm = (lm - mean) / std
-            return lm
-
-        h._featurize = jax.jit(featurize)
-        h._forward = self._host_forward_fn
-        return h
+        return BatchedStreamingDetector.from_state(
+            self._model, self._params, self._batch_stats, self.cfg,
+            batch=self.batch, halo=self.halo, total_stride=self.stride,
+            bucket=self._m, mean=self.mean, std=self.std,
+            samples=buf[:, lo - (self._t_total - self._l):],
+            buf_start=lo, n_frames=self._n_frames,
+            frames_mel=mel[:, : self._n_frames - self._mel_start],
+            mel_start=self._mel_start, emitted=self._emitted)
 
     # -- public API ----------------------------------------------------------
 
     def push(self, chunk: np.ndarray) -> np.ndarray:
         """Feed (batch, chunk_samples) int16 PCM or float32 audio; returns the
         newly finalized (batch, frames, classes) block."""
+        if self._closed:
+            raise RuntimeError("stream already flushed; create a new detector")
         chunk = np.asarray(chunk)
         assert chunk.shape == (self.batch, self.chunk), \
             f"lockstep push must be {(self.batch, self.chunk)}, got {chunk.shape}"
@@ -292,7 +270,11 @@ class DeviceStreamingDetector:
         return np.asarray(out)[:, :emit_n]
 
     def flush(self) -> np.ndarray:
-        """End of stream: exact tail via the host-side flush machinery."""
+        """End of stream: exact tail via the host-side flush machinery.
+        Terminal — further push()/flush() calls raise."""
+        if self._closed:
+            raise RuntimeError("stream already flushed")
+        self._closed = True
         if not self._device_mode:
             return self._host.flush()
         h = self._migrate_to_host()

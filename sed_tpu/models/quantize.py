@@ -207,9 +207,12 @@ def quantize_m5(model, params, batch_stats, calib_batches: Sequence[jnp.ndarray]
             if pool:
                 x = jax.lax.reduce_window(
                     x, -jnp.inf, jax.lax.max, (1, pool, 1), (1, pool, 1), "VALID")
-        x = jnp.mean(x, axis=1)
+        # Record the dense-head scale on the PRE-mean tensor: the quantized
+        # forward requantizes the last conv's per-timestep activations before
+        # the time mean, so the scale must cover per-timestep peaks (a
+        # post-mean absmax would clip loud transients).
         record(len(_M5_SPEC), x)
-        return x
+        return jnp.mean(x, axis=1)
 
     for cb in calib_batches:
         vals = {}

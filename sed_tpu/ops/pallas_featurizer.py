@@ -303,6 +303,32 @@ def _make_fft_power_kernel(n_fft: int, n1: int, n2: int, precision=None):
 # ---------------------------------------------------------------------------
 
 
+def _extract_rolled(span_vmem, lane, o: int, frame_rows: int):
+    """One frame (frame_rows, 128) starting at STATIC span offset ``o``:
+    an 8-row-aligned ref slice, two sublane rolls (the second supplies the
+    lane-carry row), a lane roll, and a lane-mask select — all full-tile
+    vector ops that Mosaic lowers.  Shared by every DMA-framing kernel so the
+    a8/sub roll arithmetic lives in exactly one place.
+
+      rs, ls = o // 128, o % 128   row start / lane shift
+      A = roll(piece, -sub)[0:frame_rows]      rows rs..rs+frame_rows-1
+      B = roll(piece, -sub-1)[0:frame_rows]    one row later (lane carry)
+      frame[j, l] = (A if l < 128-ls else B)[j, (l+ls) % 128]
+    """
+    rs, ls = o // 128, o % 128
+    a8 = (rs // 8) * 8
+    sub = rs - a8
+    piece = span_vmem[a8:a8 + frame_rows + 8, :]
+    rows_p = frame_rows + 8
+    a = pltpu.roll(piece, (rows_p - sub) % rows_p, 0)[:frame_rows]
+    if ls == 0:
+        return a
+    b = pltpu.roll(piece, (rows_p - sub - 1) % rows_p, 0)[:frame_rows]
+    ar = pltpu.roll(a, 128 - ls, 1)
+    br = pltpu.roll(b, 128 - ls, 1)
+    return jnp.where(lane < 128 - ls, ar, br)
+
+
 def _make_wave_fft_power_kernel(n_fft: int, n1: int, n2: int, hop: int,
                                 s_pad: int, span_len: int, phases):
     tile_stride = FFT_TILE_R * hop
@@ -438,23 +464,10 @@ def _make_wave_fft_power_kernel_roll(n_fft: int, n1: int, n2: int, hop: int,
 
         def build(span_vmem, phase):
             def _build():
-                frames = []
-                for f in range(FFT_TILE_R):
-                    o = phase + f * hop
-                    rs, ls = o // 128, o % 128
-                    a8 = (rs // 8) * 8
-                    sub = rs - a8
-                    piece = span_vmem[a8:a8 + frame_rows + 8, :]
-                    rows = frame_rows + 8
-                    a = pltpu.roll(piece, (rows - sub) % rows, 0)[:frame_rows]
-                    if ls == 0:
-                        frames.append(a)
-                        continue
-                    b = pltpu.roll(piece, (rows - sub - 1) % rows, 0)[:frame_rows]
-                    ar = pltpu.roll(a, 128 - ls, 1)
-                    br = pltpu.roll(b, 128 - ls, 1)
-                    frames.append(jnp.where(lane < 128 - ls, ar, br))
-                return jnp.stack(frames)  # (R, 256, 128)
+                return jnp.stack([
+                    _extract_rolled(span_vmem, lane, phase + f * hop, frame_rows)
+                    for f in range(FFT_TILE_R)
+                ])  # (R, 256, 128)
 
             return _build
 
@@ -653,27 +666,14 @@ def _make_wave_eo_fft_power_kernel(m: int, n1: int, n2: int, hop2: int,
 
         lane = jax.lax.broadcasted_iota(jnp.int32, (frame_rows, 128), 1)
 
-        def extract(span_vmem, phase, f):
-            o = phase + f * hop2
-            rs, ls = o // 128, o % 128
-            a8 = (rs // 8) * 8
-            sub = rs - a8
-            piece = span_vmem[a8:a8 + frame_rows + 8, :]
-            rows_p = frame_rows + 8
-            a = pltpu.roll(piece, (rows_p - sub) % rows_p, 0)[:frame_rows]
-            if ls == 0:
-                return a
-            b = pltpu.roll(piece, (rows_p - sub - 1) % rows_p, 0)[:frame_rows]
-            ar = pltpu.roll(a, 128 - ls, 1)
-            br = pltpu.roll(b, 128 - ls, 1)
-            return jnp.where(lane < 128 - ls, ar, br)
-
         def build_pair(span_e, span_o):
             def from_phase(phase):
                 def _build():
                     return jnp.stack(
-                        [extract(span_e, phase, f) for f in range(FFT_TILE_R)]
-                        + [extract(span_o, phase, f) for f in range(FFT_TILE_R)]
+                        [_extract_rolled(span_e, lane, phase + f * hop2, frame_rows)
+                         for f in range(FFT_TILE_R)]
+                        + [_extract_rolled(span_o, lane, phase + f * hop2, frame_rows)
+                           for f in range(FFT_TILE_R)]
                     )  # (2R, frame_rows, 128)
 
                 return _build
@@ -758,26 +758,13 @@ def _make_wave_packed_fft_kernel(m: int, n1: int, n2: int, hop2: int,
 
         lane = jax.lax.broadcasted_iota(jnp.int32, (frame_rows, 128), 1)
 
-        def extract(span_vmem, phase, f):
-            o = phase + f * hop2
-            rs, ls = o // 128, o % 128
-            a8 = (rs // 8) * 8
-            sub = rs - a8
-            piece = span_vmem[a8:a8 + frame_rows + 8, :]
-            rows_p = frame_rows + 8
-            a = pltpu.roll(piece, (rows_p - sub) % rows_p, 0)[:frame_rows]
-            if ls == 0:
-                return a
-            b = pltpu.roll(piece, (rows_p - sub - 1) % rows_p, 0)[:frame_rows]
-            ar = pltpu.roll(a, 128 - ls, 1)
-            br = pltpu.roll(b, 128 - ls, 1)
-            return jnp.where(lane < 128 - ls, ar, br)
-
         def build(phase):
             def _build():
                 return jnp.stack(
-                    [extract(span_e, phase, f) for f in range(FFT_TILE_R)]
-                    + [extract(span_o, phase, f) for f in range(FFT_TILE_R)]
+                    [_extract_rolled(span_e, lane, phase + f * hop2, frame_rows)
+                     for f in range(FFT_TILE_R)]
+                    + [_extract_rolled(span_o, lane, phase + f * hop2, frame_rows)
+                       for f in range(FFT_TILE_R)]
                 )  # (2R, frame_rows, 128)
 
             return _build
@@ -812,23 +799,12 @@ def _make_wave_packed_fft_kernel(m: int, n1: int, n2: int, hop2: int,
     return kernel
 
 
-def stft_packed_from_waveform_pallas(
-    waveforms: jnp.ndarray,
-    cfg: SpectrogramConfig = DEFAULT_SPECTROGRAM,
-    interpret=None,
-    precision=None,
-):
-    """(n_signals, samples) -> (Zr, Zi), each (n_signals, n_frames, m).
-
-    Z = FFT_m(frame_even + i*frame_odd) per centered frame (m = n_fft//2) in
-    the kernel's (k2, k1) tile layout; framing happens in-kernel from the
-    deinterleaved half-waveforms (hop/2-strided).  Feed through
-    :func:`packed_power_onesided` + :func:`_onesided_mel_from_power`.
-    """
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
+def _deinterleaved_layout(waveforms: jnp.ndarray, cfg: SpectrogramConfig):
+    """Shared pack/eo driver setup: reflect-pad, deinterleave into even/odd
+    half-waveforms in the kernels' strided flat (rows, 128) DMA layout, and
+    compute the span/phase geometry (half hop, half frame length)."""
     n_fft, hop = cfg.nfft, cfg.hop_size
-    assert n_fft % 2 == 0 and hop % 2 == 0, "packed path needs even nfft/hop"
+    assert n_fft % 2 == 0 and hop % 2 == 0, "even/odd paths need even nfft/hop"
     m = n_fft // 2
     hop2 = hop // 2
     n_signals, n_samples = waveforms.shape
@@ -866,8 +842,34 @@ def stft_packed_from_waveform_pallas(
         h = jnp.pad(h, (0, (-h.shape[0]) % 128))
         return h.reshape(-1, 128)
 
-    wave_e = flatten_half(eo[:, :, 0])
-    wave_o = flatten_half(eo[:, :, 1])
+    return dict(m=m, hop2=hop2, n_signals=n_signals, n_frames=n_frames,
+                n_tiles=n_tiles, phases=tuple(phases), span_len=span_len,
+                s_pad2=s_pad2,
+                wave_e=flatten_half(eo[:, :, 0]),
+                wave_o=flatten_half(eo[:, :, 1]))
+
+
+def stft_packed_from_waveform_pallas(
+    waveforms: jnp.ndarray,
+    cfg: SpectrogramConfig = DEFAULT_SPECTROGRAM,
+    interpret=None,
+    precision=None,
+):
+    """(n_signals, samples) -> (Zr, Zi), each (n_signals, n_frames, m).
+
+    Z = FFT_m(frame_even + i*frame_odd) per centered frame (m = n_fft//2) in
+    the kernel's (k2, k1) tile layout; framing happens in-kernel from the
+    deinterleaved half-waveforms (hop/2-strided).  Feed through
+    :func:`packed_power_onesided` + :func:`_onesided_mel_from_power`.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    n_fft = cfg.nfft
+    geo = _deinterleaved_layout(waveforms, cfg)
+    m, hop2 = geo["m"], geo["hop2"]
+    n_signals, n_frames, n_tiles = geo["n_signals"], geo["n_frames"], geo["n_tiles"]
+    phases, span_len, s_pad2 = geo["phases"], geo["span_len"], geo["s_pad2"]
+    wave_e, wave_o = geo["wave_e"], geo["wave_o"]
 
     (m_, n1, n2, w2r, w2i, w1r, w1i, twr, twi, win_e, win_o) = \
         _packed_fft_constants(n_fft, cfg.frame_size)
@@ -934,45 +936,12 @@ def stft_eo_power_from_waveform_pallas(
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    n_fft, hop = cfg.nfft, cfg.hop_size
-    assert n_fft % 2 == 0 and hop % 2 == 0, "eo path needs even nfft/hop"
-    m = n_fft // 2
-    hop2 = hop // 2
-    n_signals, n_samples = waveforms.shape
-    n_frames = 1 + n_samples // hop
-    n_tiles = pl.cdiv(n_frames, FFT_TILE_R)
-
-    tile_stride = FFT_TILE_R * hop2
-    phase_step = tile_stride % 1024
-    phases = []
-    p = 0
-    while True:
-        phases.append(p)
-        p = (p + phase_step) % 1024
-        if p == 0:
-            break
-    span_len = 1024 + (FFT_TILE_R - 1) * hop2 + m
-    span_len += (-span_len) % 1024
-
-    pad = n_fft // 2
-    wave = jnp.pad(waveforms.astype(jnp.float32), ((0, 0), (pad, pad)),
-                   mode="reflect")
-    total = (wave.shape[1] // 2) * 2
-    eo = wave[:, :total].reshape(n_signals, -1, 2)
-    needed = (n_tiles * FFT_TILE_R - 1) * hop2 + m + 1024
-    s_pad2 = max(needed, eo.shape[1])
-    s_pad2 += (-s_pad2) % 1024
-
-    def flatten_half(h):
-        h = jnp.pad(h, ((0, 0), (0, s_pad2 - h.shape[1]))).reshape(-1)
-        total_needed = (n_signals - 1) * s_pad2 + (n_tiles - 1) * tile_stride + span_len
-        if total_needed > h.shape[0]:
-            h = jnp.pad(h, (0, total_needed - h.shape[0]))
-        h = jnp.pad(h, (0, (-h.shape[0]) % 128))
-        return h.reshape(-1, 128)
-
-    wave_e = flatten_half(eo[:, :, 0])
-    wave_o = flatten_half(eo[:, :, 1])
+    n_fft = cfg.nfft
+    geo = _deinterleaved_layout(waveforms, cfg)
+    m, hop2 = geo["m"], geo["hop2"]
+    n_signals, n_frames, n_tiles = geo["n_signals"], geo["n_frames"], geo["n_tiles"]
+    phases, span_len, s_pad2 = geo["phases"], geo["span_len"], geo["s_pad2"]
+    wave_e, wave_o = geo["wave_e"], geo["wave_o"]
 
     (m_, n1, n2, w2r, w2i, w1r, w1i, twr, twi, win_e, win_o) = \
         _packed_fft_constants(n_fft, cfg.frame_size)
@@ -1121,23 +1090,10 @@ def _make_wave_fft_power_kernel_rollraw(n_fft: int, n1: int, n2: int, hop: int,
 
         def build(span_vmem, phase):
             def _build():
-                frames = []
-                for f in range(FFT_TILE_R):
-                    o = phase + f * hop
-                    rs, ls = o // 128, o % 128
-                    a8 = (rs // 8) * 8
-                    sub = rs - a8
-                    piece = span_vmem[a8:a8 + frame_rows + 8, :]
-                    rows = frame_rows + 8
-                    a = pltpu.roll(piece, (rows - sub) % rows, 0)[:frame_rows]
-                    if ls == 0:
-                        frames.append(a)
-                        continue
-                    b = pltpu.roll(piece, (rows - sub - 1) % rows, 0)[:frame_rows]
-                    ar = pltpu.roll(a, 128 - ls, 1)
-                    br = pltpu.roll(b, 128 - ls, 1)
-                    frames.append(jnp.where(lane < 128 - ls, ar, br))
-                return jnp.stack(frames)
+                return jnp.stack([
+                    _extract_rolled(span_vmem, lane, phase + f * hop, frame_rows)
+                    for f in range(FFT_TILE_R)
+                ])
 
             return _build
 
@@ -1432,14 +1388,16 @@ def logmel_waveform_pallas(
     """Fully fused featurizer from raw waveforms, framing included:
     (n_signals, samples) -> (n_signals, n_frames, mel_bins).
 
-    ``impl='pack'`` (production): the packed even/odd half-size complex FFT —
-    2x fewer MXU FLOPs and a half-K mel kernel (see
-    :func:`stft_packed_from_waveform_pallas`); framing still happens INSIDE
-    the kernel from the deinterleaved half-waveforms.  ``impl='roll'``: the
-    full-N real FFT with in-kernel roll framing and the hermitian-FOLDED mel
-    kernel.  Both keep all framing traffic out of HBM — no (frames, n_fft)
-    array ever exists there.  ``precision=None`` = HIGHEST (parity);
-    'bf16x4' = fast mode (<=2e-4 dB on tonal content)."""
+    ``impl='roll'`` (PRODUCTION): full-N real FFT with in-kernel roll framing
+    and the hermitian-FOLDED mel kernel — hardware-fastest (13.3 ms per
+    16x60 s batch on v5e).  ``impl='pack'`` / ``'eo'`` are the even/odd
+    packed variants: numerically exact but MEASURED SLOWER (33.9 / 29 ms;
+    see ROADMAP.md), kept as tested measurement records.  ``'rollraw'``
+    skips the pad pre-pass (also slower, see
+    :func:`stft_power_from_waveform_pallas`).  All impls keep framing
+    traffic out of HBM — no (frames, n_fft) array ever exists there.
+    ``precision=None`` = HIGHEST (parity); 'bf16x4' = fast mode (<=2e-4 dB
+    on tonal content)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if impl == "eo":

@@ -111,6 +111,25 @@ class BatchedStreamingDetector:
 
         self._forward = jax.jit(forward)
 
+    @classmethod
+    def from_state(cls, model, params, batch_stats, cfg, *, batch, halo,
+                   total_stride, bucket, mean, std, samples, buf_start,
+                   n_frames, frames_mel, mel_start, emitted):
+        """Rebuild a detector around externally-held streaming state (the
+        device-resident pipeline migrates back through this for flush()).
+        Keeps the state contract in ONE place: any field this class's
+        push/flush logic reads is set here via __init__ + explicit
+        injection."""
+        det = cls(model, params, batch_stats, cfg, batch=batch, halo=halo,
+                  total_stride=total_stride, bucket=bucket, mean=mean, std=std)
+        det._samples = np.asarray(samples, np.float32)
+        det._buf_start = int(buf_start)
+        det._n_frames = int(n_frames)
+        det._frames_mel = np.asarray(frames_mel, np.float32)
+        det._mel_start = int(mel_start)
+        det._emitted = int(emitted)
+        return det
+
     # -- featurizer side ----------------------------------------------------
 
     def _frame_slice(self, t: int) -> np.ndarray:

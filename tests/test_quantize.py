@@ -80,6 +80,18 @@ def test_quantized_m5_matches_float_closely():
     assert got.shape == ref.shape
     assert np.max(np.abs(got - ref)) < 0.05, np.max(np.abs(got - ref))
 
+    # A loud transient must not clip: the dense-head scale is calibrated on
+    # the PRE-mean per-timestep activations (regression for the post-mean
+    # calibration bug).
+    x_spike = np.asarray(x).copy()
+    x_spike[:, 1000:1100, 0] += 0.9
+    xs = jnp.asarray(x_spike)
+    q2 = quantize_m5(model, params, batch_stats, [x_spike])
+    ref2 = np.asarray(jax.nn.sigmoid(model.apply(
+        {"params": params, "batch_stats": batch_stats}, xs, train=False)))
+    got2 = np.asarray(jax.nn.sigmoid(quantized_m5_forward(q2, xs)))
+    assert np.max(np.abs(got2 - ref2)) < 0.05, np.max(np.abs(got2 - ref2))
+
 
 def test_quantized_forward_jits_and_is_deterministic():
     model, params, batch_stats, x = _trained_ish_model(2)
