@@ -37,6 +37,27 @@ def export_scorer(
     return exported.serialize()
 
 
+def export_quantized_scorer(
+    qparams,
+    batch: int,
+    frames: int,
+    cfg: SpectrogramConfig = DEFAULT_SPECTROGRAM,
+) -> bytes:
+    """Serialize the int8 PTQ scorer (models/quantize.py) as a StableHLO
+    artifact — the int8 weights and scales are baked in, so the serving
+    binary needs neither the model definition nor the quantizer."""
+    from jax import export as jax_export
+
+    from sed_tpu.models.quantize import quantized_scores
+
+    def score(x):
+        return quantized_scores(qparams, x)
+
+    spec = jax.ShapeDtypeStruct((batch, frames, cfg.mel_bins, 1), jnp.float32)
+    exported = jax_export.export(jax.jit(score))(spec)
+    return exported.serialize()
+
+
 def load_scorer(blob: bytes):
     """Deserialize an exported scorer; returns a callable over numpy/jax arrays."""
     from jax import export as jax_export

@@ -177,6 +177,162 @@ def quantized_scores(qparams, x: jnp.ndarray) -> jnp.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# MobileNetV1 (models/cnn.py; reference spectogram_models.py:42-125)
+# ---------------------------------------------------------------------------
+
+# (block kind, out_channels, stride) mirroring MobileNetV1.__call__'s stack.
+_MOBILENET_STACK = [
+    ("bn", 32, 2), ("dw", 64, 1), ("dw", 128, 2), ("dw", 128, 1),
+    ("dw", 256, 2), ("dw", 256, 1), ("dw", 512, 1), ("dw", 512, 1),
+    ("dw", 512, 1), ("dw", 512, 1), ("dw", 512, 1), ("dw", 1024, 1),
+    ("dw", 1024, 1),
+]
+
+
+def quantize_mobilenet(model, params, batch_stats, calib_batches):
+    """int8 PTQ artifact for a trained MobileNetV1.
+
+    Only the POINTWISE (1x1) convolutions and the dense head are quantized —
+    they carry ~98% of the MACs at the wide stages — while the depthwise 3x3s
+    (C*9 MACs/px vs C^2 for pointwise) stay float32; their cost is VPU-bound
+    either way, and this sidesteps int8 grouped-conv lowering entirely.
+    """
+    n_points = sum(1 for k, _, _ in _MOBILENET_STACK if k == "dw")
+    absmax = np.zeros(n_points + 2)  # + the two dense heads
+
+    def _block_names():
+        bn_i = dw_i = 0
+        for kind, _, stride in _MOBILENET_STACK:
+            if kind == "bn":
+                yield kind, f"_ConvBN_{bn_i}", stride
+                bn_i += 1
+            else:
+                yield kind, f"_ConvDW_{dw_i}", stride
+                dw_i += 1
+
+    def float_forward(x, record):
+        pi = 0
+        for kind, name, stride in _block_names():
+            b, s = params[name], batch_stats[name]
+            if kind == "bn":
+                x = jax.lax.conv_general_dilated(
+                    x, b["Conv_0"]["kernel"], (1, 1), [(1, 1), (1, 1)],
+                    dimension_numbers=DN)
+                if stride > 1:
+                    x = jax.lax.reduce_window(
+                        x, 0.0, jax.lax.add, (1, stride, stride, 1),
+                        (1, stride, stride, 1), "VALID") / (stride * stride)
+                g, bias = _bn_affine(b["BatchNorm_0"], s["BatchNorm_0"])
+                x = jnp.maximum(x * g + bias, 0.0)
+                continue
+            cin = x.shape[-1]
+            x = jax.lax.conv_general_dilated(
+                x, b["Conv_0"]["kernel"], (1, 1), [(1, 1), (1, 1)],
+                dimension_numbers=DN, feature_group_count=cin)
+            if stride > 1:
+                x = jax.lax.reduce_window(
+                    x, 0.0, jax.lax.add, (1, stride, stride, 1),
+                    (1, stride, stride, 1), "VALID") / (stride * stride)
+            g, bias = _bn_affine(b["BatchNorm_0"], s["BatchNorm_0"])
+            x = jnp.maximum(x * g + bias, 0.0)
+            record(pi, x)  # pointwise conv input
+            x = jax.lax.conv_general_dilated(
+                x, b["Conv_1"]["kernel"], (1, 1), [(0, 0), (0, 0)],
+                dimension_numbers=DN)
+            g, bias = _bn_affine(b["BatchNorm_1"], s["BatchNorm_1"])
+            x = jnp.maximum(x * g + bias, 0.0)
+            pi += 1
+        x = jnp.mean(x, axis=2)
+        record(n_points, x)
+        x = jnp.maximum(
+            jax.lax.dot_general(x, params["Dense_0"]["kernel"],
+                                (((2,), (0,)), ((), ()))) + params["Dense_0"]["bias"],
+            0.0)
+        record(n_points + 1, x)
+        return x
+
+    for cb in calib_batches:
+        vals = {}
+        float_forward(jnp.asarray(cb),
+                      lambda i, x: vals.__setitem__(i, float(jnp.max(jnp.abs(x)))))
+        for i, v in vals.items():
+            absmax[i] = max(absmax[i], v)
+    act_scales = np.maximum(absmax, 1e-12) / 127.0
+
+    blocks = []
+    pi = 0
+    for kind, name, stride in _block_names():
+        b, s = params[name], batch_stats[name]
+        g0, bias0 = _bn_affine(b["BatchNorm_0"], s["BatchNorm_0"])
+        entry = {"kind": kind, "stride": stride,
+                 "dw_kernel": b["Conv_0"]["kernel"].astype(jnp.float32),
+                 "bn0_gain": g0.astype(jnp.float32),
+                 "bn0_bias": bias0.astype(jnp.float32)}
+        if kind == "dw":
+            qw, w_scale = _quantize_weight(b["Conv_1"]["kernel"])
+            g1, bias1 = _bn_affine(b["BatchNorm_1"], s["BatchNorm_1"])
+            entry.update(qweight=qw, w_scale=w_scale,
+                         act_scale=jnp.float32(act_scales[pi]),
+                         bn1_gain=g1.astype(jnp.float32),
+                         bn1_bias=bias1.astype(jnp.float32))
+            pi += 1
+        blocks.append(entry)
+
+    def qdense(name, scale_idx):
+        qd, d_scale = _quantize_weight(params[name]["kernel"])
+        return {"qweight": qd, "w_scale": d_scale,
+                "act_scale": jnp.float32(act_scales[scale_idx]),
+                "bias": params[name]["bias"].astype(jnp.float32)}
+
+    return {"blocks": blocks,
+            "dense0": qdense("Dense_0", n_points),
+            "dense1": qdense("Dense_1", n_points + 1),
+            "interp": 2 ** 3}
+
+
+def quantized_mobilenet_forward(qparams, x: jnp.ndarray) -> jnp.ndarray:
+    """int8 MobileNetV1 serving forward: NHWC float -> sigmoid confidences
+    (the reference emits sigmoid in forward, spectogram_models.py:117).
+    Close over ``qparams`` when jitting."""
+    for blk in qparams["blocks"]:
+        stride = blk["stride"]
+        if blk["kind"] == "bn":
+            x = jax.lax.conv_general_dilated(
+                x, blk["dw_kernel"], (1, 1), [(1, 1), (1, 1)],
+                dimension_numbers=DN)
+        else:
+            cin = x.shape[-1]
+            x = jax.lax.conv_general_dilated(
+                x, blk["dw_kernel"], (1, 1), [(1, 1), (1, 1)],
+                dimension_numbers=DN, feature_group_count=cin)
+        if stride > 1:
+            x = jax.lax.reduce_window(
+                x, 0.0, jax.lax.add, (1, stride, stride, 1),
+                (1, stride, stride, 1), "VALID") / (stride * stride)
+        x = jnp.maximum(x * blk["bn0_gain"] + blk["bn0_bias"], 0.0)
+        if blk["kind"] == "dw":
+            sa = blk["act_scale"]
+            xq = _quantize_act(x, sa)
+            acc = jax.lax.conv_general_dilated(
+                xq, blk["qweight"], (1, 1), [(0, 0), (0, 0)],
+                dimension_numbers=DN, preferred_element_type=jnp.int32)
+            x = acc.astype(jnp.float32) * (sa * blk["w_scale"])
+            x = jnp.maximum(x * blk["bn1_gain"] + blk["bn1_bias"], 0.0)
+    x = jnp.mean(x, axis=2)
+
+    def qdot(d, x):
+        sa = d["act_scale"]
+        xq = _quantize_act(x, sa)
+        acc = jax.lax.dot_general(xq, d["qweight"], (((2,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.int32)
+        return acc.astype(jnp.float32) * (sa * d["w_scale"]) + d["bias"]
+
+    x = jnp.maximum(qdot(qparams["dense0"], x), 0.0)
+    x = jax.nn.sigmoid(qdot(qparams["dense1"], x))
+    return jnp.repeat(x, qparams["interp"], axis=1)
+
+
+# ---------------------------------------------------------------------------
 # M5 (1-D waveform CNN, models/m5.py; reference waveform_models.py:9-75)
 # ---------------------------------------------------------------------------
 

@@ -93,6 +93,46 @@ def test_quantized_m5_matches_float_closely():
     assert np.max(np.abs(got2 - ref2)) < 0.05, np.max(np.abs(got2 - ref2))
 
 
+def test_quantized_mobilenet_matches_float_closely():
+    from sed_tpu.models.cnn import MobileNetV1
+    from sed_tpu.models.quantize import (
+        quantize_mobilenet,
+        quantized_mobilenet_forward,
+    )
+
+    model = MobileNetV1(classes_num=CFG.classes_num)
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.standard_normal((2, 32, CFG.mel_bins, 1)), jnp.float32)
+    variables = model.init(jax.random.key(4), x, train=False)
+    params, batch_stats = variables["params"], variables["batch_stats"]
+    for _ in range(2):
+        _, upd = model.apply({"params": params, "batch_stats": batch_stats},
+                             x, train=True, mutable=["batch_stats"])
+        batch_stats = upd["batch_stats"]
+
+    q = quantize_mobilenet(model, params, batch_stats, [np.asarray(x)])
+    # reference forward already emits sigmoid confidences + x8 interpolation
+    ref = np.asarray(model.apply(
+        {"params": params, "batch_stats": batch_stats}, x, train=False))
+    got = np.asarray(quantized_mobilenet_forward(q, x))
+    assert got.shape == ref.shape
+    assert np.max(np.abs(got - ref)) < 0.05, np.max(np.abs(got - ref))
+
+
+def test_quantized_scorer_export_roundtrip():
+    from sed_tpu.export import export_quantized_scorer, load_scorer
+
+    model, params, batch_stats, x = _trained_ish_model(6)
+    q = quantize_cnn(model, params, batch_stats, [np.asarray(x)])
+    blob = export_quantized_scorer(q, batch=x.shape[0], frames=x.shape[1],
+                                   cfg=CFG)
+    assert isinstance(blob, (bytes, bytearray)) and len(blob) > 0
+    scorer = load_scorer(blob)
+    direct = np.asarray(quantized_scores(q, x))
+    via_export = scorer(np.asarray(x))
+    np.testing.assert_allclose(via_export, direct, atol=1e-6)
+
+
 def test_quantized_forward_jits_and_is_deterministic():
     model, params, batch_stats, x = _trained_ish_model(2)
     q = quantize_cnn(model, params, batch_stats, [np.asarray(x)])
