@@ -336,11 +336,13 @@ def main():
     ap.add_argument("--seconds", type=float, default=14.0)
     ap.add_argument("--lr", type=float, default=1e-4)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--out", type=str, default="AP_PARITY.json",
+                    help="output JSON filename under benchmarks/")
     args = ap.parse_args()
 
     result = run(args.steps, args.batch, args.files, args.seconds, args.lr,
                  args.seed, log=lambda *a: print(*a, file=sys.stderr))
-    out_path = os.path.join(REPO, "benchmarks", "AP_PARITY.json")
+    out_path = os.path.join(REPO, "benchmarks", args.out)
     with open(out_path, "w") as f:
         json.dump(result, f, indent=2)
     print(json.dumps({
