@@ -36,7 +36,8 @@ import numpy as np
 from sed_tpu.configs import SpectrogramConfig, DEFAULT_SPECTROGRAM
 from sed_tpu.ops import stft as stft_ops
 from sed_tpu.ops.featurizer import realimag_to_log_mel
-from sed_tpu.streaming import BatchedStreamingDetector
+from sed_tpu.streaming import (BatchedStreamingDetector, emission_upto,
+                               window_start)
 
 
 class DeviceStreamingDetector:
@@ -244,16 +245,16 @@ class DeviceStreamingDetector:
         offs = np.asarray(offs, np.int32)
         assert (offs >= 0).all() and (offs + cfg.nfft <= self._l).all()
 
-        upto = self.stride * max(0, (n_ready - self.halo) // self.stride)
+        upto = emission_upto(n_ready, self.stride, self.halo, final=False)
         emit_n = max(0, upto - self._emitted)
         assert emit_n <= self._emit_max
 
-        s = max(0, self.stride * ((self._emitted - self.halo) // self.stride))
+        s = window_start(self._emitted, self.stride, self.halo)
         win_off = s - self._mel_start
         e_off = self._emitted - s
         write_pos = self._n_frames - self._mel_start
         new_emitted = self._emitted + emit_n
-        keep = max(0, self.stride * ((new_emitted - self.halo) // self.stride))
+        keep = window_start(new_emitted, self.stride, self.halo)
         shift = keep - self._mel_start
         assert win_off >= 0 and write_pos >= 0 and shift >= 0
         assert write_pos + self._frames_max <= self._m

@@ -41,6 +41,21 @@ from sed_tpu.ops import stft as stft_ops
 from sed_tpu.ops.featurizer import realimag_to_log_mel
 
 
+def emission_upto(n_frames: int, stride: int, halo: int, final: bool) -> int:
+    """Highest frame index (exclusive) whose score is final: stride-aligned,
+    with ``halo`` frames of right context unless the stream ended.  The ONE
+    definition shared by the host and device-resident detectors."""
+    if final:
+        return stride * (n_frames // stride)
+    return stride * max(0, (n_frames - halo) // stride)
+
+
+def window_start(emitted: int, stride: int, halo: int) -> int:
+    """Left edge of the mel window the next emission needs (stride-aligned,
+    ``halo`` frames of left context before the first unemitted frame)."""
+    return max(0, stride * ((emitted - halo) // stride))
+
+
 class BatchedStreamingDetector:
     """Online detection over ``batch`` lockstep streams.
 
@@ -186,13 +201,11 @@ class BatchedStreamingDetector:
     # -- model side ----------------------------------------------------------
 
     def _emittable(self, final: bool) -> int:
-        if final:
-            return self.stride * (self._n_frames // self.stride)
-        return self.stride * max(0, (self._n_frames - self.halo) // self.stride)
+        return emission_upto(self._n_frames, self.stride, self.halo, final)
 
     def _run_model(self, upto: int, final: bool) -> np.ndarray:
         """Score frames [self._emitted, upto) exactly: (batch, k, classes)."""
-        s = max(0, self.stride * ((self._emitted - self.halo) // self.stride))
+        s = window_start(self._emitted, self.stride, self.halo)
         window = self._frames_mel[:, s - self._mel_start:self._n_frames - self._mel_start]
         n = window.shape[1]
         if not final:
@@ -256,7 +269,7 @@ class BatchedStreamingDetector:
         return out
 
     def _trim_mel(self) -> None:
-        keep_from = max(0, self.stride * ((self._emitted - self.halo) // self.stride))
+        keep_from = window_start(self._emitted, self.stride, self.halo)
         if keep_from > self._mel_start:
             self._frames_mel = self._frames_mel[:, keep_from - self._mel_start:]
             self._mel_start = keep_from
