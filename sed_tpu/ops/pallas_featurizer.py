@@ -391,7 +391,8 @@ def _make_wave_fft_power_kernel(n_fft: int, n1: int, n2: int, hop: int,
 
 def _make_wave_fft_power_kernel_roll(n_fft: int, n1: int, n2: int, hop: int,
                                      s_pad: int, span_len: int, phases,
-                                     precision=None, debug_frame_mode="roll"):
+                                     precision=None, debug_frame_mode="roll",
+                                     double_buffer=True):
     """DMA-framing kernel, roll-based frame extraction.
 
     The slice-based kernel above fails to lower because Mosaic rejects
@@ -436,29 +437,36 @@ def _make_wave_fft_power_kernel_roll(n_fft: int, n1: int, n2: int, hop: int,
                 wave_ref.at[pl.ds(aligned_row_of(ci, ti), span_rows)],
                 span_vmem, sem)
 
-        nlin = linear + 1
-        nc = nlin // n_tiles
-        nt = nlin - nc * n_tiles
+        if double_buffer:
+            nlin = linear + 1
+            nc = nlin // n_tiles
+            nt = nlin - nc * n_tiles
 
-        @pl.when(linear == 0)
-        def _prologue():
-            dma_for(span_a, sem_a, c, t).start()
+            @pl.when(linear == 0)
+            def _prologue():
+                dma_for(span_a, sem_a, c, t).start()
 
-        @pl.when((slot == 0) & (nlin < total))
-        def _prefetch_b():
-            dma_for(span_b, sem_b, nc, nt).start()
+            @pl.when((slot == 0) & (nlin < total))
+            def _prefetch_b():
+                dma_for(span_b, sem_b, nc, nt).start()
 
-        @pl.when((slot == 1) & (nlin < total))
-        def _prefetch_a():
-            dma_for(span_a, sem_a, nc, nt).start()
+            @pl.when((slot == 1) & (nlin < total))
+            def _prefetch_a():
+                dma_for(span_a, sem_a, nc, nt).start()
 
-        @pl.when(slot == 0)
-        def _wait_a():
-            dma_for(span_a, sem_a, c, t).wait()
+            @pl.when(slot == 0)
+            def _wait_a():
+                dma_for(span_a, sem_a, c, t).wait()
 
-        @pl.when(slot == 1)
-        def _wait_b():
-            dma_for(span_b, sem_b, c, t).wait()
+            @pl.when(slot == 1)
+            def _wait_b():
+                dma_for(span_b, sem_b, c, t).wait()
+        else:
+            # Serial fallback: one span slot, start+wait inline each tile.
+            slot = jnp.int32(0)
+            d = dma_for(span_a, sem_a, c, t)
+            d.start()
+            d.wait()
 
         lane = jax.lax.broadcasted_iota(jnp.int32, (frame_rows, 128), 1)
 
@@ -926,6 +934,7 @@ def stft_eo_power_from_waveform_pallas(
     cfg: SpectrogramConfig = DEFAULT_SPECTROGRAM,
     interpret=None,
     precision=None,
+    trim: bool = True,
 ):
     """(n_signals, samples) -> (n_signals, n_frames, m+128) one-sided power.
 
@@ -991,7 +1000,7 @@ def stft_eo_power_from_waveform_pallas(
         interpret=interpret,
     )(wave_e, wave_o, *consts)
     out = out.reshape(n_signals, n_tiles * FFT_TILE_R, m + 128)
-    return out[:, :n_frames]
+    return out[:, :n_frames] if trim else out
 
 
 def _make_wave_fft_power_kernel_rollraw(n_fft: int, n1: int, n2: int, hop: int,
@@ -1170,6 +1179,7 @@ def stft_power_from_waveform_raw_pallas(
     cfg: SpectrogramConfig = DEFAULT_SPECTROGRAM,
     interpret=None,
     precision=None,
+    trim: bool = True,
 ):
     """Raw-read variant of :func:`stft_power_from_waveform_pallas`: interior
     tiles DMA straight from the unpadded waveform; only two small edge
@@ -1245,7 +1255,7 @@ def stft_power_from_waveform_raw_pallas(
         interpret=interpret,
     )(raw, left, right, *consts)
     out = out.reshape(n_signals, n_tiles * FFT_TILE_R, n_fft)
-    return out[:, : geo["n_frames"]]
+    return out[:, : geo["n_frames"]] if trim else out
 
 
 def stft_power_from_waveform_pallas(
@@ -1254,6 +1264,7 @@ def stft_power_from_waveform_pallas(
     interpret=None,
     impl: str = "roll",
     precision=None,
+    trim: bool = True,
 ):
     """(n_signals, samples) -> (n_signals, n_frames, n_fft) power, framed in-kernel.
 
@@ -1279,7 +1290,7 @@ def stft_power_from_waveform_pallas(
         assert _rollraw_layout(cfg, *waveforms.shape) is not None, \
             "rollraw needs n_samples % 128 == 0 and nfft >= 32768"
         return stft_power_from_waveform_raw_pallas(waveforms, cfg, interpret,
-                                                   precision)
+                                                   precision, trim=trim)
     n_fft, hop = cfg.nfft, cfg.hop_size
     n_signals, n_samples = waveforms.shape
     n_frames = 1 + n_samples // hop
@@ -1326,7 +1337,8 @@ def stft_power_from_waveform_pallas(
     if impl.startswith("roll"):
         kernel = _make_wave_fft_power_kernel_roll(
             n_fft, n1, n2, hop, s_pad, span_len, phases, precision,
-            debug_frame_mode="aligned" if impl == "roll_aligned_debug" else "roll")
+            debug_frame_mode="aligned" if impl == "roll_aligned_debug" else "roll",
+            double_buffer=(impl != "roll_nodb"))
         wave = wave.reshape(-1, 128)  # row-granular DMA view
         # Two span slots + two DMA semaphores: the kernel double-buffers the
         # HBM->VMEM span copy across grid steps.
@@ -1375,7 +1387,7 @@ def stft_power_from_waveform_pallas(
         interpret=interpret,
     )(wave, *consts)
     out = out.reshape(n_signals, n_tiles * FFT_TILE_R, n_fft)
-    return out[:, :n_frames]
+    return out[:, :n_frames] if trim else out
 
 
 def logmel_waveform_pallas(
@@ -1400,13 +1412,22 @@ def logmel_waveform_pallas(
     on tonal content)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    # NOTE the frame trim happens AFTER the mel kernel on every path below:
+    # slicing the first pallas kernel's output to n_frames and reshaping it
+    # into the second kernel's input MISCOMPILES on this TPU backend for some
+    # batch geometries (hardware-observed at 11x20 s: power exact, mel fed
+    # garbage — interpret mode and single-signal runs unaffected).  Feeding
+    # the mel kernel the full padded tile rows (junk rows discarded after)
+    # sidesteps the bad slice+reshape+pallas composition and is also
+    # copy-free.  See benchmarks/parity_sweep.py for the regression check.
+    n_frames_out = 1 + waveforms.shape[1] // cfg.hop_size
     if impl == "eo":
         power = stft_eo_power_from_waveform_pallas(waveforms, cfg, interpret,
-                                                   precision)
-        n_signals, n_frames, mw = power.shape
+                                                   precision, trim=False)
+        n_signals, rows, mw = power.shape
         mel = _onesided_mel_from_power(
-            power.reshape(n_signals * n_frames, mw), cfg, interpret)
-        return mel.reshape(n_signals, n_frames, cfg.mel_bins)
+            power.reshape(n_signals * rows, mw), cfg, interpret)
+        return mel.reshape(n_signals, rows, cfg.mel_bins)[:, :n_frames_out]
     if impl == "pack":
         zr, zi = stft_packed_from_waveform_pallas(waveforms, cfg, interpret,
                                                   precision)
@@ -1416,10 +1437,10 @@ def logmel_waveform_pallas(
             power.reshape(n_signals * n_frames, m + 1), cfg, interpret)
         return mel.reshape(n_signals, n_frames, cfg.mel_bins)
     power = stft_power_from_waveform_pallas(waveforms, cfg, interpret, impl,
-                                            precision)
-    n_signals, n_frames, n_fft = power.shape
-    mel = _folded_mel_from_power(power.reshape(n_signals * n_frames, n_fft), cfg, interpret)
-    return mel.reshape(n_signals, n_frames, cfg.mel_bins)
+                                            precision, trim=False)
+    n_signals, rows, n_fft = power.shape
+    mel = _folded_mel_from_power(power.reshape(n_signals * rows, n_fft), cfg, interpret)
+    return mel.reshape(n_signals, rows, cfg.mel_bins)[:, :n_frames_out]
 
 
 def _folded_mel_from_power(power, cfg: SpectrogramConfig, interpret):
