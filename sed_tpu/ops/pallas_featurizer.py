@@ -862,6 +862,7 @@ def stft_packed_from_waveform_pallas(
     cfg: SpectrogramConfig = DEFAULT_SPECTROGRAM,
     interpret=None,
     precision=None,
+    trim: bool = True,
 ):
     """(n_signals, samples) -> (Zr, Zi), each (n_signals, n_frames, m).
 
@@ -924,8 +925,10 @@ def stft_packed_from_waveform_pallas(
         ),
         interpret=interpret,
     )(wave_e, wave_o, *consts)
-    zr = zr.reshape(n_signals, n_tiles * FFT_TILE_R, m)[:, :n_frames]
-    zi = zi.reshape(n_signals, n_tiles * FFT_TILE_R, m)[:, :n_frames]
+    zr = zr.reshape(n_signals, n_tiles * FFT_TILE_R, m)
+    zi = zi.reshape(n_signals, n_tiles * FFT_TILE_R, m)
+    if trim:
+        zr, zi = zr[:, :n_frames], zi[:, :n_frames]
     return zr, zi
 
 
@@ -1430,12 +1433,12 @@ def logmel_waveform_pallas(
         return mel.reshape(n_signals, rows, cfg.mel_bins)[:, :n_frames_out]
     if impl == "pack":
         zr, zi = stft_packed_from_waveform_pallas(waveforms, cfg, interpret,
-                                                  precision)
-        n_signals, n_frames, m = zr.shape
+                                                  precision, trim=False)
+        n_signals, rows, m = zr.shape
         power = packed_power_onesided(zr, zi, cfg.nfft)
         mel = _onesided_mel_from_power(
-            power.reshape(n_signals * n_frames, m + 1), cfg, interpret)
-        return mel.reshape(n_signals, n_frames, cfg.mel_bins)
+            power.reshape(n_signals * rows, m + 1), cfg, interpret)
+        return mel.reshape(n_signals, rows, cfg.mel_bins)[:, :n_frames_out]
     power = stft_power_from_waveform_pallas(waveforms, cfg, interpret, impl,
                                             precision, trim=False)
     n_signals, rows, n_fft = power.shape
