@@ -26,6 +26,16 @@ DEFAULT_CHANNEL_AND_POOL: Tuple[Tuple[int, int], ...] = ((64, 2), (128, 2), (256
 # Config instantiated by the training CLI (main.py:35).
 TRAIN_CHANNEL_AND_POOL: Tuple[Tuple[int, int], ...] = ((32, 2), (64, 2), (128, 2), (128, 1))
 
+# MobileNetV1 block stack (reference spectogram_models.py:78-104): one
+# conv-bn stage then depthwise-separable stages, as ("bn"|"dw", out_channels,
+# stride).  Shared with models/quantize.py so the two can never diverge.
+MOBILENET_STACK: Tuple[Tuple[str, int, int], ...] = (
+    ("bn", 32, 2), ("dw", 64, 1), ("dw", 128, 2), ("dw", 128, 1),
+    ("dw", 256, 2), ("dw", 256, 1), ("dw", 512, 1), ("dw", 512, 1),
+    ("dw", 512, 1), ("dw", 512, 1), ("dw", 512, 1), ("dw", 1024, 1),
+    ("dw", 1024, 1),
+)
+
 
 def num_pools(model_config: Sequence[Tuple[int, int]]) -> int:
     """Count of 2x time-pooling stages, reproducing the reference counter.
@@ -124,14 +134,9 @@ class MobileNetV1(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        stack = [
-            (_ConvBN, 32, 2), (_ConvDW, 64, 1), (_ConvDW, 128, 2), (_ConvDW, 128, 1),
-            (_ConvDW, 256, 2), (_ConvDW, 256, 1), (_ConvDW, 512, 1), (_ConvDW, 512, 1),
-            (_ConvDW, 512, 1), (_ConvDW, 512, 1), (_ConvDW, 512, 1), (_ConvDW, 1024, 1),
-            (_ConvDW, 1024, 1),
-        ]
-        for block, out_channels, stride in stack:
-            x = block(out_channels, stride)(x, train=train)
+        blocks = {"bn": _ConvBN, "dw": _ConvDW}
+        for kind, out_channels, stride in MOBILENET_STACK:
+            x = blocks[kind](out_channels, stride)(x, train=train)
         x = jnp.mean(x, axis=2)  # (batch, frames', 1024)
         x = nn.relu(nn.Dense(1024, kernel_init=kaiming_uniform)(x))
         x = nn.sigmoid(nn.Dense(self.classes_num, kernel_init=kaiming_uniform)(x))

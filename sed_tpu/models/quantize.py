@@ -180,13 +180,9 @@ def quantized_scores(qparams, x: jnp.ndarray) -> jnp.ndarray:
 # MobileNetV1 (models/cnn.py; reference spectogram_models.py:42-125)
 # ---------------------------------------------------------------------------
 
-# (block kind, out_channels, stride) mirroring MobileNetV1.__call__'s stack.
-_MOBILENET_STACK = [
-    ("bn", 32, 2), ("dw", 64, 1), ("dw", 128, 2), ("dw", 128, 1),
-    ("dw", 256, 2), ("dw", 256, 1), ("dw", 512, 1), ("dw", 512, 1),
-    ("dw", 512, 1), ("dw", 512, 1), ("dw", 512, 1), ("dw", 1024, 1),
-    ("dw", 1024, 1),
-]
+# The block stack is imported from the model definition itself so the two
+# can never diverge (models/cnn.py MOBILENET_STACK).
+from sed_tpu.models.cnn import MOBILENET_STACK as _MOBILENET_STACK
 
 
 def quantize_mobilenet(model, params, batch_stats, calib_batches):

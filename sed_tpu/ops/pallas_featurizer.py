@@ -419,13 +419,12 @@ def _make_wave_fft_power_kernel_roll(n_fft: int, n1: int, n2: int, hop: int,
     frame_rows = n_fft // 128  # 256
 
     def kernel(wave_ref, window_ref, w2r_ref, w2i_ref, w1r_ref, w1i_ref,
-               twr_ref, twi_ref, out_ref, span_a, span_b, sem_a, sem_b):
+               twr_ref, twi_ref, out_ref, span_a, *db_scratch):
         c = pl.program_id(0)
         t = pl.program_id(1)
         n_tiles = pl.num_programs(1)
         n_sigs = pl.num_programs(0)
         linear = c * n_tiles + t
-        slot = jax.lax.rem(linear, 2)
         total = n_sigs * n_tiles
 
         def aligned_row_of(ci, ti):
@@ -438,6 +437,8 @@ def _make_wave_fft_power_kernel_roll(n_fft: int, n1: int, n2: int, hop: int,
                 span_vmem, sem)
 
         if double_buffer:
+            span_b, sem_a, sem_b = db_scratch
+            slot = jax.lax.rem(linear, 2)
             nlin = linear + 1
             nc = nlin // n_tiles
             nt = nlin - nc * n_tiles
@@ -462,8 +463,9 @@ def _make_wave_fft_power_kernel_roll(n_fft: int, n1: int, n2: int, hop: int,
             def _wait_b():
                 dma_for(span_b, sem_b, c, t).wait()
         else:
-            # Serial fallback: one span slot, start+wait inline each tile.
-            slot = jnp.int32(0)
+            # Serial fallback (impl='roll_nodb'): one span slot, start+wait
+            # inline each tile — no second slot, no dead cond branch.
+            (sem_a,) = db_scratch
             d = dma_for(span_a, sem_a, c, t)
             d.start()
             d.wait()
@@ -490,9 +492,12 @@ def _make_wave_fft_power_kernel_roll(n_fft: int, n1: int, n2: int, hop: int,
             phase_idx = jax.lax.rem(t, len(phases))
             return jax.lax.switch(phase_idx, [build(span_vmem, p) for p in phases])
 
-        frames = jax.lax.cond(slot == 0,
-                              lambda: extract(span_a),
-                              lambda: extract(span_b))
+        if double_buffer:
+            frames = jax.lax.cond(slot == 0,
+                                  lambda: extract(span_a),
+                                  lambda: extract(span_b))
+        else:
+            frames = extract(span_a)
         frames = frames.reshape(FFT_TILE_R, n_fft)
 
         rows = FFT_TILE_R
@@ -1338,17 +1343,20 @@ def stft_power_from_waveform_pallas(
     ]
 
     if impl.startswith("roll"):
+        db = impl != "roll_nodb"
         kernel = _make_wave_fft_power_kernel_roll(
             n_fft, n1, n2, hop, s_pad, span_len, phases, precision,
             debug_frame_mode="aligned" if impl == "roll_aligned_debug" else "roll",
-            double_buffer=(impl != "roll_nodb"))
+            double_buffer=db)
         wave = wave.reshape(-1, 128)  # row-granular DMA view
         # Two span slots + two DMA semaphores: the kernel double-buffers the
-        # HBM->VMEM span copy across grid steps.
-        scratch = [pltpu.VMEM((span_len // 128, 128), jnp.float32),
-                   pltpu.VMEM((span_len // 128, 128), jnp.float32),
-                   pltpu.SemaphoreType.DMA(()),
-                   pltpu.SemaphoreType.DMA(())]
+        # HBM->VMEM span copy across grid steps ('roll_nodb' keeps one slot).
+        span_slot = pltpu.VMEM((span_len // 128, 128), jnp.float32)
+        if db:
+            scratch = [span_slot, span_slot,
+                       pltpu.SemaphoreType.DMA(()), pltpu.SemaphoreType.DMA(())]
+        else:
+            scratch = [span_slot, pltpu.SemaphoreType.DMA(())]
         # Sequential order over BOTH grid dims so the cross-step prefetch
         # pipeline is well-defined.
         semantics = ("arbitrary", "arbitrary")
