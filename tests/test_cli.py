@@ -195,3 +195,27 @@ def test_multi_device_train_cli(film_clap_root, tmp_path):
     ])
     run_dir = os.path.join(outputs_root, os.listdir(outputs_root)[0])
     assert "iteration_2.ckpt" in os.listdir(os.path.join(run_dir, "checkpoints"))
+
+
+def test_train_cli_bf16_fast_mode(film_clap_root, tmp_path):
+    """--bf16 (opt-in compute fast mode): trains, checkpoints, finite metrics."""
+    from sed_tpu.cli.main import main
+
+    outputs_root = str(tmp_path / "training_bf16")
+    main([
+        "--dataset_dir", film_clap_root,
+        "--dataset_name", "FilmClap",
+        "--train_features", "Spectogram",
+        "--preprocess_mode", "logMel",
+        "--outputs_root", outputs_root,
+        "--val_descriptor", "clip_3",
+        "--batch_size", "4",
+        "--num_train_steps", "2",
+        "--log_freq", "2",
+        "--device", "cpu",
+        "--bf16",
+    ])
+    run_dir = os.path.join(outputs_root, os.listdir(outputs_root)[0])
+    with open(os.path.join(run_dir, "metrics.jsonl")) as f:
+        rec = json.loads(f.readline())
+    assert np.isfinite(rec["train_loss"]) and np.isfinite(rec["AP"])
