@@ -1,0 +1,144 @@
+"""Device-side cost of ONE streaming tick (DeviceStreamingDetector).
+
+The end-to-end streaming bench (bench_streaming.py) is transfer-bound on
+this harness's relay; this bench isolates the DEVICE work per tick — ring
+shift + frame extraction + featurize + score — by scanning the tick step
+over pre-staged chunks entirely on-device (two-point slope).  The resulting
+per-tick time projects the pipeline's capacity on a direct-attached TPU
+host, where the int16 chunk upload (96 KB/s per stream) is negligible:
+
+    streams_per_chip ~= batch * chunk_seconds / tick_device_time
+
+(Steady-state tick params are used for every scanned step: the schedule
+values only choose which ring rows are touched, so shapes and work — and
+therefore timing — match production ticks.)
+
+Run: python benchmarks/bench_streaming_tick.py    (TPU)
+Writes benchmarks/STREAMING_TICK.json and prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+B = 32
+CHUNK_SECONDS = 1.0
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    import jax.numpy as jnp
+
+    from sed_tpu.configs import DEFAULT_SPECTROGRAM as cfg
+    from sed_tpu.device_streaming import DeviceStreamingDetector
+    from sed_tpu.models.cnn import CnnAvgPooling, TRAIN_CHANNEL_AND_POOL
+
+    log = lambda *a: print(*a, file=sys.stderr, flush=True)
+    dev = jax.devices()[0]
+    log(f"device: {dev} ({dev.device_kind})")
+
+    sr = cfg.working_sample_rate
+    chunk = int(sr * CHUNK_SECONDS)
+    model = CnnAvgPooling(classes_num=cfg.classes_num,
+                          model_config=TRAIN_CHANNEL_AND_POOL)
+    variables = model.init(jax.random.key(0),
+                           jnp.zeros((1, 128, cfg.mel_bins, 1)), train=False)
+
+    det = DeviceStreamingDetector(model, variables["params"],
+                                  variables["batch_stats"], cfg, batch=B,
+                                  chunk_samples=chunk, halo=32)
+    rng = np.random.default_rng(0)
+    stream = (rng.standard_normal((B, 8 * chunk)) * 2000).astype(np.int16)
+    # run past startup so the detector is in device mode with steady counters
+    for i in range(8):
+        det.push(stream[:, i * chunk:(i + 1) * chunk])
+    assert det._device_mode
+
+    # steady-state tick params captured from the live detector's arithmetic
+    hop, pad = cfg.hop_size, det._pad
+    t_new = det._t_total + chunk
+    n_ready = (t_new - pad) // hop + 1
+    n_new = n_ready - det._n_frames
+    base = t_new - det._l
+    offs = np.asarray([
+        (det._n_frames + min(j, max(n_new - 1, 0))) * hop - pad - base
+        for j in range(det._frames_max)], np.int32)
+    from sed_tpu.streaming import emission_upto, window_start
+    upto = emission_upto(n_ready, det.stride, det.halo, False)
+    s = window_start(det._emitted, det.stride, det.halo)
+    params = dict(offs=jnp.asarray(offs), n_new=jnp.int32(n_new),
+                  write_pos=jnp.int32(det._n_frames - det._mel_start),
+                  win_off=jnp.int32(s - det._mel_start),
+                  e_off=jnp.int32(det._emitted - s),
+                  shift=jnp.int32(0))
+
+    step = det._step_fn
+    K1, K2 = 20, 80
+    chunks = jnp.asarray((rng.standard_normal((K2, B, chunk)) * 2000)
+                         .astype(np.int16))
+
+    def make(k):
+        @jax.jit
+        def run(buf, mel, cs):
+            def body(carry, c):
+                buf, mel = carry
+                buf, mel, out = step(buf, mel, c, params["offs"],
+                                     params["n_new"], params["write_pos"],
+                                     params["win_off"], params["e_off"],
+                                     params["shift"])
+                return (buf, mel), out[0, 0, 0]
+            (_, _), outs = jax.lax.scan(body, (buf, mel), cs[:k])
+            return outs.sum()
+        return run
+
+    times = []
+    for k in (K1, K2):
+        fn = make(k)
+        float(fn(det._buf, det._mel, chunks))
+        best = float("inf")
+        for rep in range(3):
+            cr = chunks + jnp.int16(rep + 1)
+            cr.block_until_ready()
+            t0 = time.perf_counter()
+            float(fn(det._buf, det._mel, cr))
+            best = min(best, time.perf_counter() - t0)
+        times.append(best)
+    tick = (times[1] - times[0]) / (K2 - K1)
+    capacity = B * CHUNK_SECONDS / tick
+
+    log(f"device tick: {1e3 * tick:.3f} ms ({B} streams, 1 s chunks) "
+        f"-> ~{capacity:.0f} concurrent real-time streams/chip "
+        f"(direct-attached-host projection)")
+    out = {
+        "device_kind": dev.device_kind,
+        "batch_streams": B,
+        "chunk_seconds": CHUNK_SECONDS,
+        "tick_device_ms": round(1e3 * tick, 4),
+        "projected_streams_per_chip": round(capacity, 0),
+        "note": "device work only; per-tick int16 upload (96 KB/s/stream) "
+                "and host schedule are negligible on a direct-attached host",
+    }
+    with open(os.path.join(REPO, "benchmarks", "STREAMING_TICK.json"), "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps({
+        "metric": "device-resident streaming tick (32 streams, 1 s chunks)",
+        "value": out["tick_device_ms"],
+        "unit": "ms",
+        "projected_streams_per_chip": out["projected_streams_per_chip"],
+    }))
+
+
+if __name__ == "__main__":
+    main()

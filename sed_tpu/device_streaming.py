@@ -163,6 +163,7 @@ class DeviceStreamingDetector:
 
         # The rings are consumed and fully rewritten every tick — donate them
         # so XLA updates in place instead of allocating fresh buffers.
+        self._step_fn = step  # un-jitted, for device-side scanning (benches)
         self._step = jax.jit(step, donate_argnums=(0, 1))
 
     def _put(self, x):
