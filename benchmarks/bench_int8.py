@@ -103,7 +103,11 @@ def main():
                 s = (ts[1] - ts[0]) / (its[1] - its[0])
                 if s > 0:
                     return s
-            return s
+            # No positive slope after 3 tries: the relay is too jittery for
+            # this measurement — record a failure instead of a nonsense ratio.
+            log(f"  WARNING: no positive slope after 3 tries (last {s:.2e}); "
+                "recording null")
+            return None
         return timer
 
     slope = make_slope(x, lambda w: w.at[0, 0, 0, 0].add(1e-6),
@@ -115,8 +119,11 @@ def main():
         log(f"compiling {name} ...")
         t = slope(fn)
         res[name] = t
-        log(f"  {name}: {1e3 * t:.3f} ms/batch "
-            f"({BATCH * CLIP_SECONDS / t:.0f} audio-s/s scoring-only)")
+        if t is None:
+            log(f"  {name}: MEASUREMENT FAILED (relay jitter)")
+        else:
+            log(f"  {name}: {1e3 * t:.3f} ms/batch "
+                f"({BATCH * CLIP_SECONDS / t:.0f} audio-s/s scoring-only)")
 
     # --- M5 waveform model, hop-strided frame batches --------------------
     from sed_tpu.configs import DEFAULT_WAVEFORM as wcfg
@@ -149,8 +156,11 @@ def main():
         log(f"compiling {name} ...")
         t = slope_m5(fn)
         res[name] = t
-        log(f"  {name}: {1e3 * t:.3f} ms/batch-256 "
-            f"({m5_batch / t:.0f} frames/s)")
+        if t is None:
+            log(f"  {name}: MEASUREMENT FAILED (relay jitter)")
+        else:
+            log(f"  {name}: {1e3 * t:.3f} ms/batch-256 "
+                f"({m5_batch / t:.0f} frames/s)")
 
     out = {
         "batch": BATCH,
@@ -159,9 +169,14 @@ def main():
         "device_kind": dev.device_kind,
         "int8_vs_f32_sigmoid_maxdiff": round(fid, 5),
         "m5_int8_vs_f32_sigmoid_maxdiff": round(m5_fid, 5),
-        "ms_per_batch": {k: round(1e3 * v, 4) for k, v in res.items()},
-        "speedup_int8_vs_f32": round(res["f32"] / res["int8"], 3),
-        "m5_speedup_int8_vs_f32": round(res["m5_f32"] / res["m5_int8"], 3),
+        "ms_per_batch": {k: (None if v is None else round(1e3 * v, 4))
+                         for k, v in res.items()},
+        "speedup_int8_vs_f32": (
+            round(res["f32"] / res["int8"], 3)
+            if res["f32"] and res["int8"] else None),
+        "m5_speedup_int8_vs_f32": (
+            round(res["m5_f32"] / res["m5_int8"], 3)
+            if res["m5_f32"] and res["m5_int8"] else None),
     }
     with open(os.path.join(REPO, "benchmarks", "INT8_BENCH.json"), "w") as f:
         json.dump(out, f, indent=2)

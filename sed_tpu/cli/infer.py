@@ -93,7 +93,11 @@ def predict_file(model, state, audio_path: str, cfg, mean=None, std=None,
     if quantize == "int8":
         from sed_tpu.models.quantize import quantize_cnn, quantized_cnn_forward
 
-        calib = np.asarray(x[:, : min(x.shape[1], 2048)])
+        # Calibrate over the WHOLE file (strided subsample spanning its
+        # length), not a prefix: a prefix-only absmax clips loud events that
+        # occur later in a long recording — the same clipping class the M5
+        # 'loud transient' regression test guards against (test_quantize.py).
+        calib = np.asarray(x[:, :: max(1, x.shape[1] // 2048)])
         q = quantize_cnn(model, state.params, state.batch_stats, [calib])
 
         def forward(batch):

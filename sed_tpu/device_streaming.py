@@ -215,8 +215,12 @@ class DeviceStreamingDetector:
         if self._closed:
             raise RuntimeError("stream already flushed; create a new detector")
         chunk = np.asarray(chunk)
-        assert chunk.shape == (self.batch, self.chunk), \
-            f"lockstep push must be {(self.batch, self.chunk)}, got {chunk.shape}"
+        # Explicit raise (not assert): these validations guard jax dynamic
+        # slices that CLAMP silently, so they must survive ``python -O``.
+        if chunk.shape != (self.batch, self.chunk):
+            raise ValueError(
+                f"lockstep push must be {(self.batch, self.chunk)}, "
+                f"got {chunk.shape}")
         if not self._device_mode:
             f32 = (chunk.astype(np.float32) / 32768.0
                    if chunk.dtype == np.int16 else chunk.astype(np.float32))
@@ -231,7 +235,10 @@ class DeviceStreamingDetector:
         t_new = self._t_total + self.chunk
         n_ready = max(0, (t_new - pad) // hop + 1)
         n_new = n_ready - self._n_frames
-        assert 0 <= n_new <= self._frames_max
+        if not (0 <= n_new <= self._frames_max):
+            raise ValueError(
+                f"ring geometry violated: n_new={n_new} outside "
+                f"[0, {self._frames_max}]")
 
         base = t_new - self._l
         offs = []
@@ -244,11 +251,17 @@ class DeviceStreamingDetector:
                 t = self._n_frames - 1
             offs.append(t * hop - pad - base)
         offs = np.asarray(offs, np.int32)
-        assert (offs >= 0).all() and (offs + cfg.nfft <= self._l).all()
+        if not ((offs >= 0).all() and (offs + cfg.nfft <= self._l).all()):
+            raise ValueError(
+                f"frame window offsets {offs.min()}..{offs.max()} escape the "
+                f"sample ring [0, {self._l})")
 
         upto = emission_upto(n_ready, self.stride, self.halo, final=False)
         emit_n = max(0, upto - self._emitted)
-        assert emit_n <= self._emit_max
+        if emit_n > self._emit_max:
+            raise ValueError(
+                f"emission schedule violated: emit_n={emit_n} > "
+                f"emit_max={self._emit_max}")
 
         s = window_start(self._emitted, self.stride, self.halo)
         win_off = s - self._mel_start
@@ -257,8 +270,14 @@ class DeviceStreamingDetector:
         new_emitted = self._emitted + emit_n
         keep = window_start(new_emitted, self.stride, self.halo)
         shift = keep - self._mel_start
-        assert win_off >= 0 and write_pos >= 0 and shift >= 0
-        assert write_pos + self._frames_max <= self._m
+        if win_off < 0 or write_pos < 0 or shift < 0:
+            raise ValueError(
+                f"mel-ring schedule violated: win_off={win_off} "
+                f"write_pos={write_pos} shift={shift} (all must be >= 0)")
+        if write_pos + self._frames_max > self._m:
+            raise ValueError(
+                f"mel-ring capacity exceeded: write_pos={write_pos} + "
+                f"frames_max={self._frames_max} > ring={self._m}")
 
         self._buf, self._mel, out = self._step(
             self._buf, self._mel, self._put(chunk),

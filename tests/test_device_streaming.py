@@ -82,7 +82,7 @@ def test_device_streaming_rejects_wrong_shape():
     dev = DeviceStreamingDetector(model, state.params, state.batch_stats,
                                   CFG, batch=2, chunk_samples=8000, halo=64,
                                   total_stride=8, bucket=64)
-    with pytest.raises(AssertionError):
+    with pytest.raises(ValueError):  # explicit raise — survives python -O
         dev.push(np.zeros((2, 4000), np.float32))
 
 
