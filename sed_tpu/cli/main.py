@@ -61,6 +61,15 @@ def build_arg_parser() -> argparse.ArgumentParser:
     parser.add_argument("--num_devices", type=int, default=1,
                         help=">1 trains data-parallel over a ('data',) mesh of "
                              "that many local devices; batch_size is global")
+    parser.add_argument("--steps_per_call", type=int, default=1,
+                        help="fuse K train steps per device dispatch "
+                             "(lax.scan) — amortizes host dispatch latency on "
+                             "real TPU hosts (sub-ms dispatch turns the "
+                             "0.87 ms step into back-to-back device "
+                             "execution; through this harness's ~30 ms relay "
+                             "it is a no-op, see ROADMAP.md).  num_train_steps "
+                             "and log_freq must be multiples of K; composes "
+                             "with --num_devices")
     parser.add_argument("--seed", default=0, type=int)
     parser.add_argument("--bf16", action="store_true", default=False,
                         help="Compute the model in bfloat16 (params stay f32; "
@@ -232,6 +241,7 @@ def main(argv=None):
         initial_state=initial_state,
         profile_dir=args.profile_dir or None,
         mesh=mesh,
+        steps_per_call=args.steps_per_call,
     )
 
 
