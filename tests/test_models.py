@@ -100,6 +100,33 @@ def test_mobilenet_shapes():
     assert out.shape == (1, 32, 1)
     # Forward emits sigmoid confidences (spectogram_models.py:117).
     assert np.all(np.asarray(out) >= 0) and np.all(np.asarray(out) <= 1)
+    # Parameter-count parity with the torch reference (measured by
+    # benchmarks/mobilenet_parity.py: torch 3,988,353 including the dead,
+    # never-used bn0 BatchNorm2d(64) = 128 params we deliberately do not
+    # instantiate — spectogram_models.py:46; MOBILENET_PARITY.json).
+    assert count_params(variables["params"]) == 3988225 == 3988353 - 128
+
+
+@pytest.mark.slow
+def test_mobilenet_torch_init_forward_parity():
+    """C16 numerical oracle: the reference torch MobileNetV1's state_dict
+    copied into the flax tree must produce (near-)identical sigmoid scores —
+    same harness as benchmarks/mobilenet_parity.py (committed full result:
+    MOBILENET_PARITY.json, 1.79e-07)."""
+    import importlib.util
+    import os
+
+    import torch
+
+    torch.set_num_threads(1)  # deterministic CPU reductions
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "mobilenet_parity", os.path.join(repo, "benchmarks", "mobilenet_parity.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    result = mod.run(frames=64, batch=1, log=lambda *a: None)
+    assert result["init_forward_max_score_diff"] < 1e-5
+    assert result["int8_vs_f32_max_score_diff"] < 0.05
 
 
 def test_kaiming_uniform_bound():
