@@ -121,12 +121,73 @@ def main():
     log(f"device tick: {1e3 * tick:.3f} ms ({B} streams, 1 s chunks) "
         f"-> ~{capacity:.0f} concurrent real-time streams/chip "
         f"(direct-attached-host projection)")
+
+    # --- lifecycle pool tick (per-slot vmapped schedule, stream_pool.py) ---
+    # Same geometry, but every ring slice takes a per-slot offset so streams
+    # can join/leave: measures the density cost of lifecycle support.
+    from sed_tpu.stream_pool import StreamPool
+
+    pool = StreamPool(model, variables["params"], variables["batch_stats"],
+                      cfg, slots=B, chunk_samples=chunk, halo=32)
+    pslots = [pool.join() for _ in range(B)]
+    for i in range(8):
+        pool.push({s: stream[j, i * chunk:(i + 1) * chunk]
+                   for j, s in enumerate(pslots)})
+    assert pool._admitted and len(pool._admitted) == B
+
+    F = pool._frames_max
+    v_offs = np.zeros((B, F), np.int32)
+    v = {k: np.zeros(B, np.int32)
+         for k in ("n_new", "write_pos", "win_off", "e_off", "shift")}
+    for b, c in pool._admitted.items():
+        offs_b, nn, wp, wo, eo, sh, _, _ = pool._slot_scalars(c)
+        v_offs[b] = offs_b
+        v["n_new"][b], v["write_pos"][b] = nn, wp
+        v["win_off"][b], v["e_off"][b], v["shift"][b] = wo, eo, sh
+    pstep = pool._step_fn
+    pargs = {k: jnp.asarray(val) for k, val in v.items()}
+    poffs = jnp.asarray(v_offs)
+
+    def make_pool(k):
+        @jax.jit
+        def run(buf, mel, cs):
+            def body(carry, c):
+                buf, mel = carry
+                buf, mel, out = pstep(buf, mel, c, poffs, pargs["n_new"],
+                                      pargs["write_pos"], pargs["win_off"],
+                                      pargs["e_off"], pargs["shift"])
+                return (buf, mel), out[0, 0, 0]
+            (_, _), outs = jax.lax.scan(body, (buf, mel), cs[:k])
+            return outs.sum()
+        return run
+
+    ptimes = []
+    for k in (K1, K2):
+        fn = make_pool(k)
+        float(fn(pool._buf, pool._mel, chunks))
+        best = float("inf")
+        for rep in range(3):
+            cr = chunks + jnp.int16(rep + 1)
+            cr.block_until_ready()
+            t0 = time.perf_counter()
+            float(fn(pool._buf, pool._mel, cr))
+            best = min(best, time.perf_counter() - t0)
+        ptimes.append(best)
+    ptick = (ptimes[1] - ptimes[0]) / (K2 - K1)
+    pcapacity = B * CHUNK_SECONDS / ptick
+    log(f"pool tick (per-slot schedule): {1e3 * ptick:.3f} ms "
+        f"-> ~{pcapacity:.0f} streams/chip "
+        f"({ptick / tick:.2f}x the lockstep tick)")
+
     out = {
         "device_kind": dev.device_kind,
         "batch_streams": B,
         "chunk_seconds": CHUNK_SECONDS,
         "tick_device_ms": round(1e3 * tick, 4),
         "projected_streams_per_chip": round(capacity, 0),
+        "pool_tick_device_ms": round(1e3 * ptick, 4),
+        "pool_projected_streams_per_chip": round(pcapacity, 0),
+        "pool_vs_lockstep_tick_ratio": round(ptick / tick, 3),
         "note": "device work only; per-tick int16 upload (96 KB/s/stream) "
                 "and host schedule are negligible on a direct-attached host",
     }

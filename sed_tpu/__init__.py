@@ -37,6 +37,7 @@ _EXPORTS = {
     "StreamingDetector": "sed_tpu.streaming",
     "BatchedStreamingDetector": "sed_tpu.streaming",
     "DeviceStreamingDetector": "sed_tpu.device_streaming",
+    "StreamPool": "sed_tpu.stream_pool",
     "windowed_forward": "sed_tpu.parallel.time_shard",
     "calculate_metrics": "sed_tpu.utils.metrics",
     "f_score": "sed_tpu.utils.metrics",

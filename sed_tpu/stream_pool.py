@@ -1,0 +1,373 @@
+"""Device-resident streaming with per-slot lifecycle (join/leave).
+
+:class:`DeviceStreamingDetector` (device_streaming.py) serves B LOCKSTEP
+streams: one shared integer schedule, so the whole fleet must start and end
+together.  Real serving has stream churn.  This module keeps the same
+HBM-ring design — sample ring (B, L) and log-mel ring (B, M, mel) resident on
+device, one jitted step per tick, int16 chunks in — but passes the schedule
+scalars as PER-SLOT ``(B,)`` vectors and vmaps the ring slices over the slot
+axis, so every slot runs its own schedule phase:
+
+  * :meth:`join` allocates a free slot.  The new stream's first ticks run
+    through a host-side :class:`BatchedStreamingDetector` (the proven
+    reflect-padding startup, exactly as the lockstep class does for the whole
+    fleet), then its state migrates into the slot's ring rows — other slots
+    never stop.
+  * :meth:`leave` migrates the slot's rows back to the host machinery for the
+    exact tail flush and frees the slot for a future join.
+  * Inactive slots are fed zero chunks and their outputs discarded; rows are
+    independent in the tick step (inference-mode BatchNorm uses running
+    stats), so junk in a free slot cannot contaminate active ones.
+
+The tick clock stays shared — every joined stream supplies one fixed-size
+chunk per :meth:`push` — which is what makes the batched model forward ride
+the MXU.  What lifecycle adds is that the SET of streams may change between
+ticks.
+
+Per-slot schedule arithmetic is the same integer math as
+BatchedStreamingDetector's (streaming.py emission_upto/window_start — the ONE
+shared definition, per CLAUDE.md); scores for an admitted slot are equal to a
+fresh single-stream detector on the same audio to 1e-5 (jit fusion rounding),
+with identical emission boundaries (tests/test_stream_pool.py).
+
+The reference has no streaming at all (its infer.py:9-37 is batch-offline
+only); this extends SURVEY.md's long-context/serving analog.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sed_tpu.configs import SpectrogramConfig, DEFAULT_SPECTROGRAM
+from sed_tpu.ops import stft as stft_ops
+from sed_tpu.ops.featurizer import realimag_to_log_mel
+from sed_tpu.streaming import (BatchedStreamingDetector, emission_upto,
+                               window_start)
+
+
+class StreamPool:
+    """A pool of ``slots`` concurrent streams with join/leave lifecycle.
+
+    Typical serving loop::
+
+        pool = StreamPool(model, params, batch_stats, slots=32,
+                          chunk_samples=48000)
+        a = pool.join(); b = pool.join()
+        out = pool.push({a: chunk_a, b: chunk_b})   # {slot: (frames, classes)}
+        tail = pool.leave(a)                        # exact flush tail
+        c = pool.join()                             # reuses a's slot
+    """
+
+    def __init__(
+        self,
+        model,
+        params,
+        batch_stats,
+        cfg: SpectrogramConfig = DEFAULT_SPECTROGRAM,
+        slots: int = 8,
+        chunk_samples: int = 48000,
+        halo: int = 64,
+        total_stride: int = 8,
+        bucket: int = 128,
+        mean: Optional[np.ndarray] = None,
+        std: Optional[np.ndarray] = None,
+        mesh=None,
+    ):
+        self.cfg = cfg
+        self.slots = int(slots)
+        self.chunk = int(chunk_samples)
+        self.halo = halo
+        self.stride = total_stride
+        self._pad = cfg.nfft // 2
+        self._model, self._params, self._batch_stats = model, params, batch_stats
+
+        hop = cfg.hop_size
+        self._frames_max = -(-self.chunk // hop) + 1
+        self._emit_max = total_stride * (
+            -(-(self._frames_max + total_stride) // total_stride))
+        need = 2 * halo + 2 * total_stride + self._frames_max
+        self._m = bucket * (-(-need // bucket))          # mel ring length
+        self._l = self.chunk + cfg.nfft + hop            # sample ring length
+        self._switch_after = cfg.nfft + hop
+        self.mean = None if mean is None else np.asarray(mean, np.float32)
+        self.std = None if std is None else np.asarray(std, np.float32)
+
+        # Per-slot host state.  A slot is one of:
+        #   free      — available for join()
+        #   pending   — joined, running host-side startup (self._pending[b])
+        #   admitted  — state lives in the device ring rows
+        self._pending: Dict[int, BatchedStreamingDetector] = {}
+        self._admitted: Dict[int, dict] = {}   # slot -> schedule counters
+
+        B, L, M = self.slots, self._l, self._m
+        if mesh is not None:
+            from sed_tpu.parallel.mesh import batch_sharding
+
+            if slots % mesh.size != 0:
+                raise ValueError(
+                    f"slots {slots} must divide over the {mesh.size}-device mesh")
+            self._sharding = batch_sharding(mesh)
+        else:
+            self._sharding = None
+        self._buf = self._put(np.zeros((B, L), np.float32))
+        self._mel = self._put(np.zeros((B, M, cfg.mel_bins), np.float32))
+
+        window = jnp.asarray(stft_ops.padded_window(cfg.frame_size, cfg.nfft))
+        mean_j = None if mean is None else jnp.asarray(mean, jnp.float32)
+        std_j = None if std is None else jnp.asarray(std, jnp.float32)
+        C, F, EM = self.chunk, self._frames_max, self._emit_max
+        nfft, mel_bins = cfg.nfft, cfg.mel_bins
+
+        def step(buf, mel_ring, chunk, offs, n_new, write_pos, win_off,
+                 e_off, shift):
+            """One pool tick.  Scalars are (B,) per-slot vectors (offs is
+            (B, F)); ring slices are vmapped over the slot axis, the
+            featurize matmuls and the model forward stay batched."""
+            if chunk.dtype == jnp.int16:
+                newc = chunk.astype(jnp.float32) / 32768.0
+            else:
+                newc = chunk.astype(jnp.float32)
+            buf = jnp.concatenate([buf[:, C:], newc], axis=1)
+
+            def extract(bufrow, offrow):  # (L,), (F,) -> (F, nfft)
+                return jnp.stack([
+                    jax.lax.dynamic_slice(bufrow, (offrow[j],), (nfft,))
+                    for j in range(F)
+                ])
+
+            frames = jax.vmap(extract)(buf, offs)        # (B, F, nfft)
+
+            x = frames.reshape(B * F, nfft) * window
+            re, im = stft_ops.rfft_matmul_realimag(x, nfft)
+            lm = realimag_to_log_mel(re, im, cfg)
+            if mean_j is not None:
+                lm = (lm - mean_j) / std_j
+            lm = lm.reshape(B, F, mel_bins)
+
+            def write(melrow, lmrow, wp, nn):  # per-slot masked ring write
+                cur = jax.lax.dynamic_slice(melrow, (wp, 0), (F, mel_bins))
+                keep = jnp.arange(F)[:, None] < nn
+                return jax.lax.dynamic_update_slice(
+                    melrow, jnp.where(keep, lmrow, cur), (wp, 0))
+
+            mel_ring = jax.vmap(write)(mel_ring, lm, write_pos, n_new)
+
+            ext = jnp.concatenate(
+                [mel_ring, jnp.zeros((B, M, mel_bins), jnp.float32)], axis=1)
+            win = jax.vmap(
+                lambda extrow, wo: jax.lax.dynamic_slice(
+                    extrow, (wo, 0), (M, mel_bins)))(ext, win_off)
+            scores = jax.nn.sigmoid(model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                win[:, :, :, None], train=False))
+            sc_ext = jnp.concatenate(
+                [scores, jnp.zeros((B, M, scores.shape[-1]), jnp.float32)],
+                axis=1)
+            out = jax.vmap(
+                lambda srow, eo: jax.lax.dynamic_slice(
+                    srow, (eo, 0), (EM, scores.shape[-1])))(sc_ext, e_off)
+
+            mel_ring = jax.vmap(
+                lambda extrow, sh: jax.lax.dynamic_slice(
+                    extrow, (sh, 0), (M, mel_bins)))(ext, shift)
+            return buf, mel_ring, out
+
+        self._step_fn = step  # un-jitted, for device-side scan benches
+        self._step = jax.jit(step, donate_argnums=(0, 1))
+
+    def _put(self, x):
+        if self._sharding is not None:
+            return jax.device_put(x, self._sharding)
+        return jnp.asarray(x)
+
+    # -- lifecycle -----------------------------------------------------------
+
+    def join(self) -> int:
+        """Allocate a free slot for a new stream; returns the slot id.
+        The stream's audio starts with its first :meth:`push` chunk."""
+        for b in range(self.slots):
+            if b not in self._pending and b not in self._admitted:
+                self._pending[b] = BatchedStreamingDetector(
+                    self._model, self._params, self._batch_stats, self.cfg,
+                    batch=1, halo=self.halo, total_stride=self.stride,
+                    bucket=self._m, mean=self.mean, std=self.std)
+                return b
+        raise RuntimeError(f"all {self.slots} slots are occupied")
+
+    def _admit(self, b: int) -> None:
+        """Migrate a pending stream's host state into slot ``b``'s ring rows
+        (the per-slot analog of DeviceStreamingDetector._migrate_to_device)."""
+        h = self._pending.pop(b)
+        t_total = h._buf_start + h._samples.shape[1]
+        counters = {
+            "t_total": t_total,
+            "n_frames": h._n_frames,
+            "emitted": h._emitted,
+            "mel_start": h._mel_start,
+        }
+
+        buf_row = np.zeros(self._l, np.float32)
+        lo = t_total - self._l
+        src_lo = max(h._buf_start, lo)
+        buf_row[src_lo - lo:] = h._samples[0, src_lo - h._buf_start:]
+        self._buf = self._buf.at[b].set(jnp.asarray(buf_row))
+
+        mel_row = np.zeros((self._m, self.cfg.mel_bins), np.float32)
+        n = h._n_frames - h._mel_start
+        mel_row[:n] = h._frames_mel[0, :n]
+        self._mel = self._mel.at[b].set(jnp.asarray(mel_row))
+        self._admitted[b] = counters
+
+    def leave(self, b: int) -> np.ndarray:
+        """End stream ``b``: exact tail via the host flush machinery; frees
+        the slot.  Returns the (frames, classes) tail block."""
+        if b in self._pending:
+            h = self._pending.pop(b)
+            if h._buf_start + h._samples.shape[1] == 0:
+                # Never received audio: nothing to flush.
+                return np.zeros((0, self.cfg.classes_num), np.float32)
+            return h.flush()[0]
+        if b not in self._admitted:
+            raise ValueError(f"slot {b} is not joined")
+        c = self._admitted.pop(b)
+        lo = max(0, c["t_total"] - self._l)
+        buf_row = np.asarray(self._buf[b])[None]
+        mel_row = np.asarray(self._mel[b])[None]
+        h = BatchedStreamingDetector.from_state(
+            self._model, self._params, self._batch_stats, self.cfg,
+            batch=1, halo=self.halo, total_stride=self.stride,
+            bucket=self._m, mean=self.mean, std=self.std,
+            samples=buf_row[:, lo - (c["t_total"] - self._l):],
+            buf_start=lo, n_frames=c["n_frames"],
+            frames_mel=mel_row[:, : c["n_frames"] - c["mel_start"]],
+            mel_start=c["mel_start"], emitted=c["emitted"])
+        return h.flush()[0]
+
+    # -- tick ----------------------------------------------------------------
+
+    def _slot_scalars(self, c: dict):
+        """This tick's ring-relative schedule for one admitted slot — the
+        same integer arithmetic as DeviceStreamingDetector.push, per slot."""
+        cfg = self.cfg
+        hop, pad = cfg.hop_size, self._pad
+        t_new = c["t_total"] + self.chunk
+        n_ready = max(0, (t_new - pad) // hop + 1)
+        n_new = n_ready - c["n_frames"]
+        if not (0 <= n_new <= self._frames_max):
+            raise ValueError(f"slot schedule violated: n_new={n_new}")
+
+        base = t_new - self._l
+        offs = []
+        for j in range(self._frames_max):
+            if n_new > 0:
+                t = c["n_frames"] + min(j, n_new - 1)
+            else:
+                t = c["n_frames"] - 1
+            offs.append(t * hop - pad - base)
+        offs = np.asarray(offs, np.int32)
+        if not ((offs >= 0).all() and (offs + cfg.nfft <= self._l).all()):
+            raise ValueError("slot frame windows escape the sample ring")
+
+        upto = emission_upto(n_ready, self.stride, self.halo, final=False)
+        emit_n = max(0, upto - c["emitted"])
+        s = window_start(c["emitted"], self.stride, self.halo)
+        win_off = s - c["mel_start"]
+        e_off = c["emitted"] - s
+        write_pos = c["n_frames"] - c["mel_start"]
+        new_emitted = c["emitted"] + emit_n
+        keep = window_start(new_emitted, self.stride, self.halo)
+        shift = keep - c["mel_start"]
+        if win_off < 0 or write_pos < 0 or shift < 0 \
+                or write_pos + self._frames_max > self._m:
+            raise ValueError("slot mel-ring schedule violated")
+        new_c = {"t_total": t_new, "n_frames": n_ready,
+                 "emitted": new_emitted, "mel_start": keep}
+        return offs, n_new, write_pos, win_off, e_off, shift, emit_n, new_c
+
+    def push(self, chunks: Dict[int, np.ndarray]) -> Dict[int, np.ndarray]:
+        """Feed one ``(chunk_samples,)`` int16-PCM or float32 chunk per joined
+        stream; returns ``{slot: (frames, classes)}`` newly finalized scores.
+
+        Every joined (pending or admitted) slot must appear in ``chunks`` —
+        the tick clock is shared; the set of slots may change between ticks
+        via :meth:`join`/:meth:`leave`."""
+        joined = set(self._pending) | set(self._admitted)
+        if set(chunks) != joined:
+            raise ValueError(
+                f"push must cover exactly the joined slots {sorted(joined)}, "
+                f"got {sorted(chunks)}")
+        out: Dict[int, np.ndarray] = {}
+
+        # 1. pending streams: host-side startup.  Admission happens AFTER the
+        # device tick (step 3): the tick shifts every sample-ring row, so
+        # writing a freshly admitted stream's rows before it would corrupt
+        # them (and its chunk was already consumed host-side this tick).
+        to_admit = []
+        for b in list(self._pending):
+            ck = np.asarray(chunks[b])
+            if ck.shape != (self.chunk,):
+                raise ValueError(
+                    f"slot {b}: chunk must be ({self.chunk},), got {ck.shape}")
+            f32 = (ck.astype(np.float32) / 32768.0 if ck.dtype == np.int16
+                   else ck.astype(np.float32))
+            out[b] = self._pending[b].push(f32[None])[0]
+            h = self._pending[b]
+            if h._buf_start + h._samples.shape[1] >= self._switch_after:
+                to_admit.append(b)
+
+        # 2. admitted streams: one vmapped device tick for all slots.
+        if self._admitted:
+            B, F = self.slots, self._frames_max
+            offs = np.zeros((B, F), np.int32)
+            n_new = np.zeros(B, np.int32)
+            write_pos = np.zeros(B, np.int32)
+            win_off = np.zeros(B, np.int32)
+            e_off = np.zeros(B, np.int32)
+            shift = np.zeros(B, np.int32)
+            emit_n = {}
+            new_counters = {}
+            for b, c in self._admitted.items():
+                (offs[b], n_new[b], write_pos[b], win_off[b], e_off[b],
+                 shift[b], emit_n[b], new_counters[b]) = self._slot_scalars(c)
+            # Rows without an admitted stream keep all-zero scalars, which
+            # are in-range (n_new=0 masks the mel write); slices and writes
+            # touch only their own row, so junk cannot leak across slots.
+
+            # int16 PCM rides the wire when every admitted chunk is int16
+            # (the per-tick upload is then B*chunk*2 bytes, de-quantized on
+            # device); any float chunk falls back to a float32 batch.
+            all_i16 = all(np.asarray(chunks[b]).dtype == np.int16
+                          for b in self._admitted)
+            dt = np.int16 if all_i16 else np.float32
+            chunk_batch = np.zeros((B, self.chunk), dt)
+            for b in self._admitted:
+                ck = np.asarray(chunks[b])
+                if ck.shape != (self.chunk,):
+                    raise ValueError(
+                        f"slot {b}: chunk must be ({self.chunk},), "
+                        f"got {ck.shape}")
+                if all_i16:
+                    chunk_batch[b] = ck
+                else:
+                    chunk_batch[b] = (ck.astype(np.float32) / 32768.0
+                                      if ck.dtype == np.int16
+                                      else ck.astype(np.float32))
+
+            self._buf, self._mel, dev_out = self._step(
+                self._buf, self._mel, self._put(chunk_batch),
+                jnp.asarray(offs), jnp.asarray(n_new), jnp.asarray(write_pos),
+                jnp.asarray(win_off), jnp.asarray(e_off), jnp.asarray(shift))
+            dev_out = np.asarray(dev_out)
+            for b in self._admitted:
+                out[b] = dev_out[b, : emit_n[b]]
+            self._admitted.update(new_counters)
+
+        # 3. migrate streams whose startup completed this tick; they ride the
+        # vmapped device step from the next tick on.
+        for b in to_admit:
+            self._admit(b)
+        return out

@@ -1,0 +1,154 @@
+"""StreamPool lifecycle: join/leave mid-run must leave every stream's scores
+equal to a fresh single-stream detector on the same audio (schedule exactly,
+scores to 1e-5 — jit fusion rounding)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from sed_tpu.configs import SpectrogramConfig
+from sed_tpu.models.cnn import CnnAvgPooling, TRAIN_CHANNEL_AND_POOL
+from sed_tpu.stream_pool import StreamPool
+from sed_tpu.streaming import BatchedStreamingDetector
+from sed_tpu.train.optim import make_optimizer
+from sed_tpu.train.state import init_state
+
+CFG = SpectrogramConfig(working_sample_rate=8000, time_margin=0.33)
+CHUNK = 8000
+
+
+def _model_state():
+    model = CnnAvgPooling(classes_num=1, model_config=TRAIN_CHANNEL_AND_POOL)
+    tx = make_optimizer(1e-3)
+    sample = jnp.zeros((1, CFG.train_crop_size, CFG.mel_bins, 1))
+    state = init_state(model, jax.random.key(0), sample, tx)
+    return model, state
+
+
+def _fresh_run(model, state, chunks):
+    """Oracle: a fresh single-stream host detector over the same chunks.
+    Returns (per-push outputs, flush tail)."""
+    det = BatchedStreamingDetector(model, state.params, state.batch_stats,
+                                   CFG, batch=1, halo=64, total_stride=8,
+                                   bucket=64)
+    outs = [det.push(c[None])[0] for c in chunks]
+    return outs, det.flush()[0]
+
+
+def test_pool_join_leave_matches_fresh_streams():
+    """Three overlapping stream lives on a 2-slot pool: A [tick 0..14],
+    B [tick 3..20] (different schedule phase than A), C [tick 16..24] reusing
+    A's freed slot.  Every stream's per-tick emissions AND tail must match a
+    fresh detector."""
+    rng = np.random.default_rng(0)
+    model, state = _model_state()
+    lives = {  # name -> (join_tick, n_chunks)
+        "A": (0, 15),
+        "B": (3, 18),
+        "C": (16, 9),
+    }
+    audio = {k: (0.1 * rng.standard_normal((n, CHUNK))).astype(np.float32)
+             for k, (_, n) in lives.items()}
+
+    pool = StreamPool(model, state.params, state.batch_stats, CFG, slots=2,
+                      chunk_samples=CHUNK, halo=64, total_stride=8, bucket=64)
+    slot_of, fed, got, tails = {}, {k: 0 for k in lives}, \
+        {k: [] for k in lives}, {}
+    for tick in range(30):
+        for k, (j, n) in lives.items():
+            if tick == j:
+                slot_of[k] = pool.join()
+        live = {k for k in lives
+                if lives[k][0] <= tick < lives[k][0] + lives[k][1]}
+        if not live and not slot_of:
+            continue
+        chunks = {slot_of[k]: audio[k][fed[k]] for k in live}
+        if chunks:
+            out = pool.push(chunks)
+            for k in live:
+                got[k].append(out[slot_of[k]])
+                fed[k] += 1
+        for k, (j, n) in lives.items():
+            if tick == j + n - 1:  # last chunk fed this tick -> leave
+                tails[k] = pool.leave(slot_of.pop(k))
+
+    assert set(tails) == set(lives)
+    # C must have reused a freed slot (2 slots, 3 lives).
+    for k, (_, n) in lives.items():
+        ref_outs, ref_tail = _fresh_run(model, state, audio[k])
+        assert len(got[k]) == n
+        for i, (g, r) in enumerate(zip(got[k], ref_outs)):
+            assert g.shape == r.shape, (k, i, g.shape, r.shape)
+        g_all = np.concatenate([g for g in got[k] if g.shape[0]] +
+                               [tails[k]], axis=0)
+        r_all = np.concatenate([r for r in ref_outs if r.shape[0]] +
+                               [ref_tail], axis=0)
+        np.testing.assert_allclose(g_all, r_all, atol=1e-5,
+                                   err_msg=f"stream {k}")
+
+
+def test_pool_int16_chunks_match_float():
+    rng = np.random.default_rng(1)
+    model, state = _model_state()
+    n = 10
+    audio = (0.1 * rng.standard_normal((n, CHUNK))).astype(np.float32)
+    i16 = (audio * 32768.0).astype(np.int16)
+    f32 = i16.astype(np.float32) / 32768.0
+
+    def run(chunks_list):
+        pool = StreamPool(model, state.params, state.batch_stats, CFG,
+                          slots=1, chunk_samples=CHUNK, halo=64,
+                          total_stride=8, bucket=64)
+        s = pool.join()
+        outs = [pool.push({s: c})[s] for c in chunks_list]
+        outs.append(pool.leave(s))
+        return np.concatenate([o for o in outs if o.shape[0]], axis=0)
+
+    np.testing.assert_allclose(run(list(i16)), run(list(f32)), atol=1e-5)
+
+
+def test_pool_validation():
+    model, state = _model_state()
+    pool = StreamPool(model, state.params, state.batch_stats, CFG, slots=1,
+                      chunk_samples=CHUNK, halo=64, total_stride=8, bucket=64)
+    s = pool.join()
+    with pytest.raises(RuntimeError, match="slots are occupied"):
+        pool.join()
+    with pytest.raises(ValueError, match="joined slots"):
+        pool.push({})  # missing the joined slot
+    with pytest.raises(ValueError, match="chunk must be"):
+        pool.push({s: np.zeros(17, np.float32)})
+    with pytest.raises(ValueError, match="not joined"):
+        pool.leave(s + 1)
+    pool.leave(s)
+    assert pool.join() == s  # freed slot is reusable
+
+
+def test_pool_sharded_over_mesh_matches_plain():
+    from sed_tpu.parallel.mesh import create_mesh
+
+    rng = np.random.default_rng(2)
+    model, state = _model_state()
+    n = 12
+    audio = (0.1 * rng.standard_normal((8, n, CHUNK))).astype(np.float32)
+
+    def run(mesh):
+        pool = StreamPool(model, state.params, state.batch_stats, CFG,
+                          slots=8, chunk_samples=CHUNK, halo=64,
+                          total_stride=8, bucket=64, mesh=mesh)
+        slots = [pool.join() for _ in range(8)]
+        outs = {s: [] for s in slots}
+        for t in range(n):
+            o = pool.push({s: audio[i, t] for i, s in enumerate(slots)})
+            for s in slots:
+                outs[s].append(o[s])
+        for i, s in enumerate(slots):
+            outs[s].append(pool.leave(s))
+        return {s: np.concatenate([x for x in outs[s] if x.shape[0]], axis=0)
+                for s in slots}
+
+    plain = run(None)
+    sharded = run(create_mesh())
+    for s in plain:
+        np.testing.assert_allclose(sharded[s], plain[s], atol=1e-5)
