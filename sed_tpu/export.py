@@ -1,13 +1,25 @@
-"""Model export for serving: serialize the jitted inference function.
+"""Model export for serving: StableHLO artifacts and AOT compiled executables.
 
-Production-deployment capability beyond the reference: the featurize+score
-pipeline is exported as a serialized StableHLO artifact (jax.export) that a
-serving binary can load and run without the Python model definition — the
-JAX analog of the reference's implicit "load a .pth into the same code"
-deployment story, but self-contained.
+Production-deployment capability beyond the reference (its serving story is
+"load a .pth into the same code", infer.py:27-37).  Two artifact tiers:
+
+  * **StableHLO** (jax.export, `export_scorer`/`export_quantized_scorer`):
+    portable across compiler versions — but the target still COMPILES it, so
+    cold start pays the full XLA compile (638 s for the full kernel stack
+    through this harness's remote compiler, BENCH_r02.json).
+  * **AOT executables** (`aot_export_pipeline`/`load_aot_pipeline`):
+    the fully compiled TPU binary serialized via
+    jax.experimental.serialize_executable, covering the WHOLE serving graph —
+    int16 PCM -> Pallas featurizer -> (f32 or int8) CNN -> sigmoid scores —
+    with the weights shipped alongside.  A fresh process loads and runs it
+    with NO compilation (seconds, measured in benchmarks/SERVING_AOT.json),
+    which is the real cold-start fix.  The binary is specific to the compiled
+    topology/compiler version (standard AOT caveat).
 """
 
 from __future__ import annotations
+
+import pickle
 
 import jax
 import jax.numpy as jnp
@@ -56,6 +68,155 @@ def export_quantized_scorer(
     spec = jax.ShapeDtypeStruct((batch, frames, cfg.mel_bins, 1), jnp.float32)
     exported = jax_export.export(jax.jit(score))(spec)
     return exported.serialize()
+
+
+# ---------------------------------------------------------------------------
+# AOT: serialized compiled executables (no compile at load time)
+# ---------------------------------------------------------------------------
+
+def _partition_weights(weights):
+    """Split a weights pytree into traced array leaves and static (non-array)
+    leaves such as pool sizes in int8 qparams; returns
+    (array_leaves, rebuild(array_args) -> pytree)."""
+    leaves, treedef = jax.tree.flatten(weights)
+    is_arr = [isinstance(l, (jnp.ndarray, np.ndarray)) for l in leaves]
+    arr_leaves = [l for l, a in zip(leaves, is_arr) if a]
+
+    def rebuild(arr_args):
+        it = iter(arr_args)
+        merged = [next(it) if a else l for l, a in zip(leaves, is_arr)]
+        return jax.tree.unflatten(treedef, merged)
+
+    return arr_leaves, rebuild
+
+
+def aot_export_pipeline(
+    score_fn,
+    weights,
+    batch: int,
+    samples: int,
+    cfg: SpectrogramConfig = DEFAULT_SPECTROGRAM,
+    pcm_dtype=jnp.int16,
+    use_pallas="full",
+) -> bytes:
+    """AOT-compile and serialize the FULL serving graph.
+
+    ``score_fn(weights, feats)``: (B, C, T, mel) log-mel features -> scores;
+    ``weights``: any pytree (arrays become executable arguments and are
+    shipped in the artifact; non-array leaves — e.g. int8 qparams' pool
+    sizes — are compiled in as static).  The compiled input is
+    (batch, samples, 1) ``pcm_dtype`` audio (int16 means PCM16, de-quantized
+    by 1/32768 like every featurizer path).
+
+    Returns a pickled artifact loadable by :func:`load_aot_pipeline` in a
+    fresh process with no compilation.
+    """
+    from sed_tpu.ops.featurizer import logmel_features_batch
+
+    arr_leaves, rebuild = _partition_weights(weights)
+
+    def flat_fn(x, *leaf_args):
+        w = rebuild(leaf_args)
+        feats = logmel_features_batch(x, cfg, use_pallas=use_pallas)
+        return score_fn(w, feats)
+
+    spec = jax.ShapeDtypeStruct((batch, samples, 1), pcm_dtype)
+    leaf_specs = [jax.ShapeDtypeStruct(np.shape(l), np.asarray(l).dtype)
+                  for l in arr_leaves]
+    compiled = jax.jit(flat_fn).lower(spec, *leaf_specs).compile()
+
+    from jax.experimental import serialize_executable as se
+
+    payload, _, _ = se.serialize(compiled)
+    return pickle.dumps({
+        "format": "sed_tpu-aot-v1",
+        "payload": payload,
+        "leaves": [np.asarray(l) for l in arr_leaves],
+        "input_shape": (batch, samples, 1),
+        "input_dtype": np.dtype(pcm_dtype).name,
+        "backend": jax.default_backend(),
+        "device_kind": jax.devices()[0].device_kind,
+        "n_devices": len(compiled._executable.xla_executable.local_devices()),
+        "jax_version": jax.__version__,
+    })
+
+
+def load_aot_pipeline(blob: bytes):
+    """Load an :func:`aot_export_pipeline` artifact; returns
+    ``call(audio) -> scores`` running the pre-compiled executable (no
+    compilation happens — cold start is deserialize + weight upload)."""
+    from jax.experimental import serialize_executable as se
+
+    d = pickle.loads(blob)
+    if d.get("format") != "sed_tpu-aot-v1":
+        raise ValueError(f"not a sed_tpu AOT artifact: {d.get('format')!r}")
+    n_args = 1 + len(d["leaves"])
+    _, in_tree = jax.tree.flatten(((0,) * n_args, {}))
+    out_tree = jax.tree.structure(0)
+    # Bind exactly the device count the artifact was compiled for (a host
+    # with more local devices — e.g. the 8-virtual-CPU test mesh — would
+    # otherwise try to shard the args 8 ways into a 1-device executable).
+    devs = jax.devices()[: d.get("n_devices", 1)]
+    loaded = se.deserialize_and_load(d["payload"], in_tree, out_tree,
+                                     execution_devices=devs)
+    leaves = [jnp.asarray(l) for l in d["leaves"]]
+    shape, dtype = tuple(d["input_shape"]), d["input_dtype"]
+
+    def call(audio):
+        audio = jnp.asarray(audio, dtype)
+        if audio.shape != shape:
+            raise ValueError(f"artifact expects audio {shape} {dtype}, "
+                             f"got {audio.shape}")
+        return np.asarray(loaded(audio, *leaves))
+
+    return call
+
+
+def _norm_weights(mean, std):
+    """Normalization stats as pytree entries (NOT closure constants — large
+    embedded constants cannot be serialized by serialize_executable)."""
+    if mean is None:
+        return {}
+    return {"norm": {"mean": jnp.asarray(mean, jnp.float32),
+                     "std": jnp.asarray(std, jnp.float32)}}
+
+
+def _apply_norm(w, feats):
+    if "norm" in w:
+        feats = (feats - w["norm"]["mean"]) / w["norm"]["std"]
+    return feats
+
+
+def cnn_serving(model, params, batch_stats, mean=None, std=None):
+    """(score_fn, weights) for the f32 CNN head of
+    :func:`aot_export_pipeline`: feats (B, C, T, mel) -> normalize -> NHWC ->
+    model -> sigmoid."""
+    weights = {"params": params, "batch_stats": batch_stats,
+               **_norm_weights(mean, std)}
+
+    def score(w, feats):
+        x = jnp.transpose(_apply_norm(w, feats), (0, 2, 3, 1))
+        logits = model.apply(
+            {"params": w["params"], "batch_stats": w["batch_stats"]},
+            x, train=False)
+        return jax.nn.sigmoid(logits)
+
+    return score, weights
+
+
+def quantized_serving(qparams, mean=None, std=None):
+    """(score_fn, weights) for the int8 PTQ head: feats -> normalize -> NHWC
+    -> quantized CNN -> sigmoid.  ``qparams`` from models/quantize
+    .quantize_cnn (static fields compile in; arrays ship in the artifact)."""
+    from sed_tpu.models.quantize import quantized_scores
+
+    weights = {"q": qparams, **_norm_weights(mean, std)}
+
+    def score(w, feats):
+        x = jnp.transpose(_apply_norm(w, feats), (0, 2, 3, 1))
+        return quantized_scores(w["q"], x)
+
+    return score, weights
 
 
 def load_scorer(blob: bytes):

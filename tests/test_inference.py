@@ -4,6 +4,7 @@ per-file inference."""
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 from scipy.io import wavfile
 
 from sed_tpu.configs import SpectrogramConfig
@@ -140,3 +141,41 @@ def test_batch_evaluator_matches_host_metrics():
             logits[None], targets[i:i + 1, :n], 5.0, True)
         np.testing.assert_allclose(losses[i], expect_loss, rtol=1e-4)
     np.testing.assert_allclose(scores[:, :n], host_scores[:, :n], atol=1e-6)
+
+
+def test_aot_pipeline_roundtrip():
+    """AOT serving artifact (export.aot_export_pipeline): the full int16
+    PCM -> featurize -> CNN -> sigmoid graph, compiled + serialized, must
+    reload in-process and match the direct jit pipeline (f32 exactly, int8
+    within the PTQ fidelity bound)."""
+    import jax.numpy as jnp
+
+    from sed_tpu.export import (aot_export_pipeline, cnn_serving,
+                                load_aot_pipeline, quantized_serving)
+    from sed_tpu.models.quantize import quantize_cnn
+    from sed_tpu.ops.featurizer import logmel_features_batch
+
+    model, state = _model_state()
+    B, sec = 2, 4
+    samples = CFG.working_sample_rate * sec
+    rng = np.random.default_rng(0)
+    pcm = (rng.standard_normal((B, samples, 1)) * 4000).astype(np.int16)
+
+    feats = logmel_features_batch(jnp.asarray(pcm), CFG)
+    ref = np.asarray(jax.nn.sigmoid(model.apply(
+        {"params": state.params, "batch_stats": state.batch_stats},
+        jnp.transpose(feats, (0, 2, 3, 1)), train=False)))
+
+    score_fn, weights = cnn_serving(model, state.params, state.batch_stats)
+    call = load_aot_pipeline(aot_export_pipeline(
+        score_fn, weights, B, samples, CFG, use_pallas=False))
+    np.testing.assert_allclose(call(pcm), ref, atol=1e-6)
+    with pytest.raises(ValueError, match="expects audio"):
+        call(pcm[:1])
+
+    q = quantize_cnn(model, state.params, state.batch_stats,
+                     [np.asarray(jnp.transpose(feats, (0, 2, 3, 1)))])
+    sfn, w = quantized_serving(q)
+    call_q = load_aot_pipeline(aot_export_pipeline(
+        sfn, w, B, samples, CFG, use_pallas=False))
+    assert float(np.abs(call_q(pcm) - ref).max()) < 0.05
