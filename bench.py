@@ -190,11 +190,26 @@ def main() -> None:
         f"audio-sec/sec = {100 * link_utilization:.0f}% of the link floor "
         f"({n_e2e} batches x {batch_bytes / 1e6:.1f} MB in {e2e_time:.2f}s)")
 
+    # Serving cold start: the committed AOT artifact number (fresh-process
+    # load->first-result, benchmarks/bench_serving_aot.py) — the operational
+    # answer to this run's compile+first-run time above.
+    serving_aot = None
+    aot_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "benchmarks", "SERVING_AOT.json")
+    if os.path.exists(aot_path):
+        with open(aot_path) as f:
+            d = json.load(f)
+        serving_aot = {
+            "f32_load_to_first_result_s": d["f32"]["load_to_first_result_s"],
+            "int8_load_to_first_result_s": d["int8"]["load_to_first_result_s"],
+        }
+
     print(json.dumps({
         "metric": "featurize+infer throughput, 60s clips, HBM-resident",
         "value": round(compute_rate, 1),
         "unit": "audio-sec/sec/chip",
         "vs_baseline": round(compute_rate / 100.0, 2),
+        "serving_aot_cold_start": serving_aot,
         "protocol": {
             "n_slope_samples": stats["n"],
             "discarded_samples": stats["discarded"],

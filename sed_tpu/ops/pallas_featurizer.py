@@ -1149,6 +1149,125 @@ def _make_wave_fft_power_kernel_rollraw(n_fft: int, n1: int, n2: int, hop: int,
     return kernel
 
 
+def _fft_power_body(frames, window_ref, w2r_ref, w2i_ref, w1r_ref, w1i_ref,
+                    twr_ref, twi_ref, n1, n2, precision):
+    """Shared FFT+power tile body: (FFT_TILE_R, n_fft) raw frames -> power in
+    the kernel's flat (k2, k1) layout (used by the edge-specialized kernels;
+    the older kernels keep their inlined copies)."""
+    rows = FFT_TILE_R
+    dot_inner, dot_outer = _stage_dots(precision)
+    x = frames * window_ref[0]
+    x = x.reshape(rows, n2, n1)
+    x2 = jnp.transpose(x, (1, 0, 2)).reshape(n2, rows * n1)
+    dn = (((1,), (0,)), ((), ()))
+    yr = dot_inner(w2r_ref[:], x2, dn)
+    yi = dot_inner(w2i_ref[:], x2, dn)
+    yr = yr.reshape(n2, rows, n1)
+    yi = yi.reshape(n2, rows, n1)
+    twr = twr_ref[:].reshape(n2, 1, n1)
+    twi = twi_ref[:].reshape(n2, 1, n1)
+    tr = yr * twr - yi * twi
+    ti = yr * twi + yi * twr
+    tr = jnp.transpose(tr, (1, 0, 2)).reshape(rows * n2, n1)
+    ti = jnp.transpose(ti, (1, 0, 2)).reshape(rows * n2, n1)
+    zr = dot_outer(tr, w1r_ref[:], dn) - dot_outer(ti, w1i_ref[:], dn)
+    zi = dot_outer(tr, w1i_ref[:], dn) + dot_outer(ti, w1r_ref[:], dn)
+    power = zr * zr + zi * zi
+    return power.reshape(rows, n1 * n2)
+
+
+def _make_wave_fft_power_kernel_interior(n_fft: int, n1: int, n2: int,
+                                         hop: int, n_samples: int, t_lo: int,
+                                         span_len: int, phase_g: int,
+                                         precision=None):
+    """Branch-free raw-read kernel for INTERIOR tiles only (impl='rolledge').
+
+    The rollraw post-mortem (ROADMAP.md) attributed its 0.9 ms in-kernel
+    regression to the 3-way predicated DMA source selection executed on
+    EVERY tile.  Here the grid covers only tiles whose span lies entirely
+    inside the unpadded signal, so the DMA source is always the raw
+    waveform and the offset is plain arithmetic — the kernel is the
+    production roll kernel minus the padded layout, with the span phase
+    computed per (signal, tile) over the small static set
+    {0, phase_g, ...} (4 entries for whole-second 48 kHz clips).
+    Double-buffered spans as in the roll kernel.
+    """
+    ts = FFT_TILE_R * hop
+    pad = n_fft // 2
+    span_rows = span_len // 128
+    frame_rows = n_fft // 128
+    phases = tuple(range(0, 1024, phase_g))
+
+    def kernel(raw_ref, window_ref, w2r_ref, w2i_ref, w1r_ref, w1i_ref,
+               twr_ref, twi_ref, out_ref, span_a, span_b, sem_a, sem_b):
+        c = pl.program_id(0)
+        t = pl.program_id(1)
+        n_tiles = pl.num_programs(1)
+        n_sigs = pl.num_programs(0)
+        linear = c * n_tiles + t
+        slot = jax.lax.rem(linear, 2)
+        total = n_sigs * n_tiles
+
+        def flat_of(ci, ti):
+            return ci * n_samples + (ti + t_lo) * ts - pad
+
+        def dma_for(span_vmem, sem, ci, ti):
+            row = pl.multiple_of((flat_of(ci, ti) // 1024) * 8, 8)
+            return pltpu.make_async_copy(
+                raw_ref.at[pl.ds(row, span_rows)], span_vmem, sem)
+
+        nlin = linear + 1
+        nc = nlin // n_tiles
+        nt = nlin - nc * n_tiles
+
+        @pl.when(linear == 0)
+        def _prologue():
+            dma_for(span_a, sem_a, c, t).start()
+
+        @pl.when((slot == 0) & (nlin < total))
+        def _prefetch_b():
+            dma_for(span_b, sem_b, nc, nt).start()
+
+        @pl.when((slot == 1) & (nlin < total))
+        def _prefetch_a():
+            dma_for(span_a, sem_a, nc, nt).start()
+
+        @pl.when(slot == 0)
+        def _wait_a():
+            dma_for(span_a, sem_a, c, t).wait()
+
+        @pl.when(slot == 1)
+        def _wait_b():
+            dma_for(span_b, sem_b, c, t).wait()
+
+        lane = jax.lax.broadcasted_iota(jnp.int32, (frame_rows, 128), 1)
+
+        def build(span_vmem, phase):
+            def _build():
+                return jnp.stack([
+                    _extract_rolled(span_vmem, lane, phase + f * hop, frame_rows)
+                    for f in range(FFT_TILE_R)
+                ])
+
+            return _build
+
+        phase_idx = jax.lax.rem(flat_of(c, t), 1024) // phase_g
+
+        def extract(span_vmem):
+            return jax.lax.switch(phase_idx,
+                                  [build(span_vmem, p) for p in phases])
+
+        frames = jax.lax.cond(slot == 0,
+                              lambda: extract(span_a),
+                              lambda: extract(span_b))
+        frames = frames.reshape(FFT_TILE_R, n_fft)
+        out_ref[:] = _fft_power_body(frames, window_ref, w2r_ref, w2i_ref,
+                                     w1r_ref, w1i_ref, twr_ref, twi_ref,
+                                     n1, n2, precision)
+
+    return kernel
+
+
 def _rollraw_layout(cfg: SpectrogramConfig, n_signals: int, n_samples: int):
     """Static geometry of the raw-read roll kernel, or None if ineligible."""
     import math
@@ -1264,6 +1383,137 @@ def stft_power_from_waveform_raw_pallas(
     )(raw, left, right, *consts)
     out = out.reshape(n_signals, n_tiles * FFT_TILE_R, n_fft)
     return out[:, : geo["n_frames"]] if trim else out
+
+
+def logmel_waveform_rolledge(
+    waveforms: jnp.ndarray,
+    cfg: SpectrogramConfig = DEFAULT_SPECTROGRAM,
+    interpret=None,
+    precision=None,
+) -> jnp.ndarray:
+    """Edge-specialized framing (impl='rolledge'): (n_signals, samples) f32
+    -> (n_signals, n_frames, mel).
+
+    The production 'roll' path pays a ~1.6 ms XLA pre-pass per 16x60 s batch
+    (reflect pad + repack to a 1024-aligned stride); 'rollraw' removed it but
+    paid more in-kernel (3-way predicated DMA on every tile — measured
+    negative, ROADMAP.md).  This variant splits the GRID instead of
+    branching the kernel:
+
+      * interior tiles (the ~87%% whose spans lie inside the raw signal) run
+        a branch-free kernel DMAing straight from the unpadded waveform
+        (:func:`_make_wave_fft_power_kernel_interior`) — no pre-pass at all;
+      * edge tiles run the PROVEN roll kernel over two small repacked strips
+        per signal ([reflect|head] and [tail|reflect]) whose pre-pass cost
+        scales with the edge size only;
+      * the pieces merge AFTER the mel stage, where rows are ~256x smaller —
+        sidestepping the sliced-pallas-output composition hazard entirely
+        (power arrays feed the mel kernel with full padded rows, exactly
+        like production; see the MISCOMPILE note in logmel_waveform_pallas).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    n_signals, n_samples = waveforms.shape
+    geo = _rollraw_layout(cfg, n_signals, n_samples)
+    assert geo is not None, "rolledge needs n_samples % 128 == 0, nfft >= 32768"
+    n_fft, hop = cfg.nfft, cfg.hop_size
+    pad, ts, span_len = geo["pad"], geo["ts"], geo["span_len"]
+    t_lo, t_hi, n_tiles = geo["t_lo"], geo["t_hi"], geo["n_tiles"]
+    n_frames = geo["n_frames"]
+    w = waveforms.astype(jnp.float32)
+
+    n1, n2, w2r, w2i, w1r, w1i, twr, twi, window = _fft_power_constants(
+        n_fft, cfg.frame_size
+    )
+    consts = [jnp.asarray(window)[None, :], jnp.asarray(w2r), jnp.asarray(w2i),
+              jnp.asarray(w1r), jnp.asarray(w1i), jnp.asarray(twr), jnp.asarray(twi)]
+    const_specs = [
+        pl.BlockSpec(c.shape, lambda i, j: (0, 0), memory_space=pltpu.VMEM)
+        for c in consts
+    ]
+    span_slot = pltpu.VMEM((span_len // 128, 128), jnp.float32)
+    scratch = [span_slot, span_slot,
+               pltpu.SemaphoreType.DMA(()), pltpu.SemaphoreType.DMA(())]
+
+    # --- interior tiles: straight from the raw waveform --------------------
+    n_int = t_hi - t_lo + 1
+    kernel_i = _make_wave_fft_power_kernel_interior(
+        n_fft, n1, n2, hop, n_samples, t_lo, span_len, geo["phase_g"],
+        precision)
+    p_int = pl.pallas_call(
+        kernel_i,
+        grid=(n_signals, n_int),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY), *const_specs],
+        out_specs=pl.BlockSpec(
+            (FFT_TILE_R, n_fft), lambda c, t: (c * n_int + t, 0),
+            memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(
+            (n_signals * n_int * FFT_TILE_R, n_fft), jnp.float32),
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=32 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=n_signals * n_int * FFT_TILE_R * (4 * n2 * n2 * n1 + 8 * n2 * n1 * n1),
+            bytes_accessed=n_signals * n_int * (span_len + FFT_TILE_R * n_fft) * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(w.reshape(-1, 128), *consts)
+
+    # --- edge tiles: proven roll kernel over two small strips per signal ---
+    m_l, m_r = t_lo, n_tiles - 1 - t_hi
+    m_t = max(m_l, m_r)
+    strip_stride = (m_t - 1) * ts + span_len
+    strip_stride += (-strip_stride) % 1024
+    left = jnp.concatenate(
+        [jnp.flip(w[:, 1:pad + 1], axis=1), w[:, : geo["l_len"] - pad]], axis=1)
+    left = jnp.pad(left, ((0, 0), (0, strip_stride - left.shape[1])))
+    tail = jnp.concatenate(
+        [w[:, geo["r0"]:],
+         jnp.flip(w[:, n_samples - pad - 1:n_samples - 1], axis=1)], axis=1)
+    tail = tail[:, :strip_stride]
+    right = jnp.pad(tail, ((0, 0), (0, strip_stride - tail.shape[1])))
+    strips = jnp.concatenate([left, right], axis=0)  # lefts then rights
+
+    phase_step = ts % 1024
+    phases = []
+    p = 0
+    while True:
+        phases.append(p)
+        p = (p + phase_step) % 1024
+        if p == 0:
+            break
+    kernel_e = _make_wave_fft_power_kernel_roll(
+        n_fft, n1, n2, hop, strip_stride, span_len, phases, precision)
+    p_edge = pl.pallas_call(
+        kernel_e,
+        grid=(2 * n_signals, m_t),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY), *const_specs],
+        out_specs=pl.BlockSpec(
+            (FFT_TILE_R, n_fft), lambda c, t: (c * m_t + t, 0),
+            memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(
+            (2 * n_signals * m_t * FFT_TILE_R, n_fft), jnp.float32),
+        scratch_shapes=list(scratch),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=32 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(strips.reshape(-1, 128), *consts)
+
+    # --- mel on each piece (full padded rows in, slice at the very end),
+    # then merge the SMALL mel arrays per signal ----------------------------
+    mel_i = _folded_mel_from_power(p_int, cfg, interpret)
+    mel_e = _folded_mel_from_power(p_edge, cfg, interpret)
+    mel_i = mel_i.reshape(n_signals, n_int * FFT_TILE_R, cfg.mel_bins)
+    mel_e = mel_e.reshape(2, n_signals, m_t * FFT_TILE_R, cfg.mel_bins)
+    full = jnp.concatenate(
+        [mel_e[0][:, : m_l * FFT_TILE_R], mel_i,
+         mel_e[1][:, : m_r * FFT_TILE_R]], axis=1)
+    return full[:, :n_frames]
 
 
 def stft_power_from_waveform_pallas(
@@ -1432,6 +1682,8 @@ def logmel_waveform_pallas(
     # sidesteps the bad slice+reshape+pallas composition and is also
     # copy-free.  See benchmarks/parity_sweep.py for the regression check.
     n_frames_out = 1 + waveforms.shape[1] // cfg.hop_size
+    if impl == "rolledge":
+        return logmel_waveform_rolledge(waveforms, cfg, interpret, precision)
     if impl == "eo":
         power = stft_eo_power_from_waveform_pallas(waveforms, cfg, interpret,
                                                    precision, trim=False)

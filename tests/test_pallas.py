@@ -106,6 +106,34 @@ def test_rollraw_kernel_matches_xla_path():
     np.testing.assert_allclose(got, ref, atol=1e-4)
 
 
+def test_rolledge_kernel_matches_xla_path():
+    """Edge-specialized framing (impl='rolledge'): interior tiles run the
+    branch-free raw-read kernel, edge tiles the roll kernel over small
+    strips, merged after the mel stage.  Must match the XLA oracle path on a
+    shape exercising all three tile classes, and be bit-identical to 'roll'
+    (same kernels, different framing route)."""
+    import numpy as np
+
+    from sed_tpu.configs import SpectrogramConfig
+    from sed_tpu.ops.featurizer import logmel_features
+    from sed_tpu.ops.pallas_featurizer import _rollraw_layout, logmel_waveform_pallas
+
+    cfg = SpectrogramConfig()
+    n = cfg.working_sample_rate * 10
+    geo = _rollraw_layout(cfg, 1, n)
+    assert geo is not None and geo["t_lo"] <= geo["t_hi"] < geo["n_tiles"] - 1
+    rng = np.random.default_rng(0)
+    sig = (0.2 * rng.standard_normal(n)).astype(np.float32)
+    ref = np.asarray(logmel_features(jnp.asarray(sig)[:, None], cfg,
+                                     use_pallas=False))[0]
+    got = np.asarray(logmel_waveform_pallas(jnp.asarray(sig)[None, :], cfg,
+                                            interpret=True, impl="rolledge"))[0]
+    np.testing.assert_allclose(got, ref, atol=1e-4)
+    roll = np.asarray(logmel_waveform_pallas(jnp.asarray(sig)[None, :], cfg,
+                                             interpret=True, impl="roll"))[0]
+    np.testing.assert_array_equal(got, roll)
+
+
 def test_int16_frames_path_exact():
     """int16 PCM frames with the in-kernel pre-scaled window must equal the
     f32/32768 path exactly (PCM16 de-quantization is lossless)."""
