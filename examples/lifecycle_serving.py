@@ -1,0 +1,111 @@
+"""Serving with stream churn + AOT artifacts — the round-3 serving stack.
+
+Part 1 (StreamPool, sed_tpu/stream_pool.py): a slot pool where live streams
+JOIN and LEAVE mid-run without restarting the fleet — stream B joins three
+ticks after A, A hangs up, C reuses A's slot — and every stream's scores
+still match a fresh detector on the same audio.
+
+Part 2 (AOT, sed_tpu/export.py): compile the whole int16-PCM -> featurize ->
+CNN -> sigmoid graph ONCE, serialize the compiled executable with the
+weights, and reload it with no compilation — the cold-start story for batch
+serving (fresh-process load->first-result is seconds; see
+benchmarks/SERVING_AOT.json for the measured number).
+
+Runs on CPU or TPU:  python examples/lifecycle_serving.py [--device cpu]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--device", default="cpu", choices=["cpu", "tpu"])
+    args = ap.parse_args()
+
+    import jax
+
+    if args.device == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from sed_tpu.configs import SpectrogramConfig
+    from sed_tpu.models.cnn import CnnAvgPooling, TRAIN_CHANNEL_AND_POOL
+    from sed_tpu.stream_pool import StreamPool
+    from sed_tpu.streaming import BatchedStreamingDetector
+
+    # Small config so the example runs in seconds on CPU.
+    cfg = SpectrogramConfig(working_sample_rate=8000, time_margin=0.33)
+    chunk = cfg.working_sample_rate  # 1 s ticks
+    model = CnnAvgPooling(classes_num=1, model_config=TRAIN_CHANNEL_AND_POOL)
+    variables = model.init(jax.random.key(0),
+                           jnp.zeros((1, 128, cfg.mel_bins, 1)), train=False)
+    params, stats = variables["params"], variables["batch_stats"]
+
+    rng = np.random.default_rng(0)
+    audio = {k: (0.1 * rng.standard_normal((n, chunk))).astype(np.float32)
+             for k, n in (("A", 12), ("B", 14), ("C", 8))}
+    joins = {"A": 0, "B": 3, "C": 13}  # C joins after A leaves at tick 11
+
+    print("== Part 1: StreamPool join/leave ==")
+    pool = StreamPool(model, params, stats, cfg, slots=2,
+                      chunk_samples=chunk, halo=64, total_stride=8, bucket=64)
+    slot, fed, got, tails = {}, dict.fromkeys(audio, 0), \
+        {k: [] for k in audio}, {}
+    for tick in range(25):
+        for k, j in joins.items():
+            if tick == j:
+                slot[k] = pool.join()
+                print(f"tick {tick:2d}: {k} joined slot {slot[k]}")
+        live = {k for k in audio
+                if joins[k] <= tick < joins[k] + len(audio[k])}
+        if live:
+            out = pool.push({slot[k]: audio[k][fed[k]] for k in live})
+            for k in live:
+                got[k].append(out[slot[k]])
+                fed[k] += 1
+        for k in audio:
+            if tick == joins[k] + len(audio[k]) - 1:
+                tails[k] = pool.leave(slot.pop(k))
+                print(f"tick {tick:2d}: {k} left")
+
+    for k in audio:  # verify against fresh single-stream detectors
+        ref = BatchedStreamingDetector(model, params, stats, cfg, batch=1,
+                                       halo=64, total_stride=8, bucket=64)
+        r = [ref.push(c[None])[0] for c in audio[k]] + [ref.flush()[0]]
+        mine = np.concatenate([x for x in got[k] + [tails[k]] if x.shape[0]])
+        theirs = np.concatenate([x for x in r if x.shape[0]])
+        d = float(np.abs(mine - theirs).max())
+        print(f"  {k}: {mine.shape[0]} frames, max diff vs fresh detector "
+              f"{d:.2e}")
+        assert d < 1e-5
+
+    print("== Part 2: AOT serving artifact ==")
+    from sed_tpu.export import (aot_export_pipeline, cnn_serving,
+                                load_aot_pipeline)
+
+    B, sec = 2, 4
+    samples = cfg.working_sample_rate * sec
+    score_fn, weights = cnn_serving(model, params, stats)
+    t0 = time.time()
+    blob = aot_export_pipeline(
+        score_fn, weights, B, samples, cfg,
+        use_pallas="full" if args.device == "tpu" else False)
+    print(f"  built {len(blob) / 1e6:.1f} MB artifact in "
+          f"{time.time() - t0:.1f}s (compile paid once)")
+    t0 = time.time()
+    call = load_aot_pipeline(blob)
+    pcm = (rng.standard_normal((B, samples, 1)) * 4000).astype(np.int16)
+    scores = call(pcm)
+    print(f"  load->first-result {time.time() - t0:.2f}s "
+          f"(no compilation), scores {scores.shape}")
+
+
+if __name__ == "__main__":
+    main()
