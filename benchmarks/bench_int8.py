@@ -162,10 +162,55 @@ def main():
             log(f"  {name}: {1e3 * t:.3f} ms/batch-256 "
                 f"({m5_batch / t:.0f} frames/s)")
 
+    # --- MobileNetV1 (pointwise-int8; depthwise stays f32) ----------------
+    # Closes round-2 Weak #7: the end-to-end MobileNet int8 speedup was the
+    # one unmeasured claim in the quantization family.
+    from sed_tpu.models.cnn import MobileNetV1
+    from sed_tpu.models.quantize import (quantize_mobilenet,
+                                         quantized_mobilenet_forward)
+
+    mn_frames = 1024  # stride-2 stages need a /8 frame count
+    mn = MobileNetV1(classes_num=cfg.classes_num)
+    xm = jnp.asarray(rng.standard_normal(
+        (BATCH, mn_frames, cfg.mel_bins, 1)).astype(np.float32))
+    mv = mn.init(jax.random.key(2), xm[:1], train=False)
+    qmn = quantize_mobilenet(mn, mv["params"], mv["batch_stats"],
+                             [np.asarray(xm[:4])])
+
+    def mn_f32(inp):  # forward already emits sigmoid (reference semantics)
+        return mn.apply({"params": mv["params"],
+                         "batch_stats": mv["batch_stats"]}, inp, train=False)
+
+    mn_ref = jax.jit(mn_f32)(xm)
+    mn_ref.block_until_ready()
+    mn_got = jax.jit(lambda inp: quantized_mobilenet_forward(qmn, inp))(xm)
+    mn_got.block_until_ready()
+    mn_fid = float(jnp.max(jnp.abs(mn_ref - mn_got)))
+    log(f"MobileNet int8 vs f32 sigmoid max |diff|: {mn_fid:.4f}")
+
+    slope_mn = make_slope(xm, lambda w: w.at[0, 0, 0, 0].add(1e-6),
+                          lambda out: out[0, 0, 0])
+    for name, fn in [("mobilenet_f32", mn_f32),
+                     ("mobilenet_int8",
+                      lambda inp: quantized_mobilenet_forward(qmn, inp))]:
+        log(f"compiling {name} ...")
+        t = slope_mn(fn)
+        res[name] = t
+        if t is None:
+            log(f"  {name}: MEASUREMENT FAILED (relay jitter)")
+        else:
+            log(f"  {name}: {1e3 * t:.3f} ms/batch-16x{mn_frames}f")
+
     out = {
         "batch": BATCH,
         "clip_seconds": CLIP_SECONDS,
         "m5_batch_frames": m5_batch,
+        "mobilenet_frames": mn_frames,
+        "mobilenet_int8_vs_f32_sigmoid_maxdiff": round(mn_fid, 5),
+        "mobilenet_speedup_int8_vs_f32": (
+            round(res["mobilenet_f32"] / res["mobilenet_int8"], 3)
+            if res.get("mobilenet_f32") and res.get("mobilenet_int8")
+            else None),
         "device_kind": dev.device_kind,
         "int8_vs_f32_sigmoid_maxdiff": round(fid, 5),
         "m5_int8_vs_f32_sigmoid_maxdiff": round(m5_fid, 5),

@@ -263,3 +263,44 @@ def test_steps_per_call_must_divide(film_clap_root, tmp_path):
             "--device", "cpu",
             "--steps_per_call", "2",
         ])
+
+
+def test_serve_cli_build_and_run(film_clap_root, tmp_path):
+    """AOT serving CLI: build an artifact from a checkpoint, then score wav
+    files from it in 'run' mode (load -> first result with no compilation)."""
+    import glob
+
+    from sed_tpu.cli.main import main as train_main
+    from sed_tpu.cli.serve import main as serve_main
+
+    outputs_root = str(tmp_path / "training_serve")
+    train_main([
+        "--dataset_dir", film_clap_root,
+        "--dataset_name", "FilmClap",
+        "--train_features", "Spectogram",
+        "--preprocess_mode", "logMel",
+        "--outputs_root", outputs_root,
+        "--val_descriptor", "clip_3",
+        "--batch_size", "4",
+        "--num_train_steps", "2",
+        "--log_freq", "2",
+        "--device", "cpu",
+    ])
+    run_dir = os.path.join(outputs_root, os.listdir(outputs_root)[0])
+    ckpt = os.path.join(run_dir, "checkpoints", "iteration_2.ckpt")
+    wavs = sorted(glob.glob(os.path.join(film_clap_root, "FilmClap", "filmA",
+                                         "*.wav")))[:3]
+
+    artifact = str(tmp_path / "serving.aot")
+    serve_main(["build", "--ckpt", ckpt, "--out", artifact,
+                "--batch", "2", "--seconds", "3", "--use_pallas", "off"])
+    assert os.path.getsize(artifact) > 1_000_000
+
+    out_dir = str(tmp_path / "serve_out")
+    serve_main(["run", "--artifact", artifact, "--outputs_dir", out_dir]
+               + wavs)
+    outs = sorted(os.listdir(out_dir))
+    assert outs == [os.path.splitext(os.path.basename(w))[0] + "_scores.npy"
+                    for w in wavs]
+    s = np.load(os.path.join(out_dir, outs[0]))
+    assert s.ndim == 2 and np.isfinite(s).all()
