@@ -90,6 +90,39 @@ def _partition_weights(weights):
     return arr_leaves, rebuild
 
 
+def aot_export_fn(fn, weights, input_spec) -> bytes:
+    """AOT-compile and serialize an arbitrary ``fn(weights, x) -> y``.
+
+    ``weights``: any pytree (arrays ship in the artifact as executable
+    arguments; non-array leaves are compiled in as static).  ``input_spec``:
+    a jax.ShapeDtypeStruct for ``x``.  Returns a pickled artifact loadable
+    by :func:`load_aot_pipeline` in a fresh process with no compilation.
+    """
+    arr_leaves, rebuild = _partition_weights(weights)
+
+    def flat_fn(x, *leaf_args):
+        return fn(rebuild(leaf_args), x)
+
+    leaf_specs = [jax.ShapeDtypeStruct(np.shape(l), np.asarray(l).dtype)
+                  for l in arr_leaves]
+    compiled = jax.jit(flat_fn).lower(input_spec, *leaf_specs).compile()
+
+    from jax.experimental import serialize_executable as se
+
+    payload, _, _ = se.serialize(compiled)
+    return pickle.dumps({
+        "format": "sed_tpu-aot-v1",
+        "payload": payload,
+        "leaves": [np.asarray(l) for l in arr_leaves],
+        "input_shape": tuple(input_spec.shape),
+        "input_dtype": np.dtype(input_spec.dtype).name,
+        "backend": jax.default_backend(),
+        "device_kind": jax.devices()[0].device_kind,
+        "n_devices": len(compiled._executable.xla_executable.local_devices()),
+        "jax_version": jax.__version__,
+    })
+
+
 def aot_export_pipeline(
     score_fn,
     weights,
@@ -113,32 +146,12 @@ def aot_export_pipeline(
     """
     from sed_tpu.ops.featurizer import logmel_features_batch
 
-    arr_leaves, rebuild = _partition_weights(weights)
-
-    def flat_fn(x, *leaf_args):
-        w = rebuild(leaf_args)
+    def pipeline(w, x):
         feats = logmel_features_batch(x, cfg, use_pallas=use_pallas)
         return score_fn(w, feats)
 
     spec = jax.ShapeDtypeStruct((batch, samples, 1), pcm_dtype)
-    leaf_specs = [jax.ShapeDtypeStruct(np.shape(l), np.asarray(l).dtype)
-                  for l in arr_leaves]
-    compiled = jax.jit(flat_fn).lower(spec, *leaf_specs).compile()
-
-    from jax.experimental import serialize_executable as se
-
-    payload, _, _ = se.serialize(compiled)
-    return pickle.dumps({
-        "format": "sed_tpu-aot-v1",
-        "payload": payload,
-        "leaves": [np.asarray(l) for l in arr_leaves],
-        "input_shape": (batch, samples, 1),
-        "input_dtype": np.dtype(pcm_dtype).name,
-        "backend": jax.default_backend(),
-        "device_kind": jax.devices()[0].device_kind,
-        "n_devices": len(compiled._executable.xla_executable.local_devices()),
-        "jax_version": jax.__version__,
-    })
+    return aot_export_fn(pipeline, weights, spec)
 
 
 def load_aot_pipeline(blob: bytes):
@@ -215,6 +228,23 @@ def quantized_serving(qparams, mean=None, std=None):
     def score(w, feats):
         x = jnp.transpose(_apply_norm(w, feats), (0, 2, 3, 1))
         return quantized_scores(w["q"], x)
+
+    return score, weights
+
+
+def m5_serving(model, params, batch_stats):
+    """(score_fn, weights) for the M5 waveform family: (batch, frame_size,
+    channels) raw audio windows -> sigmoid clip scores.  Export with
+    :func:`aot_export_fn` and a (batch, frame_size, 1) float32 spec (or
+    build the int8 variant from quantize_m5 via ``lambda w, x:
+    jax.nn.sigmoid(quantized_m5_forward(w, x))``)."""
+    weights = {"params": params, "batch_stats": batch_stats}
+
+    def score(w, x):
+        logits = model.apply(
+            {"params": w["params"], "batch_stats": w["batch_stats"]},
+            x, train=False)
+        return jax.nn.sigmoid(logits)
 
     return score, weights
 

@@ -179,3 +179,31 @@ def test_aot_pipeline_roundtrip():
     call_q = load_aot_pipeline(aot_export_pipeline(
         sfn, w, B, samples, CFG, use_pallas=False))
     assert float(np.abs(call_q(pcm) - ref).max()) < 0.05
+
+
+def test_aot_m5_and_generic_export():
+    """aot_export_fn generalizes the artifact path to the waveform family:
+    an M5 window scorer round-trips and matches the direct forward."""
+    import jax.numpy as jnp
+
+    from sed_tpu.configs import WaveformConfig
+    from sed_tpu.export import aot_export_fn, load_aot_pipeline, m5_serving
+    from sed_tpu.models.m5 import M5
+
+    wcfg = WaveformConfig(working_sample_rate=8000, time_margin=0.33)
+    model = M5(classes_num=1)
+    B = 4
+    x = (np.random.default_rng(0).standard_normal(
+        (B, wcfg.frame_size, 1)) * 0.1).astype(np.float32)
+    variables = model.init(jax.random.key(0), jnp.asarray(x), train=False)
+
+    score_fn, weights = m5_serving(model, variables["params"],
+                                   variables["batch_stats"])
+    blob = aot_export_fn(score_fn, weights,
+                         jax.ShapeDtypeStruct(x.shape, jnp.float32))
+    call = load_aot_pipeline(blob)
+    ref = np.asarray(jax.nn.sigmoid(model.apply(
+        {"params": variables["params"],
+         "batch_stats": variables["batch_stats"]},
+        jnp.asarray(x), train=False)))
+    np.testing.assert_allclose(call(x), ref, atol=1e-6)
