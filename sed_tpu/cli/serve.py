@@ -53,7 +53,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
 
     r = sub.add_parser("run", help="load an artifact and score audio files")
     r.add_argument("audio_files", type=str, nargs="+")
-    r.add_argument("--artifact", type=str, required=True)
+    r.add_argument("--artifact", type=str, required=True,
+                   help="artifact from 'build'. TRUSTED files only: the "
+                        "container is pickle, so loading executes code from "
+                        "it — never run artifacts you did not build")
     r.add_argument("--outputs_dir", type=str, default="serving_outputs")
     return p
 
@@ -70,10 +73,12 @@ def _featurize_files(paths, cfg, samples):
 
     out = np.zeros((len(paths), samples, 1), np.int16)
     for i, path in enumerate(paths):
-        wav = read_multichannel_audio(path, target_fs=cfg.working_sample_rate,
-                                      cfg=cfg)[0]  # first channel
+        # read_multichannel_audio returns (samples, channels) — take the
+        # first CHANNEL (wav[:, 0]; wav[0] would be the first sample frame).
+        wav = np.asarray(read_multichannel_audio(
+            path, target_fs=cfg.working_sample_rate, cfg=cfg))[:, 0]
         n = min(len(wav), samples)
-        out[i, :n, 0] = np.clip(np.asarray(wav[:n]) * 32768.0,
+        out[i, :n, 0] = np.clip(wav[:n] * 32768.0,
                                 -32768, 32767).astype(np.int16)
     return out
 
@@ -144,14 +149,9 @@ def cmd_run(args) -> None:
 
     t_load0 = time.time()
     with open(args.artifact, "rb") as f:
-        call = load_aot_pipeline(f.read())
+        call = load_aot_pipeline(f.read())  # trusted artifacts only (pickle)
     t_loaded = time.time()
-
-    import pickle as _pickle
-
-    with open(args.artifact, "rb") as f:
-        hdr = _pickle.load(f)
-    batch, samples, _ = hdr["input_shape"]
+    batch, samples, _ = call.input_shape
 
     os.makedirs(args.outputs_dir, exist_ok=True)
     first_result_s = None

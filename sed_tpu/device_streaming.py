@@ -37,7 +37,7 @@ from sed_tpu.configs import SpectrogramConfig, DEFAULT_SPECTROGRAM
 from sed_tpu.ops import stft as stft_ops
 from sed_tpu.ops.featurizer import realimag_to_log_mel
 from sed_tpu.streaming import (BatchedStreamingDetector, emission_upto,
-                               window_start)
+                               tick_schedule, window_start)
 
 
 class DeviceStreamingDetector:
@@ -230,64 +230,25 @@ class DeviceStreamingDetector:
                 self._migrate_to_device()
             return out
 
-        cfg = self.cfg
-        hop, pad = cfg.hop_size, self._pad
-        t_new = self._t_total + self.chunk
-        n_ready = max(0, (t_new - pad) // hop + 1)
-        n_new = n_ready - self._n_frames
-        if not (0 <= n_new <= self._frames_max):
-            raise ValueError(
-                f"ring geometry violated: n_new={n_new} outside "
-                f"[0, {self._frames_max}]")
-
-        base = t_new - self._l
-        offs = []
-        for j in range(self._frames_max):
-            if n_new > 0:
-                t = self._n_frames + min(j, n_new - 1)
-            else:
-                # masked-out dummy: the last already-featurized frame, whose
-                # window is still guaranteed inside the ring
-                t = self._n_frames - 1
-            offs.append(t * hop - pad - base)
-        offs = np.asarray(offs, np.int32)
-        if not ((offs >= 0).all() and (offs + cfg.nfft <= self._l).all()):
-            raise ValueError(
-                f"frame window offsets {offs.min()}..{offs.max()} escape the "
-                f"sample ring [0, {self._l})")
-
-        upto = emission_upto(n_ready, self.stride, self.halo, final=False)
-        emit_n = max(0, upto - self._emitted)
-        if emit_n > self._emit_max:
-            raise ValueError(
-                f"emission schedule violated: emit_n={emit_n} > "
-                f"emit_max={self._emit_max}")
-
-        s = window_start(self._emitted, self.stride, self.halo)
-        win_off = s - self._mel_start
-        e_off = self._emitted - s
-        write_pos = self._n_frames - self._mel_start
-        new_emitted = self._emitted + emit_n
-        keep = window_start(new_emitted, self.stride, self.halo)
-        shift = keep - self._mel_start
-        if win_off < 0 or write_pos < 0 or shift < 0:
-            raise ValueError(
-                f"mel-ring schedule violated: win_off={win_off} "
-                f"write_pos={write_pos} shift={shift} (all must be >= 0)")
-        if write_pos + self._frames_max > self._m:
-            raise ValueError(
-                f"mel-ring capacity exceeded: write_pos={write_pos} + "
-                f"frames_max={self._frames_max} > ring={self._m}")
+        # The shared schedule definition (streaming.tick_schedule) — also
+        # used per-slot by StreamPool; CLAUDE.md's tick-for-tick equality is
+        # structural, not by convention.
+        counters = {"t_total": self._t_total, "n_frames": self._n_frames,
+                    "emitted": self._emitted, "mel_start": self._mel_start}
+        (offs, n_new, write_pos, win_off, e_off, shift, emit_n,
+         new_c) = tick_schedule(counters, self.chunk, self._frames_max,
+                                self._emit_max, self._m, self._l, self.cfg,
+                                self.stride, self.halo)
 
         self._buf, self._mel, out = self._step(
             self._buf, self._mel, self._put(chunk),
             jnp.asarray(offs), jnp.int32(n_new), jnp.int32(write_pos),
             jnp.int32(win_off), jnp.int32(e_off), jnp.int32(shift))
 
-        self._t_total = t_new
-        self._n_frames = n_ready
-        self._emitted = new_emitted
-        self._mel_start = keep
+        self._t_total = new_c["t_total"]
+        self._n_frames = new_c["n_frames"]
+        self._emitted = new_c["emitted"]
+        self._mel_start = new_c["mel_start"]
         return np.asarray(out)[:, :emit_n]
 
     def flush(self) -> np.ndarray:

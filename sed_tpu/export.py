@@ -155,9 +155,18 @@ def aot_export_pipeline(
 
 
 def load_aot_pipeline(blob: bytes):
-    """Load an :func:`aot_export_pipeline` artifact; returns
-    ``call(audio) -> scores`` running the pre-compiled executable (no
-    compilation happens — cold start is deserialize + weight upload)."""
+    """Load an :func:`aot_export_pipeline` / :func:`aot_export_fn` artifact;
+    returns ``call(audio) -> scores`` running the pre-compiled executable
+    (no compilation happens — cold start is deserialize + weight upload).
+
+    The returned callable exposes the artifact metadata as attributes:
+    ``call.input_shape``, ``call.input_dtype``, ``call.device_kind``.
+
+    .. warning:: artifacts are pickle containers — loading one executes
+       code from the file.  Load TRUSTED artifacts only (ones you built);
+       for untrusted exchange use the StableHLO tier (:func:`export_scorer`
+       + :func:`load_scorer`), which deserializes data, not code.
+    """
     from jax.experimental import serialize_executable as se
 
     d = pickle.loads(blob)
@@ -176,12 +185,27 @@ def load_aot_pipeline(blob: bytes):
     shape, dtype = tuple(d["input_shape"]), d["input_dtype"]
 
     def call(audio):
-        audio = jnp.asarray(audio, dtype)
+        audio = np.asarray(audio)
         if audio.shape != shape:
             raise ValueError(f"artifact expects audio {shape} {dtype}, "
                              f"got {audio.shape}")
-        return np.asarray(loaded(audio, *leaves))
+        # Value-preserving dtype bridge (int16 means PCM16 repo-wide): a
+        # bare cast would truncate float [-1,1] audio to silence.
+        if audio.dtype != np.dtype(dtype):
+            if np.dtype(dtype) == np.int16 and np.issubdtype(
+                    audio.dtype, np.floating):
+                audio = np.clip(audio * 32768.0, -32768, 32767).astype(np.int16)
+            elif np.issubdtype(np.dtype(dtype), np.floating) \
+                    and audio.dtype == np.int16:
+                audio = audio.astype(dtype) / np.asarray(32768.0, dtype)
+            else:
+                raise ValueError(
+                    f"artifact expects {dtype} audio, got {audio.dtype}")
+        return np.asarray(loaded(jnp.asarray(audio), *leaves))
 
+    call.input_shape = shape
+    call.input_dtype = dtype
+    call.device_kind = d.get("device_kind")
     return call
 
 

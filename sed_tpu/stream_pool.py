@@ -45,8 +45,7 @@ import numpy as np
 from sed_tpu.configs import SpectrogramConfig, DEFAULT_SPECTROGRAM
 from sed_tpu.ops import stft as stft_ops
 from sed_tpu.ops.featurizer import realimag_to_log_mel
-from sed_tpu.streaming import (BatchedStreamingDetector, emission_upto,
-                               window_start)
+from sed_tpu.streaming import BatchedStreamingDetector, tick_schedule
 
 
 class StreamPool:
@@ -251,42 +250,11 @@ class StreamPool:
 
     def _slot_scalars(self, c: dict):
         """This tick's ring-relative schedule for one admitted slot — the
-        same integer arithmetic as DeviceStreamingDetector.push, per slot."""
-        cfg = self.cfg
-        hop, pad = cfg.hop_size, self._pad
-        t_new = c["t_total"] + self.chunk
-        n_ready = max(0, (t_new - pad) // hop + 1)
-        n_new = n_ready - c["n_frames"]
-        if not (0 <= n_new <= self._frames_max):
-            raise ValueError(f"slot schedule violated: n_new={n_new}")
-
-        base = t_new - self._l
-        offs = []
-        for j in range(self._frames_max):
-            if n_new > 0:
-                t = c["n_frames"] + min(j, n_new - 1)
-            else:
-                t = c["n_frames"] - 1
-            offs.append(t * hop - pad - base)
-        offs = np.asarray(offs, np.int32)
-        if not ((offs >= 0).all() and (offs + cfg.nfft <= self._l).all()):
-            raise ValueError("slot frame windows escape the sample ring")
-
-        upto = emission_upto(n_ready, self.stride, self.halo, final=False)
-        emit_n = max(0, upto - c["emitted"])
-        s = window_start(c["emitted"], self.stride, self.halo)
-        win_off = s - c["mel_start"]
-        e_off = c["emitted"] - s
-        write_pos = c["n_frames"] - c["mel_start"]
-        new_emitted = c["emitted"] + emit_n
-        keep = window_start(new_emitted, self.stride, self.halo)
-        shift = keep - c["mel_start"]
-        if win_off < 0 or write_pos < 0 or shift < 0 \
-                or write_pos + self._frames_max > self._m:
-            raise ValueError("slot mel-ring schedule violated")
-        new_c = {"t_total": t_new, "n_frames": n_ready,
-                 "emitted": new_emitted, "mel_start": keep}
-        return offs, n_new, write_pos, win_off, e_off, shift, emit_n, new_c
+        ONE shared definition (streaming.tick_schedule) that the lockstep
+        DeviceStreamingDetector also uses."""
+        return tick_schedule(c, self.chunk, self._frames_max, self._emit_max,
+                             self._m, self._l, self.cfg, self.stride,
+                             self.halo)
 
     def push(self, chunks: Dict[int, np.ndarray]) -> Dict[int, np.ndarray]:
         """Feed one ``(chunk_samples,)`` int16-PCM or float32 chunk per joined

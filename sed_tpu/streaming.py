@@ -56,6 +56,73 @@ def window_start(emitted: int, stride: int, halo: int) -> int:
     return max(0, stride * ((emitted - halo) // stride))
 
 
+def tick_schedule(counters: dict, chunk: int, frames_max: int, emit_max: int,
+                  ring_m: int, ring_l: int, cfg, stride: int, halo: int):
+    """One tick's ring-relative schedule from absolute stream counters —
+    THE single definition shared by DeviceStreamingDetector (lockstep
+    fleet) and StreamPool (per-slot lifecycle), per the CLAUDE.md
+    shared-geometry invariant.
+
+    ``counters``: ``{'t_total', 'n_frames', 'emitted', 'mel_start'}``.
+    Returns ``(offs, n_new, write_pos, win_off, e_off, shift, emit_n,
+    new_counters)`` where ``offs`` is the (frames_max,) int32 window-start
+    vector into the sample ring.  Raises ValueError (never assert — the
+    guarded jax dynamic slices clamp silently) on any geometry violation.
+    """
+    hop, pad = cfg.hop_size, cfg.nfft // 2
+    t_total, n_frames = counters["t_total"], counters["n_frames"]
+    emitted, mel_start = counters["emitted"], counters["mel_start"]
+
+    t_new = t_total + chunk
+    n_ready = max(0, (t_new - pad) // hop + 1)
+    n_new = n_ready - n_frames
+    if not (0 <= n_new <= frames_max):
+        raise ValueError(
+            f"ring geometry violated: n_new={n_new} outside [0, {frames_max}]")
+
+    base = t_new - ring_l
+    offs = np.empty(frames_max, np.int32)
+    for j in range(frames_max):
+        if n_new > 0:
+            t = n_frames + min(j, n_new - 1)
+        else:
+            # masked-out dummy: the last already-featurized frame, whose
+            # window is still guaranteed inside the ring
+            t = n_frames - 1
+        offs[j] = t * hop - pad - base
+    if not ((offs >= 0).all() and (offs + cfg.nfft <= ring_l).all()):
+        raise ValueError(
+            f"frame window offsets {offs.min()}..{offs.max()} escape the "
+            f"sample ring [0, {ring_l})")
+
+    upto = emission_upto(n_ready, stride, halo, final=False)
+    emit_n = max(0, upto - emitted)
+    if emit_n > emit_max:
+        raise ValueError(
+            f"emission schedule violated: emit_n={emit_n} > "
+            f"emit_max={emit_max}")
+
+    s = window_start(emitted, stride, halo)
+    win_off = s - mel_start
+    e_off = emitted - s
+    write_pos = n_frames - mel_start
+    new_emitted = emitted + emit_n
+    keep = window_start(new_emitted, stride, halo)
+    shift = keep - mel_start
+    if win_off < 0 or write_pos < 0 or shift < 0:
+        raise ValueError(
+            f"mel-ring schedule violated: win_off={win_off} "
+            f"write_pos={write_pos} shift={shift} (all must be >= 0)")
+    if write_pos + frames_max > ring_m:
+        raise ValueError(
+            f"mel-ring capacity exceeded: write_pos={write_pos} + "
+            f"frames_max={frames_max} > ring={ring_m}")
+
+    new_counters = {"t_total": t_new, "n_frames": n_ready,
+                    "emitted": new_emitted, "mel_start": keep}
+    return offs, n_new, write_pos, win_off, e_off, shift, emit_n, new_counters
+
+
 class BatchedStreamingDetector:
     """Online detection over ``batch`` lockstep streams.
 
