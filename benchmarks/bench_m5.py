@@ -46,31 +46,36 @@ def main(batch: int = 256, iters: int = 20) -> None:
         return loop
 
     print("compiling M5...", file=sys.stderr, flush=True)
-    # Two-point slope over device loops cancels the ~30 ms relay RPC floor.
-    times = []
-    for k_iters in (iters, 3 * iters):
-        loop = make_loop(k_iters)
-        float(loop(x))  # compile + fetch
-        best = float("inf")
-        for rep in range(3):
-            xr = x + jnp.float32(1e-5 * (rep + 1))
-            xr.block_until_ready()
-            t0 = time.time()
-            float(loop(xr))  # forced value fetch (see bench.py note)
-            best = min(best, time.time() - t0)
-        times.append(best)
-    per_call = (times[1] - times[0]) / (2 * iters)
+    # Pinned protocol (benchmarks/protocol.py): median-of-5 two-point slopes.
+    from protocol import slope_stats
+
+    def perturb(x0, k):
+        xr = x0 + jnp.float32(1e-5 * (k + 1))
+        xr.block_until_ready()
+        return xr
+
+    stats = slope_stats(make_loop, x, perturb,
+                        iters_pair=(iters, 3 * iters), n=5)
+    per_call = stats["median"]
     frames_sec = batch / per_call
     # hop-strided frames: one frame per hop => audio-sec/sec = frames/sec * hop / sr.
     audio_sec = frames_sec * cfg.hop_size / cfg.working_sample_rate
 
-    print(f"{frames_sec:.0f} frames/sec -> {audio_sec:.0f} audio-sec/sec (hop-strided)",
+    print(f"{frames_sec:.0f} frames/sec -> {audio_sec:.0f} audio-sec/sec "
+          f"(hop-strided; median of {stats['n']}, spread "
+          f"[{batch / stats['max']:.0f}, {batch / stats['min']:.0f}] frames/s)",
           file=sys.stderr)
     result = {
         "metric": "M5 waveform inference (31680-sample frames)",
         "value": round(audio_sec, 1),
         "unit": "audio-sec/sec/chip",
         "vs_baseline": round(audio_sec / 100.0, 2),
+        "protocol": {
+            "n": stats["n"],
+            "discarded": stats["discarded"],
+            "frames_per_sec_spread": [round(batch / stats["max"], 1),
+                                      round(batch / stats["min"], 1)],
+        },
     }
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "M5_BENCH.json"), "w") as f:
         json.dump(result, f, indent=2)

@@ -66,30 +66,45 @@ def main(batch: int = 128, steps: int = 50) -> None:
             body, (state, key), starts[:k_iters])[1].sum())
 
     print("compiling train step...", file=sys.stderr, flush=True)
-    # Two-point slope over device-side scans cancels this harness's ~30 ms
-    # relay RPC floor (ROADMAP.md "Environment notes").
-    times = []
-    for k_iters in (k1, k2):
-        loop = make_loop(k_iters)
-        float(loop(state, key))  # compile + fetch
-        best = float("inf")
-        for rep in range(3):
-            kr = jax.random.fold_in(key, rep)  # fresh rng defeats relay caching
-            t0 = time.time()
-            float(loop(state, kr))  # forced value fetch (see bench.py note)
-            best = min(best, time.time() - t0)
-        times.append(best)
-    elapsed = (times[1] - times[0]) / (k2 - k1)
-    im_sec = batch / elapsed
-    elapsed *= steps  # keep the per-step print below correct
+    # Pinned protocol (benchmarks/protocol.py): median-of-5 two-point slopes
+    # over device-side scans; the slope cancels this harness's ~30 ms relay
+    # RPC floor, fresh rng per sample defeats relay result caching.
+    from protocol import slope_stats
 
-    print(f"{im_sec:.0f} im/sec (batch {batch}, {1000 * elapsed / steps:.2f} ms/step)",
+    class _KeyBox:  # slope_stats perturbs the staged input; box the rng key
+        def __init__(self, k):
+            self.k = k
+
+    def make_loop_p(k_iters):
+        loop = make_loop(k_iters)
+
+        def run(box):
+            return loop(state, box.k)
+
+        return run
+
+    stats = slope_stats(
+        make_loop_p, _KeyBox(key),
+        lambda box, i: _KeyBox(jax.random.fold_in(key, i)),
+        iters_pair=(k1, k2), n=5)
+    elapsed = stats["median"]
+    im_sec = batch / elapsed
+
+    print(f"{im_sec:.0f} im/sec (batch {batch}, {1000 * elapsed:.3f} ms/step; "
+          f"median of {stats['n']}, spread "
+          f"[{1000 * stats['min']:.3f}, {1000 * stats['max']:.3f}] ms)",
           file=sys.stderr)
     result = {
         "metric": "fused train step throughput (crops/sec, batch 128, augment on)",
         "value": round(im_sec, 1),
         "unit": "im/sec/chip",
         "vs_baseline": None,
+        "protocol": {
+            "n": stats["n"],
+            "discarded": stats["discarded"],
+            "ms_per_step_spread": [round(1000 * stats["min"], 4),
+                                   round(1000 * stats["max"], 4)],
+        },
     }
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "TRAIN_BENCH.json"), "w") as f:
         json.dump(result, f, indent=2)
