@@ -90,13 +90,19 @@ def _partition_weights(weights):
     return arr_leaves, rebuild
 
 
-def aot_export_fn(fn, weights, input_spec) -> bytes:
+def aot_export_fn(fn, weights, input_spec, mesh=None, input_pspec=None) -> bytes:
     """AOT-compile and serialize an arbitrary ``fn(weights, x) -> y``.
 
     ``weights``: any pytree (arrays ship in the artifact as executable
     arguments; non-array leaves are compiled in as static).  ``input_spec``:
     a jax.ShapeDtypeStruct for ``x``.  Returns a pickled artifact loadable
     by :func:`load_aot_pipeline` in a fresh process with no compilation.
+
+    ``mesh``: an optional jax.sharding.Mesh — the artifact is compiled as a
+    MULTI-DEVICE executable with ``x`` sharded by ``input_pspec`` (default:
+    batch over the mesh's first axis) and weights replicated; loading binds
+    the same device count and the XLA collectives ride inside the serialized
+    program, so sharded serving also skips compilation.
     """
     arr_leaves, rebuild = _partition_weights(weights)
 
@@ -105,7 +111,18 @@ def aot_export_fn(fn, weights, input_spec) -> bytes:
 
     leaf_specs = [jax.ShapeDtypeStruct(np.shape(l), np.asarray(l).dtype)
                   for l in arr_leaves]
-    compiled = jax.jit(flat_fn).lower(input_spec, *leaf_specs).compile()
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        ip = (input_pspec if input_pspec is not None
+              else PartitionSpec(mesh.axis_names[0]))
+        in_shardings = ((NamedSharding(mesh, ip),)
+                        + tuple(NamedSharding(mesh, PartitionSpec())
+                                for _ in leaf_specs))
+        jitted = jax.jit(flat_fn, in_shardings=in_shardings)
+    else:
+        jitted = jax.jit(flat_fn)
+    compiled = jitted.lower(input_spec, *leaf_specs).compile()
 
     from jax.experimental import serialize_executable as se
 
@@ -131,6 +148,7 @@ def aot_export_pipeline(
     cfg: SpectrogramConfig = DEFAULT_SPECTROGRAM,
     pcm_dtype=jnp.int16,
     use_pallas="full",
+    mesh=None,
 ) -> bytes:
     """AOT-compile and serialize the FULL serving graph.
 
@@ -151,7 +169,7 @@ def aot_export_pipeline(
         return score_fn(w, feats)
 
     spec = jax.ShapeDtypeStruct((batch, samples, 1), pcm_dtype)
-    return aot_export_fn(pipeline, weights, spec)
+    return aot_export_fn(pipeline, weights, spec, mesh=mesh)
 
 
 def load_aot_pipeline(blob: bytes):

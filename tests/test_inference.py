@@ -207,3 +207,28 @@ def test_aot_m5_and_generic_export():
          "batch_stats": variables["batch_stats"]},
         jnp.asarray(x), train=False)))
     np.testing.assert_allclose(call(x), ref, atol=1e-6)
+
+
+def test_aot_sharded_pipeline_roundtrip():
+    """Multi-device AOT artifact: the serving graph compiled over an 8-device
+    data mesh (batch sharded, weights replicated) serializes, reloads, and
+    matches the single-device artifact — sharded serving with zero load-time
+    compilation."""
+    import jax.numpy as jnp
+
+    from sed_tpu.export import (aot_export_pipeline, cnn_serving,
+                                load_aot_pipeline)
+
+    model, state = _model_state()
+    B, sec = 8, 4
+    samples = CFG.working_sample_rate * sec
+    rng = np.random.default_rng(3)
+    pcm = (rng.standard_normal((B, samples, 1)) * 4000).astype(np.int16)
+
+    score_fn, weights = cnn_serving(model, state.params, state.batch_stats)
+    plain = load_aot_pipeline(aot_export_pipeline(
+        score_fn, weights, B, samples, CFG, use_pallas=False))
+    sharded = load_aot_pipeline(aot_export_pipeline(
+        score_fn, weights, B, samples, CFG, use_pallas=False,
+        mesh=create_mesh()))
+    np.testing.assert_allclose(sharded(pcm), plain(pcm), atol=1e-5)
