@@ -56,15 +56,24 @@ def main():
     variables = model.init(jax.random.key(0),
                            jnp.zeros((1, 128, cfg.mel_bins, 1)), train=False)
 
-    det = DeviceStreamingDetector(model, variables["params"],
-                                  variables["batch_stats"], cfg, batch=B,
-                                  chunk_samples=chunk, halo=32)
     rng = np.random.default_rng(0)
     stream = (rng.standard_normal((B, 8 * chunk)) * 2000).astype(np.int16)
-    # run past startup so the detector is in device mode with steady counters
-    for i in range(8):
-        det.push(stream[:, i * chunk:(i + 1) * chunk])
-    assert det._device_mode
+
+    # Featurizer A/B: XLA matmul-rFFT tick vs the fused Pallas kernels
+    # (featurizer='auto' default picks the winner on TPU).
+    def make_det(featurizer):
+        d = DeviceStreamingDetector(model, variables["params"],
+                                    variables["batch_stats"], cfg, batch=B,
+                                    chunk_samples=chunk, halo=32,
+                                    featurizer=featurizer)
+        # run past startup so the detector is in device mode, steady counters
+        for i in range(8):
+            d.push(stream[:, i * chunk:(i + 1) * chunk])
+        assert d._device_mode
+        return d
+
+    det = make_det("xla")
+    det_p = make_det("pallas")
 
     # steady-state tick params captured from the live detector's arithmetic
     hop, pad = cfg.hop_size, det._pad
@@ -84,39 +93,46 @@ def main():
                   e_off=jnp.int32(det._emitted - s),
                   shift=jnp.int32(0))
 
-    step = det._step_fn
     K1, K2 = 20, 80
     chunks = jnp.asarray((rng.standard_normal((K2, B, chunk)) * 2000)
                          .astype(np.int16))
 
-    def make(k):
-        @jax.jit
-        def run(buf, mel, cs):
-            def body(carry, c):
-                buf, mel = carry
-                buf, mel, out = step(buf, mel, c, params["offs"],
-                                     params["n_new"], params["write_pos"],
-                                     params["win_off"], params["e_off"],
-                                     params["shift"])
-                return (buf, mel), out[0, 0, 0]
-            (_, _), outs = jax.lax.scan(body, (buf, mel), cs[:k])
-            return outs.sum()
-        return run
+    def measure(step, buf, mel):
+        def make(k):
+            @jax.jit
+            def run(buf, mel, cs):
+                def body(carry, c):
+                    buf, mel = carry
+                    buf, mel, out = step(buf, mel, c, params["offs"],
+                                         params["n_new"], params["write_pos"],
+                                         params["win_off"], params["e_off"],
+                                         params["shift"])
+                    return (buf, mel), out[0, 0, 0]
+                (_, _), outs = jax.lax.scan(body, (buf, mel), cs[:k])
+                return outs.sum()
+            return run
 
-    times = []
-    for k in (K1, K2):
-        fn = make(k)
-        float(fn(det._buf, det._mel, chunks))
-        best = float("inf")
-        for rep in range(3):
-            cr = chunks + jnp.int16(rep + 1)
-            cr.block_until_ready()
-            t0 = time.perf_counter()
-            float(fn(det._buf, det._mel, cr))
-            best = min(best, time.perf_counter() - t0)
-        times.append(best)
-    tick = (times[1] - times[0]) / (K2 - K1)
+        times = []
+        for k in (K1, K2):
+            fn = make(k)
+            float(fn(buf, mel, chunks))
+            best = float("inf")
+            for rep in range(3):
+                cr = chunks + jnp.int16(rep + 1)
+                cr.block_until_ready()
+                t0 = time.perf_counter()
+                float(fn(buf, mel, cr))
+                best = min(best, time.perf_counter() - t0)
+            times.append(best)
+        return (times[1] - times[0]) / (K2 - K1)
+
+    tick = measure(det._step_fn, det._buf, det._mel)
     capacity = B * CHUNK_SECONDS / tick
+    tick_p = measure(det_p._step_fn, det_p._buf, det_p._mel)
+    capacity_p = B * CHUNK_SECONDS / tick_p
+    log(f"pallas-featurizer tick: {1e3 * tick_p:.3f} ms vs XLA "
+        f"{1e3 * tick:.3f} ms ({tick / tick_p:.2f}x) -> "
+        f"~{capacity_p:.0f} streams/chip")
 
     log(f"device tick: {1e3 * tick:.3f} ms ({B} streams, 1 s chunks) "
         f"-> ~{capacity:.0f} concurrent real-time streams/chip "
@@ -185,6 +201,10 @@ def main():
         "chunk_seconds": CHUNK_SECONDS,
         "tick_device_ms": round(1e3 * tick, 4),
         "projected_streams_per_chip": round(capacity, 0),
+        "pallas_featurizer_tick_ms": round(1e3 * tick_p, 4),
+        "pallas_featurizer_streams_per_chip": round(capacity_p, 0),
+        "pallas_vs_xla_tick_speedup": round(tick / tick_p, 3),
+        "pool_featurizer": pool._featurizer,
         "pool_tick_device_ms": round(1e3 * ptick, 4),
         "pool_projected_streams_per_chip": round(pcapacity, 0),
         "pool_vs_lockstep_tick_ratio": round(ptick / tick, 3),

@@ -40,6 +40,17 @@ from sed_tpu.streaming import (BatchedStreamingDetector, emission_upto,
                                tick_schedule, window_start)
 
 
+def resolve_tick_featurizer(featurizer: str, cfg) -> str:
+    """'auto' -> the fused Pallas featurizer on TPU at the production nfft
+    (Mosaic lowers it only for nfft >= 32768 — ROADMAP.md), XLA elsewhere."""
+    if featurizer == "auto":
+        return ("pallas" if jax.default_backend() == "tpu"
+                and cfg.nfft >= 32768 else "xla")
+    if featurizer not in ("xla", "pallas"):
+        raise ValueError(f"featurizer must be auto|xla|pallas, got {featurizer}")
+    return featurizer
+
+
 class DeviceStreamingDetector:
     def __init__(
         self,
@@ -55,11 +66,17 @@ class DeviceStreamingDetector:
         mean: Optional[np.ndarray] = None,
         std: Optional[np.ndarray] = None,
         mesh=None,
+        featurizer: str = "auto",
     ):
         """``mesh``: an optional ``jax.sharding.Mesh`` with a 'data' axis —
         the stream batch (rings and chunks) is sharded across its devices and
         jit propagates the sharding through the tick step, so serving density
-        scales over a pod the same way batch inference does."""
+        scales over a pod the same way batch inference does.
+
+        ``featurizer``: 'xla' = matmul rFFT in XLA ops; 'pallas' = the fused
+        window+rFFT+power+mel kernels (ops/pallas_featurizer.py, <=1e-5 dB
+        vs the XLA path on TPU); 'auto' = pallas on TPU at the production
+        nfft, xla elsewhere.  Hardware A/B in STREAMING_TICK.json."""
         self.cfg = cfg
         self.batch = batch
         self.chunk = int(chunk_samples)
@@ -111,6 +128,8 @@ class DeviceStreamingDetector:
         B, L, M, C = batch, self._l, self._m, self.chunk
         F, EM = self._frames_max, self._emit_max
         nfft, mel_bins = cfg.nfft, cfg.mel_bins
+        self._featurizer = resolve_tick_featurizer(featurizer, cfg)
+        use_pallas_feat = self._featurizer == "pallas"
 
         def step(buf, mel_ring, chunk, offs, n_new, write_pos, win_off,
                  e_off, shift):
@@ -129,9 +148,14 @@ class DeviceStreamingDetector:
             frames = jnp.stack(frames, axis=1)  # (B, F, nfft)
 
             # 3. featurize (same math as the offline featurizer).
-            x = frames.reshape(B * F, nfft) * window
-            re, im = stft_ops.rfft_matmul_realimag(x, nfft)
-            lm = realimag_to_log_mel(re, im, cfg)
+            if use_pallas_feat:
+                from sed_tpu.ops.pallas_featurizer import logmel_frames_pallas
+
+                lm = logmel_frames_pallas(frames.reshape(B * F, nfft), cfg)
+            else:
+                x = frames.reshape(B * F, nfft) * window
+                re, im = stft_ops.rfft_matmul_realimag(x, nfft)
+                lm = realimag_to_log_mel(re, im, cfg)
             if mean_j is not None:
                 lm = (lm - mean_j) / std_j
             lm = lm.reshape(B, F, mel_bins)

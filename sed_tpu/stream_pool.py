@@ -75,6 +75,7 @@ class StreamPool:
         mean: Optional[np.ndarray] = None,
         std: Optional[np.ndarray] = None,
         mesh=None,
+        featurizer: str = "auto",
     ):
         self.cfg = cfg
         self.slots = int(slots)
@@ -120,6 +121,10 @@ class StreamPool:
         std_j = None if std is None else jnp.asarray(std, jnp.float32)
         C, F, EM = self.chunk, self._frames_max, self._emit_max
         nfft, mel_bins = cfg.nfft, cfg.mel_bins
+        from sed_tpu.device_streaming import resolve_tick_featurizer
+
+        self._featurizer = resolve_tick_featurizer(featurizer, cfg)
+        use_pallas_feat = self._featurizer == "pallas"
 
         def step(buf, mel_ring, chunk, offs, n_new, write_pos, win_off,
                  e_off, shift):
@@ -140,9 +145,14 @@ class StreamPool:
 
             frames = jax.vmap(extract)(buf, offs)        # (B, F, nfft)
 
-            x = frames.reshape(B * F, nfft) * window
-            re, im = stft_ops.rfft_matmul_realimag(x, nfft)
-            lm = realimag_to_log_mel(re, im, cfg)
+            if use_pallas_feat:
+                from sed_tpu.ops.pallas_featurizer import logmel_frames_pallas
+
+                lm = logmel_frames_pallas(frames.reshape(B * F, nfft), cfg)
+            else:
+                x = frames.reshape(B * F, nfft) * window
+                re, im = stft_ops.rfft_matmul_realimag(x, nfft)
+                lm = realimag_to_log_mel(re, im, cfg)
             if mean_j is not None:
                 lm = (lm - mean_j) / std_j
             lm = lm.reshape(B, F, mel_bins)

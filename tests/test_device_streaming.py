@@ -116,3 +116,32 @@ def test_device_streaming_sharded_over_mesh():
     S = np.concatenate([x for x in s_out if x.shape[1]], axis=1)
     P = np.concatenate([x for x in p_out if x.shape[1]], axis=1)
     np.testing.assert_allclose(S, P, atol=1e-5)
+
+
+def test_device_streaming_pallas_featurizer_matches_xla():
+    """featurizer='pallas' (fused window+rFFT+power+mel kernels, interpret
+    mode on CPU) must emit the same schedule and near-identical scores as
+    the XLA tick featurizer."""
+    rng = np.random.default_rng(7)
+    B, sec = 2, 40
+    ys = (0.1 * rng.standard_normal(
+        (B, sec * CFG.working_sample_rate))).astype(np.float32)
+    chunk = CFG.working_sample_rate
+    model, state = _model_state()
+
+    outs = {}
+    for feat in ("xla", "pallas"):
+        det = DeviceStreamingDetector(model, state.params, state.batch_stats,
+                                      CFG, batch=B, chunk_samples=chunk,
+                                      halo=64, total_stride=8, bucket=64,
+                                      featurizer=feat)
+        o = [det.push(ys[:, i * chunk:(i + 1) * chunk]) for i in range(sec)]
+        o.append(det.flush())
+        outs[feat] = [x for x in o if x.shape[1]]
+    for a, b in zip(outs["xla"], outs["pallas"]):
+        assert a.shape == b.shape
+    A = np.concatenate(outs["xla"], axis=1)
+    P = np.concatenate(outs["pallas"], axis=1)
+    # featurizer parity is <=1e-4 dB in log-mel; after the CNN + sigmoid the
+    # score deviation stays small but above the jit-rounding tolerance.
+    np.testing.assert_allclose(P, A, atol=1e-3)

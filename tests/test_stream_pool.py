@@ -152,3 +152,23 @@ def test_pool_sharded_over_mesh_matches_plain():
     sharded = run(create_mesh())
     for s in plain:
         np.testing.assert_allclose(sharded[s], plain[s], atol=1e-5)
+
+
+def test_pool_pallas_featurizer_matches_xla():
+    """StreamPool featurizer='pallas' (interpret on CPU): same schedule,
+    near-identical scores as the XLA tick featurizer."""
+    rng = np.random.default_rng(9)
+    n = 12
+    audio = (0.1 * rng.standard_normal((n, CHUNK))).astype(np.float32)
+    model, state = _model_state()
+
+    def run(feat):
+        pool = StreamPool(model, state.params, state.batch_stats, CFG,
+                          slots=1, chunk_samples=CHUNK, halo=64,
+                          total_stride=8, bucket=64, featurizer=feat)
+        s = pool.join()
+        outs = [pool.push({s: c})[s] for c in audio]
+        outs.append(pool.leave(s))
+        return np.concatenate([o for o in outs if o.shape[0]], axis=0)
+
+    np.testing.assert_allclose(run("pallas"), run("xla"), atol=1e-3)
