@@ -29,7 +29,7 @@ import numpy as np
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-B = 32
+B = int(os.environ.get("SED_TICK_B", "32"))
 CHUNK_SECONDS = 1.0
 
 
@@ -211,7 +211,9 @@ def main():
         "note": "device work only; per-tick int16 upload (96 KB/s/stream) "
                 "and host schedule are negligible on a direct-attached host",
     }
-    with open(os.path.join(REPO, "benchmarks", "STREAMING_TICK.json"), "w") as f:
+    suffix = "" if B == 32 else f"_B{B}"
+    with open(os.path.join(REPO, "benchmarks",
+                           f"STREAMING_TICK{suffix}.json"), "w") as f:
         json.dump(out, f, indent=2)
     print(json.dumps({
         "metric": "device-resident streaming tick (32 streams, 1 s chunks)",
