@@ -67,13 +67,21 @@ def main():
                                     chunk_samples=chunk, halo=32,
                                     featurizer=featurizer)
         # run past startup so the detector is in device mode, steady counters
+        outs = []
         for i in range(8):
-            d.push(stream[:, i * chunk:(i + 1) * chunk])
+            outs.append(d.push(stream[:, i * chunk:(i + 1) * chunk]))
         assert d._device_mode
-        return d
+        return d, np.concatenate([o for o in outs if o.shape[1]], axis=1)
 
-    det = make_det("xla")
-    det_p = make_det("pallas")
+    det, out_x = make_det("xla")
+    det_p, out_p = make_det("pallas")
+    # Hardware score-parity gate BEFORE timing: a Mosaic miscompile in the
+    # pallas-in-tick composition is invisible in interpret mode (ROADMAP
+    # postmortem) — it must fail HERE, not ship inside a healthy-looking
+    # speedup number.
+    feat_parity = float(np.abs(out_p - out_x).max())
+    log(f"hardware tick score parity pallas-vs-xla: {feat_parity:.2e}")
+    assert feat_parity < 1e-3, f"pallas tick parity failure: {feat_parity}"
 
     # steady-state tick params captured from the live detector's arithmetic
     hop, pad = cfg.hop_size, det._pad
@@ -191,9 +199,13 @@ def main():
         ptimes.append(best)
     ptick = (ptimes[1] - ptimes[0]) / (K2 - K1)
     pcapacity = B * CHUNK_SECONDS / ptick
-    log(f"pool tick (per-slot schedule): {1e3 * ptick:.3f} ms "
-        f"-> ~{pcapacity:.0f} streams/chip "
-        f"({ptick / tick:.2f}x the lockstep tick)")
+    # Like-for-like ratio: the pool's 'auto' featurizer matches the pallas
+    # lockstep tick, so lifecycle overhead = ptick / tick_p (comparing
+    # against the XLA tick would conflate featurizer speedup with
+    # lifecycle cost).
+    log(f"pool tick (per-slot schedule, {pool._featurizer} featurizer): "
+        f"{1e3 * ptick:.3f} ms -> ~{pcapacity:.0f} streams/chip "
+        f"({ptick / tick_p:.2f}x the same-featurizer lockstep tick)")
 
     out = {
         "device_kind": dev.device_kind,
@@ -205,9 +217,10 @@ def main():
         "pallas_featurizer_streams_per_chip": round(capacity_p, 0),
         "pallas_vs_xla_tick_speedup": round(tick / tick_p, 3),
         "pool_featurizer": pool._featurizer,
+        "hardware_tick_score_parity_pallas_vs_xla": feat_parity,
         "pool_tick_device_ms": round(1e3 * ptick, 4),
         "pool_projected_streams_per_chip": round(pcapacity, 0),
-        "pool_vs_lockstep_tick_ratio": round(ptick / tick, 3),
+        "pool_vs_same_featurizer_lockstep_tick_ratio": round(ptick / tick_p, 3),
         "note": "device work only; per-tick int16 upload (96 KB/s/stream) "
                 "and host schedule are negligible on a direct-attached host",
     }
@@ -216,7 +229,7 @@ def main():
                            f"STREAMING_TICK{suffix}.json"), "w") as f:
         json.dump(out, f, indent=2)
     print(json.dumps({
-        "metric": "device-resident streaming tick (32 streams, 1 s chunks)",
+        "metric": f"device-resident streaming tick ({B} streams, 1 s chunks)",
         "value": out["tick_device_ms"],
         "unit": "ms",
         "projected_streams_per_chip": out["projected_streams_per_chip"],

@@ -36,18 +36,26 @@ import numpy as np
 from sed_tpu.configs import SpectrogramConfig, DEFAULT_SPECTROGRAM
 from sed_tpu.ops import stft as stft_ops
 from sed_tpu.ops.featurizer import realimag_to_log_mel
-from sed_tpu.streaming import (BatchedStreamingDetector, emission_upto,
-                               tick_schedule, window_start)
+from sed_tpu.streaming import BatchedStreamingDetector, tick_schedule
 
 
-def resolve_tick_featurizer(featurizer: str, cfg) -> str:
+def resolve_tick_featurizer(featurizer: str, cfg, mesh=None) -> str:
     """'auto' -> the fused Pallas featurizer on TPU at the production nfft
-    (Mosaic lowers it only for nfft >= 32768 — ROADMAP.md), XLA elsewhere."""
+    (Mosaic lowers it only for nfft >= 32768 — ROADMAP.md), XLA elsewhere.
+
+    Under a ``mesh`` the tick step is GSPMD-partitioned; a pallas_call has
+    no sharding rule, so that combination is untested/unsupported — 'auto'
+    falls back to XLA and an explicit 'pallas' raises."""
     if featurizer == "auto":
-        return ("pallas" if jax.default_backend() == "tpu"
+        return ("pallas" if mesh is None and jax.default_backend() == "tpu"
                 and cfg.nfft >= 32768 else "xla")
     if featurizer not in ("xla", "pallas"):
         raise ValueError(f"featurizer must be auto|xla|pallas, got {featurizer}")
+    if featurizer == "pallas" and mesh is not None:
+        raise ValueError(
+            "featurizer='pallas' is not supported with a mesh: the Pallas "
+            "kernels cannot be GSPMD-partitioned inside the sharded tick "
+            "step (use 'auto'/'xla' for sharded serving)")
     return featurizer
 
 
@@ -128,7 +136,7 @@ class DeviceStreamingDetector:
         B, L, M, C = batch, self._l, self._m, self.chunk
         F, EM = self._frames_max, self._emit_max
         nfft, mel_bins = cfg.nfft, cfg.mel_bins
-        self._featurizer = resolve_tick_featurizer(featurizer, cfg)
+        self._featurizer = resolve_tick_featurizer(featurizer, cfg, mesh)
         use_pallas_feat = self._featurizer == "pallas"
 
         def step(buf, mel_ring, chunk, offs, n_new, write_pos, win_off,

@@ -196,7 +196,12 @@ def load_aot_pipeline(blob: bytes):
     # Bind exactly the device count the artifact was compiled for (a host
     # with more local devices — e.g. the 8-virtual-CPU test mesh — would
     # otherwise try to shard the args 8 ways into a 1-device executable).
-    devs = jax.devices()[: d.get("n_devices", 1)]
+    n_dev = d.get("n_devices", 1)
+    if len(jax.devices()) < n_dev:
+        raise ValueError(
+            f"artifact was compiled for {n_dev} devices; this host has "
+            f"{len(jax.devices())}")
+    devs = jax.devices()[:n_dev]
     loaded = se.deserialize_and_load(d["payload"], in_tree, out_tree,
                                      execution_devices=devs)
     leaves = [jnp.asarray(l) for l in d["leaves"]]
@@ -216,6 +221,9 @@ def load_aot_pipeline(blob: bytes):
             elif np.issubdtype(np.dtype(dtype), np.floating) \
                     and audio.dtype == np.int16:
                 audio = audio.astype(dtype) / np.asarray(32768.0, dtype)
+            elif np.issubdtype(np.dtype(dtype), np.floating) \
+                    and np.issubdtype(audio.dtype, np.floating):
+                audio = audio.astype(dtype)  # e.g. float64 wav decode -> f32
             else:
                 raise ValueError(
                     f"artifact expects {dtype} audio, got {audio.dtype}")

@@ -1838,8 +1838,16 @@ def logmel_frames_pallas(
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    # MISCOMPILE-HAZARD discipline (ROADMAP.md): keep PADDED row counts
+    # through the kernel chain and slice at the very end.  Pre-padding the
+    # frame rows to the FFT tile makes stft_power_pallas's internal trim an
+    # identity, so no sliced pallas output ever feeds the mel kernel (the
+    # hardware-confirmed hazard composition at rows % 8 != 0 geometries).
+    rows = frames.shape[0]
+    r_padded = pl.cdiv(rows, FFT_TILE_R) * FFT_TILE_R
+    frames = jnp.pad(frames, ((0, r_padded - rows), (0, 0)))
     power = stft_power_pallas(frames, cfg, interpret, precision)
-    return _folded_mel_from_power(power, cfg, interpret)
+    return _folded_mel_from_power(power, cfg, interpret)[:rows]
 
 
 def power_to_logmel_pallas(

@@ -123,7 +123,7 @@ class StreamPool:
         nfft, mel_bins = cfg.nfft, cfg.mel_bins
         from sed_tpu.device_streaming import resolve_tick_featurizer
 
-        self._featurizer = resolve_tick_featurizer(featurizer, cfg)
+        self._featurizer = resolve_tick_featurizer(featurizer, cfg, mesh)
         use_pallas_feat = self._featurizer == "pallas"
 
         def step(buf, mel_ring, chunk, offs, n_new, write_pos, win_off,
