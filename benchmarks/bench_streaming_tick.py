@@ -57,7 +57,7 @@ def main():
                            jnp.zeros((1, 128, cfg.mel_bins, 1)), train=False)
 
     rng = np.random.default_rng(0)
-    stream = (rng.standard_normal((B, 8 * chunk)) * 2000).astype(np.int16)
+    stream = (rng.standard_normal((B, 16 * chunk)) * 2000).astype(np.int16)
 
     # Featurizer A/B: XLA matmul-rFFT tick vs the fused Pallas kernels
     # (featurizer='auto' default picks the winner on TPU).
@@ -68,10 +68,12 @@ def main():
                                     featurizer=featurizer)
         # run past startup so the detector is in device mode, steady counters
         outs = []
-        for i in range(8):
+        for i in range(16):  # enough ticks that emissions exist (> halo)
             outs.append(d.push(stream[:, i * chunk:(i + 1) * chunk]))
         assert d._device_mode
-        return d, np.concatenate([o for o in outs if o.shape[1]], axis=1)
+        emitted = [o for o in outs if o.shape[1]]
+        assert emitted, "warm-up emitted nothing; raise the push count"
+        return d, np.concatenate(emitted, axis=1)
 
     det, out_x = make_det("xla")
     det_p, out_p = make_det("pallas")
@@ -154,7 +156,7 @@ def main():
     pool = StreamPool(model, variables["params"], variables["batch_stats"],
                       cfg, slots=B, chunk_samples=chunk, halo=32)
     pslots = [pool.join() for _ in range(B)]
-    for i in range(8):
+    for i in range(16):
         pool.push({s: stream[j, i * chunk:(i + 1) * chunk]
                    for j, s in enumerate(pslots)})
     assert pool._admitted and len(pool._admitted) == B
