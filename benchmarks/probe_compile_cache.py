@@ -69,15 +69,16 @@ def main():
     n = 256 + 128 * (int(time.time()) % 997)
     print(f"salted inner dim: {n}", file=sys.stderr)
 
+    before = set(os.listdir(cache_dir))  # the dir is reused across probe runs
     a = run_child(n, cache_dir)
-    entries = len(os.listdir(cache_dir))
+    entries = len(set(os.listdir(cache_dir)) - before)
     b = run_child(n, cache_dir)
     a_total = a["compile_s"] + a["first_exec_s"]
     b_total = b["compile_s"] + b["first_exec_s"]
     result = {
         "salted_dim": n,
         "first_process": a,
-        "cache_entries_after_first": entries,
+        "cache_entries_added_by_first": entries,
         "second_process": b,
         "first_process_compile_plus_first_exec_s": round(a_total, 2),
         "second_process_compile_plus_first_exec_s": round(b_total, 2),

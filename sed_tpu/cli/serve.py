@@ -68,24 +68,31 @@ def _load_state(ckpt, cfg):
 
 
 def _featurize_files(paths, cfg, samples):
-    """Decode + resample + fix length; returns (n, samples, 1) int16 PCM."""
+    """Decode + resample + fix length; returns ((n, samples, 1) int16 PCM,
+    per-file real sample counts).  Files longer than the compiled length are
+    cropped (warned); shorter ones are zero-padded — the returned lengths let
+    the caller trim scores back to the real audio."""
     from sed_tpu.io.audio import read_multichannel_audio
 
     out = np.zeros((len(paths), samples, 1), np.int16)
+    lengths = np.zeros(len(paths), np.int64)
     for i, path in enumerate(paths):
         # read_multichannel_audio returns (samples, channels) — take the
         # first CHANNEL (wav[:, 0]; wav[0] would be the first sample frame).
         wav = np.asarray(read_multichannel_audio(
             path, target_fs=cfg.working_sample_rate, cfg=cfg))[:, 0]
+        if len(wav) > samples:
+            log(f"{path}: {len(wav) / cfg.working_sample_rate:.1f}s cropped "
+                f"to the artifact's compiled "
+                f"{samples / cfg.working_sample_rate:.1f}s")
         n = min(len(wav), samples)
+        lengths[i] = n
         out[i, :n, 0] = np.clip(wav[:n] * 32768.0,
                                 -32768, 32767).astype(np.int16)
-    return out
+    return out, lengths
 
 
 def cmd_build(args) -> None:
-    import jax
-
     from sed_tpu.configs import DEFAULT_SPECTROGRAM as cfg
     from sed_tpu.export import (aot_export_pipeline, cnn_serving,
                                 quantized_serving)
@@ -107,7 +114,7 @@ def cmd_build(args) -> None:
         from sed_tpu.ops.featurizer import logmel_features_batch
 
         if args.calib_wav:
-            pcm = _featurize_files(args.calib_wav, cfg, samples)
+            pcm, _ = _featurize_files(args.calib_wav, cfg, samples)
         else:
             rng = np.random.default_rng(0)
             pcm = (rng.standard_normal((2, samples, 1)) * 4000).astype(np.int16)
@@ -123,11 +130,8 @@ def cmd_build(args) -> None:
         score_fn, weights = cnn_serving(model, state.params,
                                         state.batch_stats, mean, std)
 
-    use_pallas = args.use_pallas
-    if use_pallas == "auto":
-        use_pallas = "full" if jax.default_backend() == "tpu" else False
-    elif use_pallas == "off":
-        use_pallas = False
+    # 'auto' resolves inside the featurizer (full on TPU, XLA elsewhere).
+    use_pallas = False if args.use_pallas == "off" else args.use_pallas
 
     t0 = time.time()
     blob = aot_export_pipeline(score_fn, weights, args.batch, samples, cfg,
@@ -158,16 +162,20 @@ def cmd_run(args) -> None:
     for lo in range(0, len(args.audio_files), batch):
         group = args.audio_files[lo:lo + batch]
         pcm = np.zeros((batch, samples, 1), np.int16)
-        pcm[: len(group)] = _featurize_files(group, cfg, samples)
-        scores = call(pcm)
+        pcm[: len(group)], lengths = _featurize_files(group, cfg, samples)
+        scores = np.asarray(call(pcm))
         if first_result_s is None:
             first_result_s = time.time() - t_load0
         for i, path in enumerate(group):
+            # Trim the frames scored over the zero-padded tail back to the
+            # file's real length (frames = 1 + n // hop, the featurizer's
+            # centered-STFT frame count for n samples).
+            n_frames = min(scores.shape[1],
+                           1 + int(lengths[i]) // cfg.hop_size)
+            s = scores[i, :n_frames]
             base = os.path.splitext(os.path.basename(path))[0]
-            np.save(os.path.join(args.outputs_dir, f"{base}_scores.npy"),
-                    scores[i])
-            log(f"{path}: frames={scores[i].shape[0]}, "
-                f"max score={scores[i].max():.3f}")
+            np.save(os.path.join(args.outputs_dir, f"{base}_scores.npy"), s)
+            log(f"{path}: frames={s.shape[0]}, max score={s.max():.3f}")
     print(json.dumps({
         "artifact_load_seconds": round(t_loaded - t_load0, 2),
         "load_to_first_result_seconds": round(first_result_s, 2),

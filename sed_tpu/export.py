@@ -147,7 +147,7 @@ def aot_export_pipeline(
     samples: int,
     cfg: SpectrogramConfig = DEFAULT_SPECTROGRAM,
     pcm_dtype=jnp.int16,
-    use_pallas="full",
+    use_pallas="auto",
     mesh=None,
 ) -> bytes:
     """AOT-compile and serialize the FULL serving graph.
@@ -157,7 +157,10 @@ def aot_export_pipeline(
     shipped in the artifact; non-array leaves — e.g. int8 qparams' pool
     sizes — are compiled in as static).  The compiled input is
     (batch, samples, 1) ``pcm_dtype`` audio (int16 means PCM16, de-quantized
-    by 1/32768 like every featurizer path).
+    by 1/32768 like every featurizer path).  ``use_pallas`` defaults to
+    'auto' (fused Pallas kernels on TPU at the production nfft, XLA
+    elsewhere) — an explicit 'full' on a non-TPU build would bake the
+    interpret-mode kernels into the artifact.
 
     Returns a pickled artifact loadable by :func:`load_aot_pipeline` in a
     fresh process with no compilation.

@@ -278,6 +278,16 @@ class StreamPool:
             raise ValueError(
                 f"push must cover exactly the joined slots {sorted(joined)}, "
                 f"got {sorted(chunks)}")
+        # Validate EVERY chunk before any state mutation: raising after some
+        # pending stream already consumed its chunk would silently desync
+        # that stream when the caller retries the push.
+        arrs: Dict[int, np.ndarray] = {}
+        for b in chunks:
+            ck = np.asarray(chunks[b])
+            if ck.shape != (self.chunk,):
+                raise ValueError(
+                    f"slot {b}: chunk must be ({self.chunk},), got {ck.shape}")
+            arrs[b] = ck
         out: Dict[int, np.ndarray] = {}
 
         # 1. pending streams: host-side startup.  Admission happens AFTER the
@@ -286,10 +296,7 @@ class StreamPool:
         # them (and its chunk was already consumed host-side this tick).
         to_admit = []
         for b in list(self._pending):
-            ck = np.asarray(chunks[b])
-            if ck.shape != (self.chunk,):
-                raise ValueError(
-                    f"slot {b}: chunk must be ({self.chunk},), got {ck.shape}")
+            ck = arrs[b]
             f32 = (ck.astype(np.float32) / 32768.0 if ck.dtype == np.int16
                    else ck.astype(np.float32))
             out[b] = self._pending[b].push(f32[None])[0]
@@ -318,16 +325,11 @@ class StreamPool:
             # int16 PCM rides the wire when every admitted chunk is int16
             # (the per-tick upload is then B*chunk*2 bytes, de-quantized on
             # device); any float chunk falls back to a float32 batch.
-            all_i16 = all(np.asarray(chunks[b]).dtype == np.int16
-                          for b in self._admitted)
+            all_i16 = all(arrs[b].dtype == np.int16 for b in self._admitted)
             dt = np.int16 if all_i16 else np.float32
             chunk_batch = np.zeros((B, self.chunk), dt)
             for b in self._admitted:
-                ck = np.asarray(chunks[b])
-                if ck.shape != (self.chunk,):
-                    raise ValueError(
-                        f"slot {b}: chunk must be ({self.chunk},), "
-                        f"got {ck.shape}")
+                ck = arrs[b]
                 if all_i16:
                     chunk_batch[b] = ck
                 else:

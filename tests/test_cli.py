@@ -296,11 +296,26 @@ def test_serve_cli_build_and_run(film_clap_root, tmp_path):
                 "--batch", "2", "--seconds", "3", "--use_pallas", "off"])
     assert os.path.getsize(artifact) > 1_000_000
 
+    # One file shorter than the compiled 3 s: its saved scores must be
+    # trimmed to its real frame count, not the zero-padded tail.
+    sr = 48000
+    short = str(tmp_path / "short.wav")
+    rng = np.random.default_rng(7)
+    from scipy.io import wavfile as _wavfile
+
+    _wavfile.write(short, sr,
+                   (0.05 * rng.standard_normal(sr)).astype(np.float32))
+    wavs.append(short)
+
     out_dir = str(tmp_path / "serve_out")
     serve_main(["run", "--artifact", artifact, "--outputs_dir", out_dir]
                + wavs)
-    outs = sorted(os.listdir(out_dir))
-    assert outs == [os.path.splitext(os.path.basename(w))[0] + "_scores.npy"
-                    for w in wavs]
-    s = np.load(os.path.join(out_dir, outs[0]))
-    assert s.ndim == 2 and np.isfinite(s).all()
+    outs = [os.path.splitext(os.path.basename(w))[0] + "_scores.npy"
+            for w in wavs]
+    assert sorted(os.listdir(out_dir)) == sorted(outs)
+    s_long = np.load(os.path.join(out_dir, outs[0]))   # 12 s, cropped to 3 s
+    s_short = np.load(os.path.join(out_dir, outs[-1]))  # 1 s, padded
+    assert s_long.ndim == 2 and np.isfinite(s_long).all()
+    hop = 15840
+    assert s_short.shape[0] == 1 + sr // hop  # 4 frames of real audio
+    assert s_long.shape[0] > s_short.shape[0]

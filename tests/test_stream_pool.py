@@ -125,6 +125,35 @@ def test_pool_validation():
     assert pool.join() == s  # freed slot is reusable
 
 
+def test_pool_push_is_atomic_on_invalid_chunk():
+    """A bad chunk in the dict must fail BEFORE any stream consumes its
+    chunk — otherwise the good streams double-consume on the caller's
+    retry and silently desync from their audio."""
+    model, state = _model_state()
+
+    def mk():
+        pool = StreamPool(model, state.params, state.batch_stats, CFG,
+                          slots=2, chunk_samples=CHUNK, halo=64,
+                          total_stride=8, bucket=64)
+        return pool, pool.join(), pool.join()
+
+    rng = np.random.default_rng(3)
+    chunk = (0.1 * rng.standard_normal(CHUNK)).astype(np.float32)
+
+    pool, a, b = mk()
+    with pytest.raises(ValueError, match="chunk must be"):
+        pool.push({a: chunk, b: np.zeros(17, np.float32)})
+    h = pool._pending[a]
+    assert h._buf_start + h._samples.shape[1] == 0, \
+        "slot consumed its chunk from a push that raised"
+    out_retry = pool.push({a: chunk, b: chunk})
+
+    ref_pool, ra, rb = mk()
+    ref = ref_pool.push({ra: chunk, rb: chunk})
+    np.testing.assert_array_equal(out_retry[a], ref[ra])
+    np.testing.assert_array_equal(out_retry[b], ref[rb])
+
+
 def test_pool_sharded_over_mesh_matches_plain():
     from sed_tpu.parallel.mesh import create_mesh
 
