@@ -42,6 +42,9 @@ def build_arg_parser() -> argparse.ArgumentParser:
     parser.add_argument("--batch", action="store_true", default=False,
                         help="score files as batches grouped by length "
                              "(fastest for many equal-length clips)")
+    parser.add_argument("--num_devices", type=int, default=1,
+                        help="shard --batch inference over a data-parallel "
+                             "mesh of this many devices")
     return parser
 
 
@@ -115,7 +118,10 @@ def predict_file(model, state, audio_path: str, cfg, mean=None, std=None,
 
 
 def main(argv=None):
-    args = build_arg_parser().parse_args(argv)
+    parser = build_arg_parser()
+    args = parser.parse_args(argv)
+    if args.num_devices > 1 and not args.batch:
+        parser.error("--num_devices shards the batched path; add --batch")
 
     import jax
 
@@ -143,8 +149,17 @@ def main(argv=None):
                   "--batch uses the float forward")
         from sed_tpu.inference import batch_predict_files
 
+        mesh = None
+        if args.num_devices > 1:
+            from sed_tpu.parallel.mesh import create_mesh
+
+            if len(jax.devices()) < args.num_devices:
+                raise SystemExit(
+                    f"--num_devices {args.num_devices} but only "
+                    f"{len(jax.devices())} devices are visible")
+            mesh = create_mesh(args.num_devices)
         batch_scores = batch_predict_files(model, state, args.audio_files, cfg,
-                                           mean=mean, std=std)
+                                           mesh=mesh, mean=mean, std=std)
 
     for audio_file in args.audio_files:
         print(f"Processing {audio_file}")

@@ -50,6 +50,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
     b.add_argument("--use_pallas", type=str, default="auto",
                    help="auto|full|off — featurizer kernel choice "
                         "(auto = full on TPU, XLA elsewhere)")
+    b.add_argument("--num_devices", type=int, default=1,
+                   help="compile a MULTI-DEVICE artifact: the input batch is "
+                        "sharded over a data mesh of this many devices and "
+                        "the collectives ride inside the serialized program; "
+                        "'run' then needs the same device count")
 
     r = sub.add_parser("run", help="load an artifact and score audio files")
     r.add_argument("audio_files", type=str, nargs="+")
@@ -133,9 +138,24 @@ def cmd_build(args) -> None:
     # 'auto' resolves inside the featurizer (full on TPU, XLA elsewhere).
     use_pallas = False if args.use_pallas == "off" else args.use_pallas
 
+    mesh = None
+    if args.num_devices > 1:
+        import jax
+
+        from sed_tpu.parallel.mesh import create_mesh
+
+        if args.batch % args.num_devices != 0:
+            raise SystemExit(f"--batch {args.batch} must divide over "
+                             f"--num_devices {args.num_devices}")
+        if len(jax.devices()) < args.num_devices:
+            raise SystemExit(
+                f"--num_devices {args.num_devices} but only "
+                f"{len(jax.devices())} devices are visible")
+        mesh = create_mesh(args.num_devices)
+
     t0 = time.time()
     blob = aot_export_pipeline(score_fn, weights, args.batch, samples, cfg,
-                               use_pallas=use_pallas)
+                               use_pallas=use_pallas, mesh=mesh)
     build_s = time.time() - t0
     with open(args.out, "wb") as f:
         f.write(blob)
@@ -144,7 +164,8 @@ def cmd_build(args) -> None:
     print(json.dumps({"artifact": args.out, "bytes": len(blob),
                       "build_seconds": round(build_s, 1),
                       "batch": args.batch, "seconds": args.seconds,
-                      "quantize": args.quantize}))
+                      "quantize": args.quantize,
+                      "num_devices": args.num_devices}))
 
 
 def cmd_run(args) -> None:

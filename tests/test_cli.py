@@ -319,3 +319,34 @@ def test_serve_cli_build_and_run(film_clap_root, tmp_path):
     hop = 15840
     assert s_short.shape[0] == 1 + sr // hop  # 4 frames of real audio
     assert s_long.shape[0] > s_short.shape[0]
+
+    # Multi-device artifact (--num_devices 2 over the virtual CPU mesh):
+    # same scores as the single-device artifact.
+    artifact2 = str(tmp_path / "serving_2dev.aot")
+    serve_main(["build", "--ckpt", ckpt, "--out", artifact2,
+                "--batch", "2", "--seconds", "3", "--use_pallas", "off",
+                "--num_devices", "2"])
+    out_dir2 = str(tmp_path / "serve_out_2dev")
+    serve_main(["run", "--artifact", artifact2, "--outputs_dir", out_dir2]
+               + wavs)
+    for o in outs:
+        np.testing.assert_allclose(np.load(os.path.join(out_dir2, o)),
+                                   np.load(os.path.join(out_dir, o)),
+                                   atol=1e-5)
+
+    # Batched inference CLI sharded over the mesh == single-device run.
+    from sed_tpu.cli.infer import main as infer_main
+
+    inf_single = str(tmp_path / "inf_single")
+    inf_mesh = str(tmp_path / "inf_mesh")
+    clips = wavs[:3]  # equal-length 12 s files -> one batch group
+    infer_main(clips + ["--ckpt", ckpt, "--outputs_dir", inf_single,
+                        "--device", "cpu", "--batch", "--no_plot"])
+    infer_main(clips + ["--ckpt", ckpt, "--outputs_dir", inf_mesh,
+                        "--device", "cpu", "--batch", "--no_plot",
+                        "--num_devices", "8"])
+    for w in clips:
+        base = os.path.splitext(os.path.basename(w))[0] + "_scores.npy"
+        np.testing.assert_allclose(np.load(os.path.join(inf_mesh, base)),
+                                   np.load(os.path.join(inf_single, base)),
+                                   atol=1e-5)
