@@ -45,6 +45,14 @@ def build_arg_parser() -> argparse.ArgumentParser:
     parser.add_argument("--num_devices", type=int, default=1,
                         help="shard --batch inference over a data-parallel "
                              "mesh of this many devices")
+    parser.add_argument("--event_threshold", type=float, default=None,
+                        help="also extract event intervals (frames with "
+                             "score >= threshold) to <name>_events.csv")
+    parser.add_argument("--event_min_duration", type=float, default=0.0,
+                        help="drop events shorter than this many seconds")
+    parser.add_argument("--event_merge_gap", type=float, default=0.0,
+                        help="merge events separated by less than this many "
+                             "seconds")
     return parser
 
 
@@ -186,6 +194,17 @@ def main(argv=None):
             for i, row in enumerate(scores):
                 vals = ",".join(f"{v:.6f}" for v in row)
                 f.write(f"{i},{i / cfg.frames_per_second:.3f},{vals}\n")
+        if args.event_threshold is not None:
+            from sed_tpu.utils.events_post import events_to_csv, extract_events
+
+            evs = extract_events(scores, cfg.frames_per_second,
+                                 threshold=args.event_threshold,
+                                 min_duration=args.event_min_duration,
+                                 merge_gap=args.event_merge_gap)
+            events_to_csv(evs, cfg.tau_sed_labels,
+                          os.path.join(args.outputs_dir, f"{base}_events.csv"))
+            print(f"  events (score >= {args.event_threshold}): "
+                  f"{sum(len(e) for e in evs)}")
         if not args.no_plot:
             plot_sample_features(
                 log_mel, mode="spectogram", output=scores,

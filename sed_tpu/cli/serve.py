@@ -63,6 +63,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         "container is pickle, so loading executes code from "
                         "it — never run artifacts you did not build")
     r.add_argument("--outputs_dir", type=str, default="serving_outputs")
+    r.add_argument("--event_threshold", type=float, default=None,
+                   help="also extract event intervals (frames with score >= "
+                        "threshold) to <name>_events.csv")
+    r.add_argument("--event_min_duration", type=float, default=0.0)
+    r.add_argument("--event_merge_gap", type=float, default=0.0)
     return p
 
 
@@ -196,6 +201,16 @@ def cmd_run(args) -> None:
             s = scores[i, :n_frames]
             base = os.path.splitext(os.path.basename(path))[0]
             np.save(os.path.join(args.outputs_dir, f"{base}_scores.npy"), s)
+            if args.event_threshold is not None:
+                from sed_tpu.utils.events_post import (events_to_csv,
+                                                       extract_events)
+
+                evs = extract_events(s, cfg.frames_per_second,
+                                     threshold=args.event_threshold,
+                                     min_duration=args.event_min_duration,
+                                     merge_gap=args.event_merge_gap)
+                events_to_csv(evs, cfg.tau_sed_labels, os.path.join(
+                    args.outputs_dir, f"{base}_events.csv"))
             log(f"{path}: frames={s.shape[0]}, max score={s.max():.3f}")
     print(json.dumps({
         "artifact_load_seconds": round(t_loaded - t_load0, 2),

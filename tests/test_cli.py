@@ -82,6 +82,7 @@ def test_train_cli_end_to_end(film_clap_root, tmp_path):
         "--ckpt", os.path.join(run_dir, "checkpoints", "iteration_4.ckpt"),
         "--outputs_dir", out_dir,
         "--device", "cpu",
+        "--event_threshold", "0.5",
     ])
     base = os.path.splitext(os.path.basename(wav))[0]
     scores = np.load(os.path.join(out_dir, f"{base}_scores.npy"))
@@ -90,6 +91,12 @@ def test_train_cli_end_to_end(film_clap_root, tmp_path):
     assert ((scores >= 0) & (scores <= 1)).all()
     assert os.path.exists(os.path.join(out_dir, f"{base}.png"))
     assert os.path.exists(os.path.join(out_dir, f"{base}_scores.csv"))
+    ev_lines = open(os.path.join(out_dir, f"{base}_events.csv")).read().splitlines()
+    assert ev_lines[0] == "class,start_sec,end_sec,peak"
+    # Interval rows (if any at this barely-trained threshold) are well-formed.
+    for line in ev_lines[1:]:
+        name, s0, s1, peak = line.split(",")
+        assert name in CFG.tau_sed_labels and float(s1) > float(s0)
 
     # int8 PTQ serving path via the CLI: same shape, scores near the float run.
     out_dir_q = str(tmp_path / "inference_int8")
