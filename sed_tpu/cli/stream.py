@@ -1,0 +1,179 @@
+"""Streaming serving CLI: score wav files through the StreamPool lifecycle.
+
+The reference has no streaming at all (its infer.py:9-37 is batch-offline
+only); this CLI puts the device-resident streaming stack (sed_tpu/
+stream_pool.py — HBM rings, one jitted tick for the whole fleet, join/leave
+mid-run) on the user surface.  Each wav file becomes one stream: files join
+as slots free up (optionally staggered to exercise churn), push fixed-size
+chunks every tick, and leave with an exact flush when their audio ends.
+Scores per file equal the offline pipeline on the same audio (the streaming
+invariant pinned by tests/test_stream_pool.py).
+
+    python -m sed_tpu.cli.stream a.wav b.wav c.wav --ckpt <ckpt> \
+        [--chunk_seconds 1.0] [--slots 8] [--stagger_ticks 2] \
+        [--event_threshold 0.5]
+
+Writes <name>_scores.npy (+ optional <name>_events.csv) per file and prints
+one JSON summary line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def build_arg_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        description="Streaming (lifecycle) sound-event scoring")
+    p.add_argument("audio_files", type=str, nargs="+")
+    p.add_argument("--ckpt", type=str, required=True)
+    p.add_argument("--outputs_dir", type=str, default="streaming_outputs")
+    p.add_argument("--chunk_seconds", type=float, default=1.0,
+                   help="chunk every stream pushes per tick")
+    p.add_argument("--slots", type=int, default=0,
+                   help="pool slots (0 = min(#files, 32)); files beyond the "
+                        "slot count join as earlier streams leave")
+    p.add_argument("--stagger_ticks", type=int, default=0,
+                   help="file i may join no earlier than tick i*stagger "
+                        "(0 = all join as soon as a slot is free)")
+    p.add_argument("--halo", type=int, default=64,
+                   help="receptive-field halo (frames, stride-aligned)")
+    p.add_argument("--featurizer", type=str, default="auto",
+                   help="auto|pallas|xla tick featurizer")
+    p.add_argument("--mean_std_file", type=str, default="")
+    p.add_argument("--device", default="tpu", type=str)
+    p.add_argument("--event_threshold", type=float, default=None)
+    p.add_argument("--event_min_duration", type=float, default=0.0)
+    p.add_argument("--event_merge_gap", type=float, default=0.0)
+    return p
+
+
+def main(argv=None):
+    args = build_arg_parser().parse_args(argv)
+
+    import jax
+
+    if args.device == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+
+    from sed_tpu.configs import DEFAULT_SPECTROGRAM as cfg
+    from sed_tpu.cli.infer import load_model_and_state
+    from sed_tpu.io.audio import read_multichannel_audio
+    from sed_tpu.stream_pool import StreamPool
+
+    chunk = int(round(args.chunk_seconds * cfg.working_sample_rate))
+    mean = std = None
+    if args.mean_std_file:
+        import pickle
+
+        with open(args.mean_std_file, "rb") as f:
+            d = pickle.load(f)
+        mean, std = d["mean"], d["std"]
+
+    model, state = load_model_and_state(args.ckpt, cfg)
+    os.makedirs(args.outputs_dir, exist_ok=True)
+
+    # File queue: (path, mono float32 waveform).  Reading up front keeps the
+    # tick loop pure push/score — a live deployment would feed sockets here.
+    queue = []
+    for path in args.audio_files:
+        wav = np.asarray(read_multichannel_audio(
+            path, target_fs=cfg.working_sample_rate, cfg=cfg))[:, 0]
+        queue.append({"path": path, "wav": wav.astype(np.float32), "pos": 0,
+                      "scores": [], "join_tick": None})
+    slots = args.slots or min(len(queue), 32)
+
+    pool = StreamPool(model, state.params, state.batch_stats, cfg,
+                      slots=slots, chunk_samples=chunk, halo=args.halo,
+                      mean=mean, std=std, featurizer=args.featurizer)
+
+    active = {}           # slot -> file record
+    next_file = 0
+    tick = 0
+    t0 = time.time()
+    pushed_samples = 0
+    while next_file < len(queue) or active:
+        # Admit files whose stagger time has arrived, while slots are free.
+        while (next_file < len(queue)
+               and len(active) < slots
+               and tick >= next_file * args.stagger_ticks):
+            rec = queue[next_file]
+            slot = pool.join()
+            rec["join_tick"] = tick
+            active[slot] = rec
+            log(f"tick {tick}: {os.path.basename(rec['path'])} joined "
+                f"slot {slot}")
+            next_file += 1
+        if not active:  # staggered start gap with nothing live
+            tick += 1
+            continue
+
+        chunks = {}
+        leaving = []
+        for slot, rec in active.items():
+            take = min(len(rec["wav"]) - rec["pos"], chunk)
+            c = np.zeros(chunk, np.float32)
+            c[:take] = rec["wav"][rec["pos"]: rec["pos"] + take]
+            rec["pos"] += take
+            pushed_samples += take
+            chunks[slot] = c
+            if rec["pos"] >= len(rec["wav"]):
+                leaving.append(slot)  # final (possibly padded) chunk
+        out = pool.push(chunks)
+        for slot, rec in active.items():
+            if out[slot].shape[0]:
+                rec["scores"].append(out[slot])
+        for slot in leaving:
+            rec = active.pop(slot)
+            tail = pool.leave(slot)
+            if tail.shape[0]:
+                rec["scores"].append(tail)
+            _finalize(rec, cfg, args)
+            log(f"tick {tick}: {os.path.basename(rec['path'])} left "
+                f"slot {slot}")
+        tick += 1
+
+    wall = time.time() - t0
+    audio_s = pushed_samples / cfg.working_sample_rate
+    print(json.dumps({
+        "files": len(queue),
+        "ticks": tick,
+        "audio_seconds": round(audio_s, 1),
+        "wall_seconds": round(wall, 2),
+        "realtime_factor": round(audio_s / wall, 1) if wall > 0 else None,
+    }))
+
+
+def _finalize(rec, cfg, args) -> None:
+    scores = (np.concatenate(rec["scores"], axis=0) if rec["scores"]
+              else np.zeros((0, cfg.classes_num), np.float32))
+    # Trim frames scored over the final chunk's zero pad to the real audio
+    # (frames = 1 + n // hop, as serve run does).
+    n_frames = min(scores.shape[0], 1 + len(rec["wav"]) // cfg.hop_size)
+    scores = scores[:n_frames]
+    base = os.path.splitext(os.path.basename(rec["path"]))[0]
+    np.save(os.path.join(args.outputs_dir, f"{base}_scores.npy"), scores)
+    if args.event_threshold is not None:
+        from sed_tpu.utils.events_post import events_to_csv, extract_events
+
+        evs = extract_events(scores, cfg.frames_per_second,
+                             threshold=args.event_threshold,
+                             min_duration=args.event_min_duration,
+                             merge_gap=args.event_merge_gap)
+        events_to_csv(evs, cfg.tau_sed_labels,
+                      os.path.join(args.outputs_dir, f"{base}_events.csv"))
+    rec["scores"] = None  # release
+
+
+if __name__ == "__main__":
+    main()

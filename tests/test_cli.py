@@ -357,3 +357,52 @@ def test_serve_cli_build_and_run(film_clap_root, tmp_path):
         np.testing.assert_allclose(np.load(os.path.join(inf_mesh, base)),
                                    np.load(os.path.join(inf_single, base)),
                                    atol=1e-5)
+
+
+def test_stream_cli_matches_offline_infer(film_clap_root, tmp_path):
+    """Streaming CLI (StreamPool lifecycle with staggered joins and slot
+    queueing) produces the same per-file scores as offline infer.py."""
+    import glob
+
+    from sed_tpu.cli.infer import main as infer_main
+    from sed_tpu.cli.main import main as train_main
+    from sed_tpu.cli.stream import main as stream_main
+
+    outputs_root = str(tmp_path / "training_stream")
+    train_main([
+        "--dataset_dir", film_clap_root,
+        "--dataset_name", "FilmClap",
+        "--train_features", "Spectogram",
+        "--preprocess_mode", "logMel",
+        "--outputs_root", outputs_root,
+        "--val_descriptor", "clip_3",
+        "--batch_size", "4",
+        "--num_train_steps", "2",
+        "--log_freq", "2",
+        "--device", "cpu",
+    ])
+    run_dir = os.path.join(outputs_root, os.listdir(outputs_root)[0])
+    ckpt = os.path.join(run_dir, "checkpoints", "iteration_2.ckpt")
+    wavs = sorted(glob.glob(os.path.join(film_clap_root, "FilmClap", "filmA",
+                                         "*.wav")))[:4]
+
+    stream_dir = str(tmp_path / "stream_out")
+    # 2 slots for 4 files + staggered joins: files queue for slots and join
+    # mid-run as earlier streams leave.
+    stream_main(wavs + ["--ckpt", ckpt, "--outputs_dir", stream_dir,
+                        "--device", "cpu", "--slots", "2",
+                        "--stagger_ticks", "3", "--event_threshold", "0.5"])
+
+    infer_dir = str(tmp_path / "stream_ref")
+    infer_main(wavs + ["--ckpt", ckpt, "--outputs_dir", infer_dir,
+                       "--device", "cpu", "--no_plot"])
+
+    for w in wavs:
+        base = os.path.splitext(os.path.basename(w))[0]
+        streamed = np.load(os.path.join(stream_dir, f"{base}_scores.npy"))
+        offline = np.load(os.path.join(infer_dir, f"{base}_scores.npy"))
+        assert streamed.shape == offline.shape, (base, streamed.shape,
+                                                 offline.shape)
+        np.testing.assert_allclose(streamed, offline, atol=1e-5,
+                                   err_msg=base)
+        assert os.path.exists(os.path.join(stream_dir, f"{base}_events.csv"))
