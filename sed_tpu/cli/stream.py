@@ -50,6 +50,9 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    help="receptive-field halo (frames, stride-aligned)")
     p.add_argument("--featurizer", type=str, default="auto",
                    help="auto|pallas|xla tick featurizer")
+    p.add_argument("--num_devices", type=int, default=1,
+                   help="shard the pool's slots over a data mesh of this "
+                        "many devices (slots must divide evenly)")
     p.add_argument("--mean_std_file", type=str, default="")
     p.add_argument("--device", default="tpu", type=str)
     p.add_argument("--event_threshold", type=float, default=None)
@@ -93,9 +96,20 @@ def main(argv=None):
                       "scores": [], "join_tick": None})
     slots = args.slots or min(len(queue), 32)
 
+    mesh = None
+    if args.num_devices > 1:
+        from sed_tpu.parallel.mesh import create_mesh
+
+        if len(jax.devices()) < args.num_devices:
+            raise SystemExit(
+                f"--num_devices {args.num_devices} but only "
+                f"{len(jax.devices())} devices are visible")
+        slots = args.num_devices * (-(-slots // args.num_devices))
+        mesh = create_mesh(args.num_devices)
     pool = StreamPool(model, state.params, state.batch_stats, cfg,
                       slots=slots, chunk_samples=chunk, halo=args.halo,
-                      mean=mean, std=std, featurizer=args.featurizer)
+                      mean=mean, std=std, featurizer=args.featurizer,
+                      mesh=mesh)
 
     active = {}           # slot -> file record
     next_file = 0

@@ -406,3 +406,42 @@ def test_stream_cli_matches_offline_infer(film_clap_root, tmp_path):
         np.testing.assert_allclose(streamed, offline, atol=1e-5,
                                    err_msg=base)
         assert os.path.exists(os.path.join(stream_dir, f"{base}_events.csv"))
+
+
+def test_stream_cli_mesh(film_clap_root, tmp_path):
+    """--num_devices shards the pool over the virtual mesh; scores match the
+    plain single-device stream run."""
+    import glob
+
+    from sed_tpu.cli.main import main as train_main
+    from sed_tpu.cli.stream import main as stream_main
+
+    outputs_root = str(tmp_path / "training_stream_mesh")
+    train_main([
+        "--dataset_dir", film_clap_root,
+        "--dataset_name", "FilmClap",
+        "--train_features", "Spectogram",
+        "--preprocess_mode", "logMel",
+        "--outputs_root", outputs_root,
+        "--val_descriptor", "clip_3",
+        "--batch_size", "4",
+        "--num_train_steps", "2",
+        "--log_freq", "2",
+        "--device", "cpu",
+    ])
+    run_dir = os.path.join(outputs_root, os.listdir(outputs_root)[0])
+    ckpt = os.path.join(run_dir, "checkpoints", "iteration_2.ckpt")
+    wavs = sorted(glob.glob(os.path.join(film_clap_root, "FilmClap", "filmA",
+                                         "*.wav")))[:2]
+
+    plain_dir = str(tmp_path / "stream_plain")
+    mesh_dir = str(tmp_path / "stream_mesh")
+    common = ["--ckpt", ckpt, "--device", "cpu", "--slots", "2"]
+    stream_main(wavs + common + ["--outputs_dir", plain_dir])
+    stream_main(wavs + common + ["--outputs_dir", mesh_dir,
+                                 "--num_devices", "2"])
+    for w in wavs:
+        base = os.path.splitext(os.path.basename(w))[0] + "_scores.npy"
+        np.testing.assert_allclose(np.load(os.path.join(mesh_dir, base)),
+                                   np.load(os.path.join(plain_dir, base)),
+                                   atol=1e-5)
