@@ -53,6 +53,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
     parser.add_argument("--event_merge_gap", type=float, default=0.0,
                         help="merge events separated by less than this many "
                              "seconds")
+    parser.add_argument("--tau_labels", type=str, default="doorslam",
+                        help="comma-separated event classes — must match the "
+                             "checkpoint's training config (--tau_labels on "
+                             "the training CLI)")
     return parser
 
 
@@ -136,8 +140,10 @@ def main(argv=None):
     if args.device == "cpu":
         jax.config.update("jax_platforms", "cpu")
 
-    from sed_tpu.configs import DEFAULT_SPECTROGRAM as cfg
+    from sed_tpu.configs import SpectrogramConfig
     from sed_tpu.utils.plotting import plot_sample_features
+
+    cfg = SpectrogramConfig(tau_sed_labels=tuple(args.tau_labels.split(",")))
 
     mean = std = None
     if args.mean_std_file:

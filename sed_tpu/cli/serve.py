@@ -55,6 +55,9 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         "sharded over a data mesh of this many devices and "
                         "the collectives ride inside the serialized program; "
                         "'run' then needs the same device count")
+    b.add_argument("--tau_labels", type=str, default="doorslam",
+                   help="comma-separated event classes — must match the "
+                        "checkpoint's training config")
 
     r = sub.add_parser("run", help="load an artifact and score audio files")
     r.add_argument("audio_files", type=str, nargs="+")
@@ -68,6 +71,8 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         "threshold) to <name>_events.csv")
     r.add_argument("--event_min_duration", type=float, default=0.0)
     r.add_argument("--event_merge_gap", type=float, default=0.0)
+    r.add_argument("--tau_labels", type=str, default="doorslam",
+                   help="comma-separated event classes (event-csv names)")
     return p
 
 
@@ -103,7 +108,9 @@ def _featurize_files(paths, cfg, samples):
 
 
 def cmd_build(args) -> None:
-    from sed_tpu.configs import DEFAULT_SPECTROGRAM as cfg
+    from sed_tpu.configs import SpectrogramConfig
+
+    cfg = SpectrogramConfig(tau_sed_labels=tuple(args.tau_labels.split(",")))
     from sed_tpu.export import (aot_export_pipeline, cnn_serving,
                                 quantized_serving)
 
@@ -174,8 +181,10 @@ def cmd_build(args) -> None:
 
 
 def cmd_run(args) -> None:
-    from sed_tpu.configs import DEFAULT_SPECTROGRAM as cfg
+    from sed_tpu.configs import SpectrogramConfig
     from sed_tpu.export import load_aot_pipeline
+
+    cfg = SpectrogramConfig(tau_sed_labels=tuple(args.tau_labels.split(",")))
 
     t_load0 = time.time()
     with open(args.artifact, "rb") as f:

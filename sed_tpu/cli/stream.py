@@ -58,6 +58,9 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--event_threshold", type=float, default=None)
     p.add_argument("--event_min_duration", type=float, default=0.0)
     p.add_argument("--event_merge_gap", type=float, default=0.0)
+    p.add_argument("--tau_labels", type=str, default="doorslam",
+                   help="comma-separated event classes — must match the "
+                        "checkpoint's training config")
     return p
 
 
@@ -69,10 +72,12 @@ def main(argv=None):
     if args.device == "cpu":
         jax.config.update("jax_platforms", "cpu")
 
-    from sed_tpu.configs import DEFAULT_SPECTROGRAM as cfg
+    from sed_tpu.configs import SpectrogramConfig
     from sed_tpu.cli.infer import load_model_and_state
     from sed_tpu.io.audio import read_multichannel_audio
     from sed_tpu.stream_pool import StreamPool
+
+    cfg = SpectrogramConfig(tau_sed_labels=tuple(args.tau_labels.split(",")))
 
     chunk = int(round(args.chunk_seconds * cfg.working_sample_rate))
     mean = std = None

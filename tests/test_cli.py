@@ -445,3 +445,85 @@ def test_stream_cli_mesh(film_clap_root, tmp_path):
         np.testing.assert_allclose(np.load(os.path.join(mesh_dir, base)),
                                    np.load(os.path.join(plain_dir, base)),
                                    atol=1e-5)
+
+
+@pytest.fixture(scope="module")
+def tau_root(tmp_path_factory):
+    """Synthetic dataset in the extracted TAU-SED layout
+    (Tau_sound_events_2019/raw/foa_eval + metadata_eval) so ensure_tau_data
+    finds existing raw data and never touches the network."""
+    root = tmp_path_factory.mktemp("tau_data")
+    raw = root / "Tau_sound_events_2019" / "raw"
+    audio_dir = raw / "foa_eval"
+    meta_dir = raw / "metadata_eval"
+    audio_dir.mkdir(parents=True)
+    meta_dir.mkdir(parents=True)
+    rng = np.random.default_rng(1)
+    sr = CFG.working_sample_rate
+    for i in range(3):
+        n = 12 * sr
+        sig = 0.01 * rng.standard_normal((n, 4))  # FOA: 4 ambisonic channels
+        for t0 in (2.0 + i, 7.0):
+            s = int(t0 * sr)
+            sig[s:s + sr // 2] += 0.5 * rng.standard_normal((sr // 2, 4))
+        wavfile.write(str(audio_dir / f"split{i}.wav"), sr,
+                      sig.astype(np.float32))
+        with open(meta_dir / f"split{i}.csv", "w") as f:
+            f.write("sound_event_recording,start_time,end_time,ele,azi,dist\n")
+            f.write(f"doorslam,{2.0 + i},{2.5 + i},0,0,1\n")
+            f.write("knock,7.0,7.5,10,20,1\n")
+            f.write("speech,9.0,10.0,0,0,1\n")  # outside --tau_labels: dropped
+    return str(root)
+
+
+def test_tau_train_cli_multiclass(tau_root, tmp_path):
+    """The reference's headline workflow (main.py --dataset_name tau) end to
+    end on a synthetic TAU-layout corpus, with a 2-class label list via
+    --tau_labels (the reference hardcodes the list in common_config.py)."""
+    from sed_tpu.cli.main import main
+
+    outputs_root = str(tmp_path / "training_tau")
+    main([
+        "--dataset_dir", tau_root,
+        "--dataset_name", "TAU",
+        "--train_features", "Spectogram",
+        "--preprocess_mode", "logMel",
+        "--tau_labels", "knock,doorslam",
+        "--outputs_root", outputs_root,
+        "--val_descriptor", "split2",
+        "--batch_size", "4",
+        "--num_train_steps", "2",
+        "--log_freq", "2",
+        "--device", "cpu",
+    ])
+    # Cache dir naming carries the class list (reference descriptor parity).
+    processed = os.path.join(tau_root, "Tau_sound_events_2019", "processed")
+    (descriptor,) = os.listdir(processed)
+    assert descriptor.endswith("_C-knock-doorslam")
+    run_dir = os.path.join(outputs_root, os.listdir(outputs_root)[0])
+    assert "iteration_2.ckpt" in os.listdir(os.path.join(run_dir, "checkpoints"))
+
+    # Inference from the 2-class checkpoint via the CLI: --tau_labels must
+    # match the training config (same flag as the training CLI).
+    import glob
+
+    from sed_tpu.cli.infer import main as infer_main
+
+    wav = sorted(glob.glob(os.path.join(
+        tau_root, "Tau_sound_events_2019", "raw", "foa_eval", "*.wav")))[0]
+    out_dir = str(tmp_path / "tau_infer")
+    infer_main([
+        wav,
+        "--ckpt", os.path.join(run_dir, "checkpoints", "iteration_2.ckpt"),
+        "--outputs_dir", out_dir,
+        "--device", "cpu",
+        "--no_plot",
+        "--tau_labels", "knock,doorslam",
+        "--event_threshold", "0.5",
+    ])
+    base = os.path.splitext(os.path.basename(wav))[0]
+    scores = np.load(os.path.join(out_dir, f"{base}_scores.npy"))
+    assert scores.shape[1] == 2
+    assert ((scores >= 0) & (scores <= 1)).all()
+    header = open(os.path.join(out_dir, f"{base}_scores.csv")).readline()
+    assert "knock" in header and "doorslam" in header
