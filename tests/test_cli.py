@@ -527,3 +527,24 @@ def test_tau_train_cli_multiclass(tau_root, tmp_path):
     assert ((scores >= 0) & (scores <= 1)).all()
     header = open(os.path.join(out_dir, f"{base}_scores.csv")).readline()
     assert "knock" in header and "doorslam" in header
+
+
+def test_tau_waveform_train_cli(tau_root, tmp_path):
+    """TAU layout through the waveform (M5) training path."""
+    from sed_tpu.cli.main import main
+
+    outputs_root = str(tmp_path / "training_tau_wf")
+    main([
+        "--dataset_dir", tau_root,
+        "--dataset_name", "TAU",
+        "--train_features", "Waveform",
+        "--tau_labels", "knock,doorslam",
+        "--outputs_root", outputs_root,
+        "--val_descriptor", "split2",
+        "--batch_size", "4",
+        "--num_train_steps", "2",
+        "--log_freq", "2",
+        "--device", "cpu",
+    ])
+    run_dir = os.path.join(outputs_root, os.listdir(outputs_root)[0])
+    assert "iteration_2.ckpt" in os.listdir(os.path.join(run_dir, "checkpoints"))
