@@ -1,0 +1,305 @@
+"""Fast-featurizer serving tiers: speed + fidelity + AP-impact ladder (TPU).
+
+The production featurizer runs its FFT matmuls at Precision.HIGHEST — the
+golden-tested parity tier (<=1e-5 dB vs the float64 oracle; CLAUDE.md pins
+that default).  Round-2 ablation showed the whole kernel at single-pass bf16
+saves ~5 of 11 ms per 16x60 s batch, so reduced-precision FFT is the largest
+remaining serving-throughput lever.  This bench measures the WHOLE ladder on
+hardware so the opt-in tiers ('fast' = bf16x4, 'turbo' = bf16x1; see
+sed_tpu/ops/featurizer.py:FEATURIZER_PRECISION_TIERS) ship with a committed
+speed/fidelity record instead of an asserted one:
+
+  1. pipeline speed  — featurize+CNN+sigmoid per 16x60 s batch, under the
+     pinned protocol (benchmarks/protocol.py median-of-5 slopes);
+  2. feature fidelity — max |dB| error vs the parity tier on broadband noise
+     AND tonal content (the FFT's cancellation worst case), plus vs the
+     float64 oracle on one tonal signal;
+  3. score fidelity  — a CnnAvgPooling trained 800 steps on a deterministic
+     synthetic doorslam corpus (the AP-parity harness's corpus,
+     benchmarks/ap_parity.py:56-111) scores the val fold featurized by each
+     tier: max |sigmoid deviation| vs parity scores and the frame-AP delta.
+
+Reference workload being accelerated: the serving goal of
+/root/reference/infer.py:9-37 (featurize + score whole recordings).
+
+Run: python benchmarks/bench_fast_featurizer.py        (TPU)
+Writes benchmarks/FAST_FEATURIZER.json and prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+REPO = os.path.dirname(HERE)
+sys.path.insert(0, REPO)
+sys.path.insert(0, HERE)
+
+BATCH = 16
+CLIP_SECONDS = 60
+TRAIN_STEPS = 800
+CORPUS_FILES = 16
+CORPUS_SECONDS = 14.0
+
+# (name, pallas_precision) — 'mixed_hi_x4' keeps the cancellation-heavy
+# inner FFT stage at HIGHEST and drops only the outer stage to bf16x4.
+TIERS = [
+    ("parity", None),
+    ("mixed_hi_x4", (None, "bf16x4")),
+    ("fast_bf16x4", "bf16x4"),
+    ("bf16x3", "bf16x3"),
+    ("turbo_bf16x1", "bf16x1"),
+]
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def tonal_batch(rng, batch, samples, sr):
+    """Sum-of-sines content — the FFT kernel's precision worst case
+    (hardware-measured: bf16x4 hits 1.9e-4 dB here vs 2.2e-5 on noise)."""
+    t = np.arange(samples) / sr
+    out = np.zeros((batch, samples), np.float32)
+    for b in range(batch):
+        for _ in range(6):
+            f = float(rng.uniform(30.0, sr / 2 * 0.9))
+            out[b] += 0.12 * np.sin(2 * np.pi * f * t + rng.uniform(0, 6.28))
+    return np.clip(out * 32768.0, -32767, 32767).astype(np.int16)[..., None]
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    import jax.numpy as jnp
+
+    from sed_tpu.configs import DEFAULT_SPECTROGRAM as cfg
+    from sed_tpu.models.cnn import CnnAvgPooling, TRAIN_CHANNEL_AND_POOL
+    from sed_tpu.ops.featurizer import logmel_features_batch
+
+    import ap_parity
+    from protocol import slope_stats
+
+    dev = jax.devices()[0]
+    log(f"device: {dev} ({dev.device_kind})")
+    if jax.default_backend() != "tpu":
+        log("TPU required for this bench")
+        print(json.dumps({"error": "no tpu"}))
+        return
+
+    sr = cfg.working_sample_rate
+    samples = sr * CLIP_SECONDS
+    rng = np.random.default_rng(0)
+    noise = (rng.standard_normal((BATCH, samples, 1)) * 8000).astype(np.int16)
+    tonal = tonal_batch(rng, BATCH, samples, sr)
+
+    model = CnnAvgPooling(classes_num=cfg.classes_num,
+                          model_config=TRAIN_CHANNEL_AND_POOL)
+    frames = 1 + samples // cfg.hop_size
+    init_x = jnp.zeros((BATCH, frames, cfg.mel_bins, 1), jnp.float32)
+    variables = model.init(jax.random.key(0), init_x, train=False)
+    params, batch_stats = variables["params"], variables["batch_stats"]
+
+    featurizers = {}
+    pipelines = {}
+    for name, prec in TIERS:
+        def feat_fn(w, prec=prec):
+            return logmel_features_batch(w, cfg, use_pallas="full",
+                                         pallas_precision=prec)
+
+        def pipe_fn(w, feat_fn=feat_fn):
+            feats = feat_fn(w)
+            x = jnp.transpose(feats, (0, 2, 3, 1))
+            logits = model.apply({"params": params, "batch_stats": batch_stats},
+                                 x, train=False)
+            return jax.nn.sigmoid(logits)
+
+        featurizers[name] = jax.jit(feat_fn)
+        pipelines[name] = pipe_fn
+
+    # ---- 2. feature fidelity (before timing: compiles double as warmup) ----
+    staged_noise = jax.device_put(noise)
+    staged_tonal = jax.device_put(tonal)
+    feats = {}
+    for name, _ in TIERS:
+        t0 = time.time()
+        fn = np.asarray(featurizers[name](staged_noise))
+        ft = np.asarray(featurizers[name](staged_tonal))
+        feats[name] = (fn, ft)
+        log(f"featurize[{name}]: compiled+ran in {time.time() - t0:.1f}s")
+
+    # float64 oracle on one tonal signal (the worst case).
+    y0 = tonal[0, :, 0].astype(np.float32) / 32768.0
+    oracle0 = ap_parity.oracle_logmel(y0)
+
+    fidelity = {}
+    for name, _ in TIERS:
+        fn, ft = feats[name]
+        pn, pt = feats["parity"]
+        fidelity[name] = {
+            "max_db_err_noise_vs_parity": float(np.max(np.abs(fn - pn))),
+            "max_db_err_tonal_vs_parity": float(np.max(np.abs(ft - pt))),
+            "max_db_err_tonal_vs_oracle": float(
+                np.max(np.abs(ft[0, 0, : len(oracle0)] - oracle0))),
+        }
+        log(f"fidelity[{name}]: {fidelity[name]}")
+
+    # ---- 1. pipeline speed under the pinned protocol ----
+    def make_loop_factory(body_fn):
+        def make_loop(iters):
+            @jax.jit
+            def loop(w):
+                def body(i, carry):
+                    w, acc = carry
+                    return (w + jnp.int16(1), acc + body_fn(w).sum())
+
+                return jax.lax.fori_loop(0, iters, body, (w, jnp.float32(0.0)))[1]
+
+            return loop
+
+        return make_loop
+
+    def perturb(x, k):
+        xr = x + jnp.int16(101 + 7 * k)
+        xr.block_until_ready()
+        return xr
+
+    speed = {}
+    for name, _ in TIERS:
+        stats = slope_stats(make_loop_factory(pipelines[name]), staged_noise,
+                            perturb, iters_pair=(10, 30), n=5)
+        ms = stats["median"] * 1e3
+        speed[name] = {
+            "ms_per_batch": ms,
+            "audio_s_per_s": BATCH * CLIP_SECONDS / stats["median"],
+            "spread_ms": [stats["min"] * 1e3, stats["max"] * 1e3],
+            "n": stats["n"],
+            "discarded": stats["discarded"],
+        }
+        log(f"speed[{name}]: {ms:.2f} ms/batch "
+            f"({speed[name]['audio_s_per_s']:.0f} audio-s/s)")
+
+    base_ms = speed["parity"]["ms_per_batch"]
+    for name, _ in TIERS:
+        speed[name]["speedup_vs_parity"] = base_ms / speed[name]["ms_per_batch"]
+
+    # ---- 3. score fidelity + AP impact on the synthetic corpus ----
+    log(f"training CnnAvgPooling {TRAIN_STEPS} steps on the AP-parity corpus...")
+    corpus_rng = np.random.default_rng(0)
+    waves, all_starts, all_ends = [], [], []
+    for _ in range(CORPUS_FILES):
+        y, starts, ends = ap_parity.make_recording(corpus_rng, CORPUS_SECONDS)
+        waves.append(y)
+        all_starts.append(starts)
+        all_ends.append(ends)
+    from sed_tpu.data.events import create_event_matrix
+
+    oracle_feats = [ap_parity.oracle_logmel(y) for y in waves]
+    events = [create_event_matrix(len(f), s, e, cfg)
+              for f, s, e in zip(oracle_feats, all_starts, all_ends)]
+    n_val = max(2, CORPUS_FILES // 5)
+    train_f, val_f = oracle_feats[:-n_val], oracle_feats[-n_val:]
+    train_e, val_e = events[:-n_val], events[-n_val:]
+    val_w = waves[-n_val:]
+    allf = np.concatenate(train_f, axis=0)
+    mean, std = allf.mean(axis=0), allf.std(axis=0)
+    train_f = [(f - mean) / std for f in train_f]
+
+    xs, ys = ap_parity.build_batches(train_f, train_e, TRAIN_STEPS, 64, seed=0)
+
+    from sed_tpu.train.optim import make_optimizer
+    from sed_tpu.train.state import init_state, make_train_step, make_eval_forward
+    from sed_tpu.utils.metrics import calculate_metrics, f_score
+
+    tx = make_optimizer(1e-4)
+    sample = jnp.zeros((1, cfg.train_crop_size, cfg.mel_bins, 1))
+    state = init_state(model, jax.random.key(0), sample, tx)
+    step_fn = make_train_step(model, tx, pos_weight=5.0, multi_frame=True)
+    for i in range(TRAIN_STEPS):
+        state, loss = step_fn(state, jnp.asarray(xs[i])[..., None],
+                              jnp.asarray(ys[i]))
+    log(f"  final loss {float(loss):.4f}")
+
+    fwd = make_eval_forward(model)
+    mean_j, std_j = jnp.asarray(mean), jnp.asarray(std)
+    # One batched val featurize+score per tier (val recordings equal-length).
+    val_batch = np.stack([w[:, None] for w in val_w])  # (n_val, samples, 1) f32
+
+    staged_val = jax.device_put(val_batch)
+
+    def tier_scores(name):
+        prec = dict(TIERS)[name]
+
+        @jax.jit  # the pallas featurizer must run under jit on this backend
+        def run(vb):
+            feats = logmel_features_batch(vb, cfg, use_pallas="full",
+                                          pallas_precision=prec)
+            feats = (feats - mean_j) / std_j
+            x = jnp.transpose(feats, (0, 2, 3, 1))
+            return jax.nn.sigmoid(fwd(state.params, state.batch_stats, x))
+
+        return np.asarray(run(staged_val))
+
+    score_rows = {}
+    parity_scores = None
+    for name, _ in TIERS:
+        t0 = time.time()
+        sc = tier_scores(name)
+        if parity_scores is None:
+            parity_scores = sc
+        aps, recs, precs = [], [], []
+        for i, e in enumerate(val_e):
+            ap, r, p = calculate_metrics(sc[i], e)
+            aps.append(ap)
+            recs.append(r)
+            precs.append(p)
+        f1 = float(np.max(f_score(np.mean(recs, axis=0), np.mean(precs, axis=0),
+                                  precision_importance_factor=1)))
+        score_rows[name] = {
+            "val_ap": float(np.mean(aps)),
+            "val_max_f1": f1,
+            "max_sigmoid_dev_vs_parity": float(np.max(np.abs(sc - parity_scores))),
+        }
+        log(f"scores[{name}]: {score_rows[name]} ({time.time() - t0:.1f}s)")
+
+    base_ap = score_rows["parity"]["val_ap"]
+    for name, _ in TIERS:
+        score_rows[name]["d_ap_vs_parity"] = score_rows[name]["val_ap"] - base_ap
+
+    result = {
+        "bench": "fast_featurizer_tiers",
+        "device": str(dev.device_kind),
+        "batch": BATCH,
+        "clip_seconds": CLIP_SECONDS,
+        "protocol": "median-of-5 two-point slopes (benchmarks/protocol.py)",
+        "corpus": {"files": CORPUS_FILES, "seconds": CORPUS_SECONDS,
+                   "train_steps": TRAIN_STEPS, "val_files": n_val},
+        "tiers": {name: {**speed[name], **fidelity[name], **score_rows[name]}
+                  for name, _ in TIERS},
+        "shipped_tiers": {"fast": "fast_bf16x4", "turbo": "turbo_bf16x1"},
+    }
+    out_path = os.path.join(HERE, "FAST_FEATURIZER.json")
+    with open(out_path, "w") as f:
+        json.dump(result, f, indent=1)
+    log(f"wrote {out_path}")
+    fast = result["tiers"]["fast_bf16x4"]
+    print(json.dumps({
+        "metric": "fast_tier_audio_s_per_s",
+        "value": round(fast["audio_s_per_s"]),
+        "unit": "audio-s/s/chip",
+        "speedup_vs_parity": round(fast["speedup_vs_parity"], 3),
+        "d_ap": round(fast["d_ap_vs_parity"], 5),
+        "max_sigmoid_dev": round(fast["max_sigmoid_dev_vs_parity"], 5),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -34,6 +34,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         help="time-axis window (frames) for very long recordings")
     parser.add_argument("--halo", type=int, default=64)
     parser.add_argument("--no_plot", action="store_true", default=False)
+    parser.add_argument("--featurizer_precision", type=str, default="parity",
+                        choices=["parity", "fast", "turbo"],
+                        help="FFT precision tier: parity = golden-tested "
+                             "(default); fast/turbo = reduced-precision "
+                             "serving (benchmarks/FAST_FEATURIZER.json)")
     parser.add_argument("--quantize", choices=["int8"], default=None,
                         help="serve with int8 post-training quantization "
                              "(models/quantize.py); calibrated per file on "
@@ -78,19 +83,24 @@ def load_model_and_state(ckpt_path: str, cfg, batch_hint: int = 1):
 
 
 def predict_file(model, state, audio_path: str, cfg, mean=None, std=None,
-                 window: int = 1024, halo: int = 64, quantize: str = None):
+                 window: int = 1024, halo: int = 64, quantize: str = None,
+                 featurizer_precision=None):
     """Featurize one file and score every frame.
 
     Returns (log_mel (channels, frames, mel), scores (frames', classes)).
     ``quantize='int8'`` scores with the PTQ path (models/quantize.py),
-    calibrated on this file's own features.
+    calibrated on this file's own features.  ``featurizer_precision``:
+    None/'parity' = golden-tested featurizer; 'fast'/'turbo' = opt-in
+    reduced-precision FFT tiers (benchmarks/FAST_FEATURIZER.json).
     """
     import jax
     import jax.numpy as jnp
 
     from sed_tpu.io.audio import read_multichannel_audio
-    from sed_tpu.ops.featurizer import logmel_features
+    from sed_tpu.ops.featurizer import logmel_features, resolve_featurizer_precision
     from sed_tpu.parallel.time_shard import receptive_field, windowed_forward
+
+    prec = resolve_featurizer_precision(featurizer_precision)
 
     if hasattr(model, "model_config"):
         rf = receptive_field(model.model_config)
@@ -100,7 +110,8 @@ def predict_file(model, state, audio_path: str, cfg, mean=None, std=None,
             halo = min_halo
 
     waveform = read_multichannel_audio(audio_path, target_fs=cfg.working_sample_rate, cfg=cfg)
-    log_mel = np.asarray(logmel_features(waveform.astype(np.float32), cfg))
+    log_mel = np.asarray(logmel_features(waveform.astype(np.float32), cfg,
+                                         "auto", "auto", prec))
     feats = log_mel if mean is None else (log_mel - mean) / std
 
     x = jnp.transpose(jnp.asarray(feats), (1, 2, 0))[None]  # (1, frames, mel, channels)
@@ -172,8 +183,9 @@ def main(argv=None):
                     f"--num_devices {args.num_devices} but only "
                     f"{len(jax.devices())} devices are visible")
             mesh = create_mesh(args.num_devices)
-        batch_scores = batch_predict_files(model, state, args.audio_files, cfg,
-                                           mesh=mesh, mean=mean, std=std)
+        batch_scores = batch_predict_files(
+            model, state, args.audio_files, cfg, mesh=mesh, mean=mean,
+            std=std, featurizer_precision=args.featurizer_precision)
 
     for audio_file in args.audio_files:
         print(f"Processing {audio_file}")
@@ -192,6 +204,7 @@ def main(argv=None):
             log_mel, scores = predict_file(
                 model, state, audio_file, cfg, mean, std,
                 window=args.window, halo=args.halo, quantize=args.quantize,
+                featurizer_precision=args.featurizer_precision,
             )
         base = os.path.splitext(os.path.basename(audio_file))[0]
         np.save(os.path.join(args.outputs_dir, f"{base}_scores.npy"), scores)

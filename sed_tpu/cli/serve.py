@@ -50,6 +50,12 @@ def build_arg_parser() -> argparse.ArgumentParser:
     b.add_argument("--use_pallas", type=str, default="auto",
                    help="auto|full|off — featurizer kernel choice "
                         "(auto = full on TPU, XLA elsewhere)")
+    b.add_argument("--featurizer_precision", type=str, default="parity",
+                   choices=["parity", "fast", "turbo"],
+                   help="FFT precision tier baked into the artifact: parity "
+                        "= golden-tested (default); fast/turbo = "
+                        "reduced-precision serving (measured fidelity: "
+                        "benchmarks/FAST_FEATURIZER.json)")
     b.add_argument("--num_devices", type=int, default=1,
                    help="compile a MULTI-DEVICE artifact: the input batch is "
                         "sharded over a data mesh of this many devices and "
@@ -167,7 +173,8 @@ def cmd_build(args) -> None:
 
     t0 = time.time()
     blob = aot_export_pipeline(score_fn, weights, args.batch, samples, cfg,
-                               use_pallas=use_pallas, mesh=mesh)
+                               use_pallas=use_pallas, mesh=mesh,
+                               featurizer_precision=args.featurizer_precision)
     build_s = time.time() - t0
     with open(args.out, "wb") as f:
         f.write(blob)
@@ -177,6 +184,7 @@ def cmd_build(args) -> None:
                       "build_seconds": round(build_s, 1),
                       "batch": args.batch, "seconds": args.seconds,
                       "quantize": args.quantize,
+                      "featurizer_precision": args.featurizer_precision,
                       "num_devices": args.num_devices}))
 
 

@@ -50,6 +50,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    help="receptive-field halo (frames, stride-aligned)")
     p.add_argument("--featurizer", type=str, default="auto",
                    help="auto|pallas|xla tick featurizer")
+    p.add_argument("--featurizer_precision", type=str, default="parity",
+                   choices=["parity", "fast", "turbo"],
+                   help="FFT precision tier on the pallas tick path: parity "
+                        "= golden-tested (default); fast/turbo = reduced-"
+                        "precision serving (benchmarks/FAST_FEATURIZER.json)")
     p.add_argument("--num_devices", type=int, default=1,
                    help="shard the pool's slots over a data mesh of this "
                         "many devices (slots must divide evenly)")
@@ -114,6 +119,7 @@ def main(argv=None):
     pool = StreamPool(model, state.params, state.batch_stats, cfg,
                       slots=slots, chunk_samples=chunk, halo=args.halo,
                       mean=mean, std=std, featurizer=args.featurizer,
+                      featurizer_precision=args.featurizer_precision,
                       mesh=mesh)
 
     active = {}           # slot -> file record

@@ -75,6 +75,7 @@ class DeviceStreamingDetector:
         std: Optional[np.ndarray] = None,
         mesh=None,
         featurizer: str = "auto",
+        featurizer_precision=None,
     ):
         """``mesh``: an optional ``jax.sharding.Mesh`` with a 'data' axis —
         the stream batch (rings and chunks) is sharded across its devices and
@@ -84,7 +85,12 @@ class DeviceStreamingDetector:
         ``featurizer``: 'xla' = matmul rFFT in XLA ops; 'pallas' = the fused
         window+rFFT+power+mel kernels (ops/pallas_featurizer.py, <=1e-5 dB
         vs the XLA path on TPU); 'auto' = pallas on TPU at the production
-        nfft, xla elsewhere.  Hardware A/B in STREAMING_TICK.json."""
+        nfft, xla elsewhere.  Hardware A/B in STREAMING_TICK.json.
+
+        ``featurizer_precision``: None/'parity' = golden-tested FFT
+        (default); 'fast'/'turbo' = reduced-precision serving tiers on the
+        Pallas tick path (benchmarks/FAST_FEATURIZER.json); the XLA tick
+        path ignores it."""
         self.cfg = cfg
         self.batch = batch
         self.chunk = int(chunk_samples)
@@ -138,6 +144,9 @@ class DeviceStreamingDetector:
         nfft, mel_bins = cfg.nfft, cfg.mel_bins
         self._featurizer = resolve_tick_featurizer(featurizer, cfg, mesh)
         use_pallas_feat = self._featurizer == "pallas"
+        from sed_tpu.ops.featurizer import resolve_featurizer_precision
+
+        feat_prec = resolve_featurizer_precision(featurizer_precision)
 
         def step(buf, mel_ring, chunk, offs, n_new, write_pos, win_off,
                  e_off, shift):
@@ -159,7 +168,8 @@ class DeviceStreamingDetector:
             if use_pallas_feat:
                 from sed_tpu.ops.pallas_featurizer import logmel_frames_pallas
 
-                lm = logmel_frames_pallas(frames.reshape(B * F, nfft), cfg)
+                lm = logmel_frames_pallas(frames.reshape(B * F, nfft), cfg,
+                                          precision=feat_prec)
             else:
                 x = frames.reshape(B * F, nfft) * window
                 re, im = stft_ops.rfft_matmul_realimag(x, nfft)

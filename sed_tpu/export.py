@@ -149,6 +149,7 @@ def aot_export_pipeline(
     pcm_dtype=jnp.int16,
     use_pallas="auto",
     mesh=None,
+    featurizer_precision=None,
 ) -> bytes:
     """AOT-compile and serialize the FULL serving graph.
 
@@ -163,12 +164,19 @@ def aot_export_pipeline(
     interpret-mode kernels into the artifact.
 
     Returns a pickled artifact loadable by :func:`load_aot_pipeline` in a
-    fresh process with no compilation.
+    fresh process with no compilation.  ``featurizer_precision`` bakes a
+    reduced-precision FFT tier ('fast'/'turbo', see
+    ops/featurizer.py:FEATURIZER_PRECISION_TIERS) into the artifact; the
+    default None compiles the golden-tested parity featurizer.
     """
-    from sed_tpu.ops.featurizer import logmel_features_batch
+    from sed_tpu.ops.featurizer import (logmel_features_batch,
+                                        resolve_featurizer_precision)
+
+    prec = resolve_featurizer_precision(featurizer_precision)
 
     def pipeline(w, x):
-        feats = logmel_features_batch(x, cfg, use_pallas=use_pallas)
+        feats = logmel_features_batch(x, cfg, use_pallas=use_pallas,
+                                      pallas_precision=prec)
         return score_fn(w, feats)
 
     spec = jax.ShapeDtypeStruct((batch, samples, 1), pcm_dtype)

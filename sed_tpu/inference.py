@@ -26,18 +26,26 @@ def make_batch_predictor(
     mesh=None,
     mean: Optional[np.ndarray] = None,
     std: Optional[np.ndarray] = None,
+    featurizer_precision=None,
 ):
     """Build a jitted (params, batch_stats, waveforms) -> scores function.
 
     waveforms: (batch, samples, channels) float32; scores:
     (batch, frames', classes) sigmoid confidences.  With ``mesh`` the batch
-    axis is sharded over the 'data' axis.
+    axis is sharded over the 'data' axis.  ``featurizer_precision``: None /
+    'parity' = the golden-tested featurizer; 'fast' / 'turbo' = opt-in
+    reduced-precision FFT serving tiers (hardware fidelity record:
+    benchmarks/FAST_FEATURIZER.json).
     """
+    from sed_tpu.ops.featurizer import resolve_featurizer_precision
+
+    prec = resolve_featurizer_precision(featurizer_precision)
     mean_arr = None if mean is None else jnp.asarray(np.asarray(mean, np.float32))
     std_arr = None if std is None else jnp.asarray(np.asarray(std, np.float32))
 
     def forward(params, batch_stats, waveforms):
-        feats = logmel_features_batch(waveforms, cfg)        # (B, C, T, M)
+        feats = logmel_features_batch(waveforms, cfg,
+                                      pallas_precision=prec)  # (B, C, T, M)
         if mean_arr is not None:
             feats = (feats - mean_arr) / std_arr
         x = jnp.transpose(feats, (0, 2, 3, 1))               # NHWC
@@ -59,6 +67,7 @@ def batch_predict_files(
     mesh=None,
     mean=None,
     std=None,
+    featurizer_precision=None,
 ):
     """Read many audio files, group by equal sample length, and score each.
 
@@ -68,7 +77,8 @@ def batch_predict_files(
     """
     from sed_tpu.io.audio import read_multichannel_audio
 
-    predictor = make_batch_predictor(model, cfg, mesh, mean, std)
+    predictor = make_batch_predictor(model, cfg, mesh, mean, std,
+                                     featurizer_precision=featurizer_precision)
     by_len = {}
     for path in audio_paths:
         wav = read_multichannel_audio(path, target_fs=cfg.working_sample_rate, cfg=cfg)

@@ -27,6 +27,43 @@ from sed_tpu.ops import stft as stft_ops
 
 FftImpl = Literal["fft", "matmul", "auto"]
 
+# Serving precision tiers for the fused Pallas featurizer's FFT matmuls
+# (the mel stage is always bf16x4 — hardware-measured safe for its
+# all-positive accumulation; see ops/pallas_featurizer.py:_make_dot).
+#
+#   'parity' — Precision.HIGHEST FFT: the golden-tested default,
+#              <=1e-5 dB vs the float64 oracle on TPU.  NEVER change this
+#              default (CLAUDE.md pins the FFT precision tier).
+#   'fast'   — whole-kernel bf16x4 split-operand: ~1.9e-4 dB on tonal
+#              signals (just over the 1e-4 parity budget), opt-in for
+#              serving; fidelity + speed measured on hardware in
+#              benchmarks/FAST_FEATURIZER.json.
+#   'turbo'  — single-pass bf16 matmuls: fastest, largest error; serving
+#              use only where the measured score deviation is acceptable.
+FEATURIZER_PRECISION_TIERS = {
+    "parity": None,
+    "fast": "bf16x4",
+    "turbo": "bf16x1",
+}
+
+
+def resolve_featurizer_precision(tier):
+    """Map a user-facing tier name to a ``pallas_precision`` value.
+
+    Accepts None (parity), a tier name from FEATURIZER_PRECISION_TIERS, or a
+    raw precision string ('bf16x1'/'bf16x3'/'bf16x4'/'bf16x6') for
+    benchmarking.  The XLA (non-Pallas) featurizer path ignores the value.
+    """
+    if tier is None:
+        return None
+    if tier in FEATURIZER_PRECISION_TIERS:
+        return FEATURIZER_PRECISION_TIERS[tier]
+    if tier in ("bf16x1", "bf16x3", "bf16x4", "bf16x6"):
+        return tier
+    raise ValueError(
+        f"unknown featurizer precision tier {tier!r}: expected one of "
+        f"{sorted(FEATURIZER_PRECISION_TIERS)} or a raw bf16xN string")
+
 
 def resolve_pallas(use_pallas, cfg: SpectrogramConfig = DEFAULT_SPECTROGRAM):
     """'auto' -> the fully fused Pallas path on TPU, plain XLA elsewhere.

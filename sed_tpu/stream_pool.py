@@ -76,6 +76,7 @@ class StreamPool:
         std: Optional[np.ndarray] = None,
         mesh=None,
         featurizer: str = "auto",
+        featurizer_precision=None,
     ):
         self.cfg = cfg
         self.slots = int(slots)
@@ -125,6 +126,9 @@ class StreamPool:
 
         self._featurizer = resolve_tick_featurizer(featurizer, cfg, mesh)
         use_pallas_feat = self._featurizer == "pallas"
+        from sed_tpu.ops.featurizer import resolve_featurizer_precision
+
+        feat_prec = resolve_featurizer_precision(featurizer_precision)
 
         def step(buf, mel_ring, chunk, offs, n_new, write_pos, win_off,
                  e_off, shift):
@@ -148,7 +152,8 @@ class StreamPool:
             if use_pallas_feat:
                 from sed_tpu.ops.pallas_featurizer import logmel_frames_pallas
 
-                lm = logmel_frames_pallas(frames.reshape(B * F, nfft), cfg)
+                lm = logmel_frames_pallas(frames.reshape(B * F, nfft), cfg,
+                                          precision=feat_prec)
             else:
                 x = frames.reshape(B * F, nfft) * window
                 re, im = stft_ops.rfft_matmul_realimag(x, nfft)

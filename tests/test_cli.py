@@ -330,8 +330,11 @@ def test_serve_cli_build_and_run(film_clap_root, tmp_path):
     # Multi-device artifact (--num_devices 2 over the virtual CPU mesh):
     # same scores as the single-device artifact.
     artifact2 = str(tmp_path / "serving_2dev.aot")
+    # --featurizer_precision plumbs through build; on the XLA (CPU) path the
+    # tier is a no-op, so scores must stay identical to the parity artifact.
     serve_main(["build", "--ckpt", ckpt, "--out", artifact2,
                 "--batch", "2", "--seconds", "3", "--use_pallas", "off",
+                "--featurizer_precision", "fast",
                 "--num_devices", "2"])
     out_dir2 = str(tmp_path / "serve_out_2dev")
     serve_main(["run", "--artifact", artifact2, "--outputs_dir", out_dir2]
@@ -351,6 +354,7 @@ def test_serve_cli_build_and_run(film_clap_root, tmp_path):
                         "--device", "cpu", "--batch", "--no_plot"])
     infer_main(clips + ["--ckpt", ckpt, "--outputs_dir", inf_mesh,
                         "--device", "cpu", "--batch", "--no_plot",
+                        "--featurizer_precision", "fast",  # no-op on XLA path
                         "--num_devices", "8"])
     for w in clips:
         base = os.path.splitext(os.path.basename(w))[0] + "_scores.npy"

@@ -149,3 +149,38 @@ def test_int16_frames_path_exact():
     b = np.asarray(logmel_frames_pallas(
         jnp.asarray(pcm.astype(np.float32) / 32768.0), cfg, interpret=True))
     np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_featurizer_precision_tiers():
+    """Serving precision tiers ('fast'/'turbo') run through the fused
+    featurizer and stay close to parity.
+
+    CPU interpret mode executes DEFAULT-precision dots in f32, so the loose
+    tolerance here pins the tier plumbing + split-operand algebra only; the
+    hardware speed/fidelity record is benchmarks/FAST_FEATURIZER.json."""
+    import numpy as np
+
+    from sed_tpu.configs import SpectrogramConfig
+    from sed_tpu.ops.featurizer import (FEATURIZER_PRECISION_TIERS,
+                                        resolve_featurizer_precision)
+    from sed_tpu.ops.pallas_featurizer import logmel_waveform_pallas
+
+    assert resolve_featurizer_precision(None) is None
+    assert resolve_featurizer_precision("parity") is None
+    assert resolve_featurizer_precision("fast") == "bf16x4"
+    assert resolve_featurizer_precision("bf16x3") == "bf16x3"
+    with pytest.raises(ValueError):
+        resolve_featurizer_precision("warp9")
+
+    cfg = SpectrogramConfig(working_sample_rate=8000, time_margin=0.33)
+    rng = np.random.default_rng(0)
+    sig = (0.3 * rng.standard_normal((1, 10 * cfg.working_sample_rate))).astype(np.float32)
+    ref = np.asarray(logmel_waveform_pallas(jnp.asarray(sig), cfg, interpret=True))
+    for tier in ("fast", "turbo"):
+        prec = FEATURIZER_PRECISION_TIERS[tier]
+        got = np.asarray(logmel_waveform_pallas(jnp.asarray(sig), cfg,
+                                                interpret=True, precision=prec))
+        assert got.shape == ref.shape, tier
+        # bf16 operand splits round through bfloat16 even on CPU; the FFT's
+        # cancellation-heavy sums amplify that, so the bound is loose.
+        assert np.max(np.abs(got - ref)) < 0.3, tier
