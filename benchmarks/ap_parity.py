@@ -182,28 +182,14 @@ def torch_train_and_eval(xs, ys, val_f, val_e, lr: float, log=print):
 
 
 def torch_params_to_flax(init_sd, n_blocks: int):
-    """Map the reference state_dict into flax {params, batch_stats} trees."""
-    params, stats = {}, {}
-    for i in range(n_blocks):
-        blk, bs = {}, {}
-        for j, (conv, bn) in enumerate((("conv1", "bn1"), ("conv2", "bn2"))):
-            w = init_sd[f"conv_blocks.{i}.{conv}.weight"].numpy()
-            blk[f"Conv_{j}"] = {"kernel": np.transpose(w, (2, 3, 1, 0))}
-            blk[f"BatchNorm_{j}"] = {
-                "scale": init_sd[f"conv_blocks.{i}.{bn}.weight"].numpy(),
-                "bias": init_sd[f"conv_blocks.{i}.{bn}.bias"].numpy(),
-            }
-            bs[f"BatchNorm_{j}"] = {
-                "mean": init_sd[f"conv_blocks.{i}.{bn}.running_mean"].numpy(),
-                "var": init_sd[f"conv_blocks.{i}.{bn}.running_var"].numpy(),
-            }
-        params[f"ConvBlock_{i}"] = blk
-        stats[f"ConvBlock_{i}"] = bs
-    params["Dense_0"] = {
-        "kernel": init_sd["event_fc.weight"].numpy().T,
-        "bias": init_sd["event_fc.bias"].numpy(),
-    }
-    return params, stats
+    """Map the reference state_dict into flax {params, batch_stats} trees.
+
+    Delegates to the SHIPPED converter (sed_tpu/train/torch_import.py) so the
+    parity this harness measures certifies the user-facing checkpoint
+    importer, not a private copy."""
+    from sed_tpu.train.torch_import import cnn_avg_pooling_from_torch
+
+    return cnn_avg_pooling_from_torch(init_sd, n_blocks)
 
 
 # ---------------------------------------------------------------------------

@@ -41,44 +41,12 @@ sys.path.insert(0, REPO)
 def torch_mobilenet_to_flax(sd):
     """Map the reference MobileNetV1 state_dict into flax {params, batch_stats}.
 
-    Reference blocks: ``features.0`` = conv_bn (indices: 0 conv, 2 bn);
-    ``features.1..12`` = conv_dw (0 depthwise conv, 2 bn, 4 pointwise conv,
-    5 bn).  Flax modules: ``_ConvBN_0`` then ``_ConvDW_0.._ConvDW_11``
-    (models/cnn.py MOBILENET_STACK).
-    """
+    Delegates to the SHIPPED converter (sed_tpu/train/torch_import.py) so the
+    parity this harness measures certifies the user-facing checkpoint
+    importer, not a private copy."""
+    from sed_tpu.train.torch_import import mobilenet_from_torch
 
-    def conv(w):  # OIHW -> HWIO
-        return {"kernel": np.transpose(w.numpy(), (2, 3, 1, 0))}
-
-    def bn(prefix):
-        return (
-            {"scale": sd[f"{prefix}.weight"].numpy(),
-             "bias": sd[f"{prefix}.bias"].numpy()},
-            {"mean": sd[f"{prefix}.running_mean"].numpy(),
-             "var": sd[f"{prefix}.running_var"].numpy()},
-        )
-
-    params, stats = {}, {}
-    p, s = bn("features.0.2")
-    params["_ConvBN_0"] = {"Conv_0": conv(sd["features.0.0.weight"]),
-                           "BatchNorm_0": p}
-    stats["_ConvBN_0"] = {"BatchNorm_0": s}
-    for i in range(1, 13):
-        name = f"_ConvDW_{i - 1}"
-        p0, s0 = bn(f"features.{i}.2")
-        p1, s1 = bn(f"features.{i}.5")
-        params[name] = {
-            "Conv_0": conv(sd[f"features.{i}.0.weight"]),
-            "BatchNorm_0": p0,
-            "Conv_1": conv(sd[f"features.{i}.4.weight"]),
-            "BatchNorm_1": p1,
-        }
-        stats[name] = {"BatchNorm_0": s0, "BatchNorm_1": s1}
-    params["Dense_0"] = {"kernel": sd["fc1.weight"].numpy().T,
-                         "bias": sd["fc1.bias"].numpy()}
-    params["Dense_1"] = {"kernel": sd["fc_audioset.weight"].numpy().T,
-                         "bias": sd["fc_audioset.bias"].numpy()}
-    return params, stats
+    return mobilenet_from_torch(sd)
 
 
 def run(classes_num: int = 1, frames: int = 240, mel: int = 64,
