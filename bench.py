@@ -126,17 +126,21 @@ def main() -> None:
 
     full_ab = os.environ.get("SED_BENCH_FULL", "") == "1"
 
-    # Fast mode (FFT at bf16x4, <=2e-4 dB) via the public featurizer API.
+    # Fast serving tier via the public featurizer API ('fast' = bf16x3 FFT;
+    # measured record: benchmarks/FAST_FEATURIZER.json).
+    from sed_tpu.ops.featurizer import FEATURIZER_PRECISION_TIERS
+
     def fast_body(waveforms_i16):
-        feats = logmel_features_batch(waveforms_i16, cfg, use_pallas="full",
-                                      pallas_precision="bf16x4")
+        feats = logmel_features_batch(
+            waveforms_i16, cfg, use_pallas="full",
+            pallas_precision=FEATURIZER_PRECISION_TIERS["fast"])
         x = jnp.transpose(feats, (0, 2, 3, 1))
         logits = model.apply({"params": params, "batch_stats": batch_stats}, x, train=False)
         return jax.nn.sigmoid(logits)
 
     if full_ab:
         fast_rate = batch * clip_seconds / slope_time(fast_body)["median"]
-        log(f"fast mode (FFT bf16x4, <=2e-4 dB): {fast_rate:.0f} audio-sec/sec")
+        log(f"fast tier (bf16x3 FFT): {fast_rate:.0f} audio-sec/sec")
         # A/B: the pure-XLA featurizer path, same slope methodology.
         xla_rate = batch * clip_seconds / slope_time(xla_pipeline_body)["median"]
         log(f"XLA-featurizer path: {xla_rate:.0f} audio-sec/sec")

@@ -51,9 +51,9 @@ CORPUS_SECONDS = 14.0
 TIERS = [
     ("parity", None),
     ("mixed_hi_x4", (None, "bf16x4")),
-    ("fast_bf16x4", "bf16x4"),
+    ("bf16x4", "bf16x4"),
     ("bf16x3", "bf16x3"),
-    ("turbo_bf16x1", "bf16x1"),
+    ("bf16x1", "bf16x1"),
 ]
 
 
@@ -284,13 +284,16 @@ def main():
                    "train_steps": TRAIN_STEPS, "val_files": n_val},
         "tiers": {name: {**speed[name], **fidelity[name], **score_rows[name]}
                   for name, _ in TIERS},
-        "shipped_tiers": {"fast": "fast_bf16x4", "turbo": "turbo_bf16x1"},
+        # 'fast' ships as bf16x3: the first run of this bench measured it
+        # strictly better than bf16x4 (9.63 vs 10.97 ms at the same
+        # fidelity class — the al@bl term buys nothing measurable).
+        "shipped_tiers": {"fast": "bf16x3", "turbo": "bf16x1"},
     }
     out_path = os.path.join(HERE, "FAST_FEATURIZER.json")
     with open(out_path, "w") as f:
         json.dump(result, f, indent=1)
     log(f"wrote {out_path}")
-    fast = result["tiers"]["fast_bf16x4"]
+    fast = result["tiers"]["bf16x3"]
     print(json.dumps({
         "metric": "fast_tier_audio_s_per_s",
         "value": round(fast["audio_s_per_s"]),

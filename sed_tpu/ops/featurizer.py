@@ -30,19 +30,24 @@ FftImpl = Literal["fft", "matmul", "auto"]
 # Serving precision tiers for the fused Pallas featurizer's FFT matmuls
 # (the mel stage is always bf16x4 — hardware-measured safe for its
 # all-positive accumulation; see ops/pallas_featurizer.py:_make_dot).
+# Hardware ladder (v5e, 16x60 s pipeline; benchmarks/FAST_FEATURIZER.json):
 #
 #   'parity' — Precision.HIGHEST FFT: the golden-tested default,
 #              <=1e-5 dB vs the float64 oracle on TPU.  NEVER change this
 #              default (CLAUDE.md pins the FFT precision tier).
-#   'fast'   — whole-kernel bf16x4 split-operand: ~1.9e-4 dB on tonal
-#              signals (just over the 1e-4 parity budget), opt-in for
-#              serving; fidelity + speed measured on hardware in
-#              benchmarks/FAST_FEATURIZER.json.
-#   'turbo'  — single-pass bf16 matmuls: fastest, largest error; serving
-#              use only where the measured score deviation is acceptable.
+#   'fast'   — bf16x3 split-operand: 1.27x end-to-end (99.7k vs 78.6k
+#              audio-s/s); feature error <=2.3e-5 dB on broadband noise,
+#              up to ~0.5 dB only in near-floor bins of dense tonal
+#              content; score-level: 0 measured sigmoid deviation, AP
+#              unchanged on the synthetic corpus.  (bf16x4 measured
+#              STRICTLY WORSE: slower with the same fidelity class.)
+#   'turbo'  — single-pass bf16 matmuls: 1.71x (134.0k audio-s/s); noise
+#              error 0.016 dB, floor bins of tonal content off by tens of
+#              dB, max sigmoid deviation 6.2e-4 (10x inside the 0.006 int8
+#              serving budget), AP unchanged.
 FEATURIZER_PRECISION_TIERS = {
     "parity": None,
-    "fast": "bf16x4",
+    "fast": "bf16x3",
     "turbo": "bf16x1",
 }
 
@@ -181,7 +186,9 @@ def logmel_features(
     (window+rFFT+power in one VMEM-resident kernel + folded-filterbank mel
     kernel) — measured ~1.4x faster end to end than the XLA path on TPU v5e
     at <1e-4 dB parity.  ``pallas_precision``: None = parity mode;
-    'bf16x4' = the fast FFT mode (<=2e-4 dB on tonal signals).
+    'bf16x3'/'bf16x1' = the fast/turbo serving tiers (measured record:
+    benchmarks/FAST_FEATURIZER.json; tier names resolve via
+    :func:`resolve_featurizer_precision`).
     """
     chans_first = jnp.swapaxes(waveform, 0, 1)
 

@@ -179,9 +179,12 @@ def _make_dot(precision):
     x4 adds the al@bl term.  A 2-way split covers only ~16 mantissa bits, so
     accuracy is workload-dependent: sufficient for the ALL-POSITIVE mel
     accumulation (hardware-measured 2.2e-5 dB with the FFT at HIGHEST) but
-    NOT for the FFT's cancellation-heavy sums on tonal spectra (1.9e-4 dB,
-    above the 1e-4 budget) — the FFT kernel therefore defaults to HIGHEST
-    (the full 3-way split) and offers bf16x4 only as an explicit fast mode.
+    NOT for the FFT's cancellation-heavy sums on tonal spectra (1.9e-4 dB
+    on the parity-sweep tonal family; up to ~0.5 dB in near-floor bins of
+    dense sum-of-sines content, FAST_FEATURIZER.json) — the FFT kernel
+    therefore defaults to HIGHEST and offers the split tiers only as
+    explicit serving modes ('fast' = bf16x3, which measured strictly
+    faster than bf16x4 at the same fidelity class; 'turbo' = bf16x1).
     """
     if precision == "bf16x1":
         # Single-pass bf16 matmul — NOT accurate enough for any production
@@ -1669,8 +1672,9 @@ def logmel_waveform_pallas(
     skips the pad pre-pass (also slower, see
     :func:`stft_power_from_waveform_pallas`).  All impls keep framing
     traffic out of HBM — no (frames, n_fft) array ever exists there.
-    ``precision=None`` = HIGHEST (parity); 'bf16x4' = fast mode (<=2e-4 dB
-    on tonal content)."""
+    ``precision=None`` = HIGHEST (parity); 'bf16x3'/'bf16x1' = the
+    fast/turbo serving tiers (1.27x/1.71x end-to-end, score-fidelity record
+    in benchmarks/FAST_FEATURIZER.json)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     # NOTE the frame trim happens AFTER the mel kernel on every path below:
@@ -1774,10 +1778,13 @@ def stft_power_pallas(
 
     Default precision HIGHEST: the FFT's cancellation-heavy sums need the full
     3-way mantissa split (6 bf16 passes) to stay under 1e-4 dB on tonal
-    signals — a 2-way split (precision='bf16x4', the fast mode) measures
-    1.9e-4 dB there but is ~3x faster; pass it explicitly for throughput-first
-    workloads.  The mel kernel, by contrast, is accumulation-friendly and runs
-    bf16x4 by default (2.2e-5 dB measured with FFT at HIGHEST).
+    signals — 2-way splits measure 1.9e-4 dB on the parity-sweep tonal
+    family and up to ~0.5 dB in near-floor bins of dense sum-of-sines
+    content, but their SCORE-level deviation is <=2.6e-5 sigmoid
+    (FAST_FEATURIZER.json); pass 'bf16x3' (fast) or 'bf16x1' (turbo)
+    explicitly for throughput-first serving.  The mel kernel, by contrast,
+    is accumulation-friendly and runs bf16x4 by default (2.2e-5 dB measured
+    with FFT at HIGHEST).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"  # CPU fallback for tests
@@ -1833,8 +1840,8 @@ def logmel_frames_pallas(
     Kernel 1: window+rFFT+power (VMEM-resident butterflies).
     Kernel 2: K-tiled MXU mel matmul over the hermitian-folded filterbank with
     the 10*log10 epilogue.
-    ``precision``: None = parity mode (FFT at HIGHEST); 'bf16x4' = fast mode
-    (~3x faster FFT, <=2e-4 dB on tonal signals).
+    ``precision``: None = parity mode (FFT at HIGHEST); 'bf16x3'/'bf16x1' =
+    the fast/turbo serving tiers (benchmarks/FAST_FEATURIZER.json).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"

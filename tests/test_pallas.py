@@ -167,7 +167,7 @@ def test_featurizer_precision_tiers():
 
     assert resolve_featurizer_precision(None) is None
     assert resolve_featurizer_precision("parity") is None
-    assert resolve_featurizer_precision("fast") == "bf16x4"
+    assert resolve_featurizer_precision("fast") == "bf16x3"
     assert resolve_featurizer_precision("bf16x3") == "bf16x3"
     with pytest.raises(ValueError):
         resolve_featurizer_precision("warp9")
