@@ -61,11 +61,12 @@ def main():
 
     # Featurizer A/B: XLA matmul-rFFT tick vs the fused Pallas kernels
     # (featurizer='auto' default picks the winner on TPU).
-    def make_det(featurizer):
+    def make_det(featurizer, precision=None):
         d = DeviceStreamingDetector(model, variables["params"],
                                     variables["batch_stats"], cfg, batch=B,
                                     chunk_samples=chunk, halo=32,
-                                    featurizer=featurizer)
+                                    featurizer=featurizer,
+                                    featurizer_precision=precision)
         # run past startup so the detector is in device mode, steady counters
         outs = []
         for i in range(16):  # enough ticks that emissions exist (> halo)
@@ -148,6 +149,26 @@ def main():
         f"-> ~{capacity:.0f} concurrent real-time streams/chip "
         f"(direct-attached-host projection)")
 
+    # --- reduced-precision serving tiers on the tick featurizer ---
+    # Same score-parity-gate discipline; tolerances are the tier fidelity
+    # bounds from FAST_FEATURIZER.json with headroom ('fast' measured 0
+    # sigmoid deviation, 'turbo' 6.2e-4 on the corpus study).
+    tier_rows = {}
+    for tier, tol in (("fast", 1e-3), ("turbo", 5e-3)):
+        det_t, out_t = make_det("pallas", tier)
+        dev = float(np.abs(out_t - out_x).max())
+        assert dev < tol, f"{tier} tick score deviation {dev} > {tol}"
+        tick_t = measure(det_t._step_fn, det_t._buf, det_t._mel)
+        tier_rows[tier] = {
+            "tick_ms": round(1e3 * tick_t, 4),
+            "streams_per_chip": round(B * CHUNK_SECONDS / tick_t, 0),
+            "speedup_vs_parity_pallas_tick": round(tick_p / tick_t, 3),
+            "max_score_dev_vs_xla_tick": dev,
+        }
+        log(f"{tier}-tier tick: {1e3 * tick_t:.3f} ms "
+            f"({tick_p / tick_t:.2f}x parity pallas, score dev {dev:.2e}) "
+            f"-> ~{tier_rows[tier]['streams_per_chip']:.0f} streams/chip")
+
     # --- lifecycle pool tick (per-slot vmapped schedule, stream_pool.py) ---
     # Same geometry, but every ring slice takes a per-slot offset so streams
     # can join/leave: measures the density cost of lifecycle support.
@@ -223,6 +244,7 @@ def main():
         "pool_tick_device_ms": round(1e3 * ptick, 4),
         "pool_projected_streams_per_chip": round(pcapacity, 0),
         "pool_vs_same_featurizer_lockstep_tick_ratio": round(ptick / tick_p, 3),
+        "precision_tiers": tier_rows,
         "note": "device work only; per-tick int16 upload (96 KB/s/stream) "
                 "and host schedule are negligible on a direct-attached host",
     }
