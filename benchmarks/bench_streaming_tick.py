@@ -156,17 +156,17 @@ def main():
     tier_rows = {}
     for tier, tol in (("fast", 1e-3), ("turbo", 5e-3)):
         det_t, out_t = make_det("pallas", tier)
-        dev = float(np.abs(out_t - out_x).max())
-        assert dev < tol, f"{tier} tick score deviation {dev} > {tol}"
+        sdev = float(np.abs(out_t - out_x).max())
+        assert sdev < tol, f"{tier} tick score deviation {sdev} > {tol}"
         tick_t = measure(det_t._step_fn, det_t._buf, det_t._mel)
         tier_rows[tier] = {
             "tick_ms": round(1e3 * tick_t, 4),
             "streams_per_chip": round(B * CHUNK_SECONDS / tick_t, 0),
             "speedup_vs_parity_pallas_tick": round(tick_p / tick_t, 3),
-            "max_score_dev_vs_xla_tick": dev,
+            "max_score_dev_vs_xla_tick": sdev,
         }
         log(f"{tier}-tier tick: {1e3 * tick_t:.3f} ms "
-            f"({tick_p / tick_t:.2f}x parity pallas, score dev {dev:.2e}) "
+            f"({tick_p / tick_t:.2f}x parity pallas, score dev {sdev:.2e}) "
             f"-> ~{tier_rows[tier]['streams_per_chip']:.0f} streams/chip")
 
     # --- lifecycle pool tick (per-slot vmapped schedule, stream_pool.py) ---
