@@ -274,6 +274,37 @@ def main():
     for name, _ in TIERS:
         score_rows[name]["d_ap_vs_parity"] = score_rows[name]["val_ap"] - base_ap
 
+    # ---- 4. combined max-throughput mode: turbo featurizer + int8 CNN ----
+    # Both serving modes compose on the user surface (serve build
+    # --featurizer_precision turbo --quantize int8); measure the composition
+    # so "fastest supported mode" is a committed number, not an inference.
+    from sed_tpu.models.quantize import quantize_cnn, quantized_scores
+
+    pn, _ = feats["parity"]
+    q = quantize_cnn(model, params, batch_stats,
+                     [np.transpose(pn[:4], (0, 2, 3, 1))])
+
+    def turbo_int8_body(w):
+        f = logmel_features_batch(w, cfg, use_pallas="full",
+                                  pallas_precision="bf16x1")
+        return quantized_scores(q, jnp.transpose(f, (0, 2, 3, 1)))
+
+    s_par = np.asarray(jax.jit(pipelines["parity"])(staged_noise))
+    s_combo = np.asarray(jax.jit(turbo_int8_body)(staged_noise))
+    combo_dev = float(np.max(np.abs(s_combo - s_par)))
+    stats = slope_stats(make_loop_factory(turbo_int8_body), staged_noise,
+                        perturb, iters_pair=(10, 30), n=5)
+    combo = {
+        "ms_per_batch": stats["median"] * 1e3,
+        "audio_s_per_s": BATCH * CLIP_SECONDS / stats["median"],
+        "spread_ms": [stats["min"] * 1e3, stats["max"] * 1e3],
+        "speedup_vs_parity": base_ms / (stats["median"] * 1e3),
+        "max_sigmoid_dev_vs_parity_f32": combo_dev,
+    }
+    log(f"turbo+int8 combined: {combo['ms_per_batch']:.2f} ms/batch "
+        f"({combo['audio_s_per_s']:.0f} audio-s/s, "
+        f"{combo['speedup_vs_parity']:.2f}x, dev {combo_dev:.2e})")
+
     result = {
         "bench": "fast_featurizer_tiers",
         "device": str(dev.device_kind),
@@ -288,6 +319,7 @@ def main():
         # strictly better than bf16x4 (9.63 vs 10.97 ms at the same
         # fidelity class — the al@bl term buys nothing measurable).
         "shipped_tiers": {"fast": "bf16x3", "turbo": "bf16x1"},
+        "turbo_int8_combined": combo,
     }
     out_path = os.path.join(HERE, "FAST_FEATURIZER.json")
     with open(out_path, "w") as f:
