@@ -34,29 +34,42 @@ LANES = 128
 AMIN = 1e-10
 
 
-def _kernel(power_ref, fb_ref, out_ref):
-    k = pl.program_id(1)
+@functools.lru_cache(maxsize=8)
+def _make_mel_kernel(mel_precision: str):
+    """K-streamed mel+log kernel body at the given matmul precision.
 
-    @pl.when(k == 0)
-    def _zero():
-        out_ref[:] = jnp.zeros_like(out_ref)
+    The default 'bf16x4' split-operand matmul (see _make_dot) is
+    well inside the 1e-4 dB budget — at a fraction of HIGHEST's cost.
+    bf16 shares f32's exponent range, so the power spectrum's huge dynamic
+    range survives the hi/lo split exactly.  Lower tiers ('bf16x1') are for
+    the reduced-precision serving ladder only (mel is all-positive
+    accumulation: single-pass bf16 is ~0.4% relative ≈ 0.02 dB — orders
+    below the turbo FFT tier's own error; never the parity default).
+    """
+    mel_dot = _make_dot(mel_precision)
 
-    # bf16x4 split-operand matmul (see _make_dot):
-    # well inside the 1e-4 dB budget — at a fraction of HIGHEST's cost.
-    # bf16 shares f32's exponent range, so the power spectrum's huge dynamic
-    # range survives the hi/lo split exactly.
-    out_ref[:] += _make_dot("bf16x4")(
-        power_ref[:], fb_ref[:], (((1,), (0,)), ((), ()))
-    )
+    def _kernel(power_ref, fb_ref, out_ref):
+        k = pl.program_id(1)
 
-    @pl.when(k == pl.num_programs(1) - 1)
-    def _epilogue():
-        # Precise software log10 — the VPU's hardware log approximation is
-        # ~3e-5 relative, above the 1e-4 dB parity budget (see mel_ops).
-        out_ref[:] = 10.0 * mel_ops.log10_precise(jnp.maximum(out_ref[:], AMIN))
+        @pl.when(k == 0)
+        def _zero():
+            out_ref[:] = jnp.zeros_like(out_ref)
+
+        out_ref[:] += mel_dot(power_ref[:], fb_ref[:], (((1,), (0,)), ((), ())))
+
+        @pl.when(k == pl.num_programs(1) - 1)
+        def _epilogue():
+            # Precise software log10 — the VPU's hardware log approximation
+            # is ~3e-5 relative, above the 1e-4 dB parity budget (see
+            # mel_ops).
+            out_ref[:] = 10.0 * mel_ops.log10_precise(
+                jnp.maximum(out_ref[:], AMIN))
+
+    return _kernel
 
 
-def _kernel_resident_fb(power_ref, fb_ref, out_ref):
+@functools.lru_cache(maxsize=8)
+def _make_mel_kernel_resident_fb(mel_precision: str):
     """Mel+log kernel with the WHOLE filterbank resident in VMEM.
 
     The K-streamed variant above re-fetches each (TILE_K, 128) fb block for
@@ -66,21 +79,25 @@ def _kernel_resident_fb(power_ref, fb_ref, out_ref):
     and only power tiles stream; K is walked with static slices inside the
     kernel.  (Requires vmem_limit_bytes > fb size; used when fb fits.)
     """
-    k = pl.program_id(1)
-    k_tiles = pl.num_programs(1)
+    mel_dot = _make_dot(mel_precision)
 
-    @pl.when(k == 0)
-    def _zero():
-        out_ref[:] = jnp.zeros_like(out_ref)
+    def _kernel_resident_fb(power_ref, fb_ref, out_ref):
+        k = pl.program_id(1)
+        k_tiles = pl.num_programs(1)
 
-    fb_tile = fb_ref[pl.ds(pl.multiple_of(k * TILE_K, 8), TILE_K), :]
-    out_ref[:] += _make_dot("bf16x4")(
-        power_ref[:], fb_tile, (((1,), (0,)), ((), ()))
-    )
+        @pl.when(k == 0)
+        def _zero():
+            out_ref[:] = jnp.zeros_like(out_ref)
 
-    @pl.when(k == k_tiles - 1)
-    def _epilogue():
-        out_ref[:] = 10.0 * mel_ops.log10_precise(jnp.maximum(out_ref[:], AMIN))
+        fb_tile = fb_ref[pl.ds(pl.multiple_of(k * TILE_K, 8), TILE_K), :]
+        out_ref[:] += mel_dot(power_ref[:], fb_tile, (((1,), (0,)), ((), ())))
+
+        @pl.when(k == k_tiles - 1)
+        def _epilogue():
+            out_ref[:] = 10.0 * mel_ops.log10_precise(
+                jnp.maximum(out_ref[:], AMIN))
+
+    return _kernel_resident_fb
 
 
 @functools.lru_cache(maxsize=4)
@@ -1660,6 +1677,7 @@ def logmel_waveform_pallas(
     interpret=None,
     impl: str = "roll",
     precision=None,
+    mel_precision=None,
 ) -> jnp.ndarray:
     """Fully fused featurizer from raw waveforms, framing included:
     (n_signals, samples) -> (n_signals, n_frames, mel_bins).
@@ -1706,21 +1724,28 @@ def logmel_waveform_pallas(
     power = stft_power_from_waveform_pallas(waveforms, cfg, interpret, impl,
                                             precision, trim=False)
     n_signals, rows, n_fft = power.shape
-    mel = _folded_mel_from_power(power.reshape(n_signals * rows, n_fft), cfg, interpret)
+    mel = _folded_mel_from_power(power.reshape(n_signals * rows, n_fft), cfg,
+                                 interpret,
+                                 mel_precision if mel_precision else "bf16x4")
     return mel.reshape(n_signals, rows, cfg.mel_bins)[:, :n_frames_out]
 
 
-def _folded_mel_from_power(power, cfg: SpectrogramConfig, interpret):
+def _folded_mel_from_power(power, cfg: SpectrogramConfig, interpret,
+                           mel_precision="bf16x4"):
     """K-tiled mel+log kernel over the hermitian-folded, layout-matched fb."""
-    return _mel_from_power_fb(power, cfg, interpret, _folded_filterbank)
+    return _mel_from_power_fb(power, cfg, interpret, _folded_filterbank,
+                              mel_precision)
 
 
-def _onesided_mel_from_power(power, cfg: SpectrogramConfig, interpret):
+def _onesided_mel_from_power(power, cfg: SpectrogramConfig, interpret,
+                             mel_precision="bf16x4"):
     """K-tiled mel+log kernel over the one-sided tile-layout fb (packed path)."""
-    return _mel_from_power_fb(power, cfg, interpret, _onesided_tile_filterbank)
+    return _mel_from_power_fb(power, cfg, interpret, _onesided_tile_filterbank,
+                              mel_precision)
 
 
-def _mel_from_power_fb(power, cfg: SpectrogramConfig, interpret, fb_fn):
+def _mel_from_power_fb(power, cfg: SpectrogramConfig, interpret, fb_fn,
+                       mel_precision="bf16x4"):
     rows, k = power.shape
     k_tiles = pl.cdiv(k, TILE_K)
     k_padded = k_tiles * TILE_K
@@ -1734,7 +1759,7 @@ def _mel_from_power_fb(power, cfg: SpectrogramConfig, interpret, fb_fn):
     fb_bytes = k_padded * LANES * 4
     resident = fb_bytes <= 24 * 1024 * 1024
     if resident:
-        kernel = _kernel_resident_fb
+        kernel = _make_mel_kernel_resident_fb(mel_precision)
         fb_spec = pl.BlockSpec((k_padded, LANES), lambda i, j: (0, 0),
                                memory_space=pltpu.VMEM)
         params = pltpu.CompilerParams(
@@ -1742,7 +1767,7 @@ def _mel_from_power_fb(power, cfg: SpectrogramConfig, interpret, fb_fn):
             vmem_limit_bytes=min(fb_bytes + 16 * 1024 * 1024, 100 * 1024 * 1024),
         )
     else:
-        kernel = _kernel
+        kernel = _make_mel_kernel(mel_precision)
         fb_spec = pl.BlockSpec((TILE_K, LANES), lambda i, j: (j, 0),
                                memory_space=pltpu.VMEM)
         params = pltpu.CompilerParams(

@@ -184,3 +184,30 @@ def test_featurizer_precision_tiers():
         # bf16 operand splits round through bfloat16 even on CPU; the FFT's
         # cancellation-heavy sums amplify that, so the bound is loose.
         assert np.max(np.abs(got - ref)) < 0.3, tier
+
+
+def test_mel_precision_plumbing():
+    """The mel stage's matmul precision is parametrizable (measurement
+    record: dropping mel to bf16x1 under the turbo tier bought only ~2.8%
+    with overlapping spreads on hardware — see ROADMAP.md — so every tier
+    ships mel at bf16x4; this pins the kept plumbing and its error bound).
+    """
+    import numpy as np
+
+    from sed_tpu.configs import SpectrogramConfig
+    from sed_tpu.ops.pallas_featurizer import logmel_waveform_pallas
+
+    cfg = SpectrogramConfig(working_sample_rate=8000, time_margin=0.33)
+    rng = np.random.default_rng(1)
+    sig = (0.3 * rng.standard_normal(
+        (1, 10 * cfg.working_sample_rate))).astype(np.float32)
+    ref = np.asarray(logmel_waveform_pallas(jnp.asarray(sig), cfg,
+                                            interpret=True))
+    got = np.asarray(logmel_waveform_pallas(jnp.asarray(sig), cfg,
+                                            interpret=True,
+                                            mel_precision="bf16x1"))
+    assert got.shape == ref.shape
+    d = np.max(np.abs(got - ref))
+    # mel is all-positive accumulation: single-pass bf16 is ~0.4% relative
+    # ~= 0.02 dB (hardware measured 7.4e-3 dB added at the production tile).
+    assert 0.0 < d < 0.05
