@@ -12,7 +12,12 @@ recording at a time; this pipeline scores B recordings per dispatch.
 Protocol: benchmarks/protocol.py (median-of-N two-point slopes; spread kept).
 Run: python benchmarks/bench_batch_scaling.py          (TPU)
 Env: SED_SCALE_BATCHES="16,32,64,128" to override the sweep.
-Writes benchmarks/BATCH_SCALING.json and prints one JSON line.
+     SED_SCALE_TIER=parity (default) | turbo_int8 — the latter sweeps the
+     max-throughput serving mode (bf16x1 FFT featurizer + int8 PTQ CNN,
+     benchmarks/FAST_FEATURIZER.json `turbo_int8_combined`) instead of the
+     golden parity pipeline.
+Writes benchmarks/BATCH_SCALING.json (parity) or
+BATCH_SCALING_TURBO_INT8.json and prints one JSON line.
 """
 
 from __future__ import annotations
@@ -62,12 +67,33 @@ def main():
     batch_stats = variables.get("batch_stats", {})
     use_pallas = "full" if jax.default_backend() == "tpu" else False
 
-    def pipeline_body(w):
-        feats = logmel_features_batch(w, cfg, use_pallas=use_pallas)
-        x = jnp.transpose(feats, (0, 2, 3, 1))
-        logits = model.apply({"params": params, "batch_stats": batch_stats},
-                             x, train=False)
-        return jax.nn.sigmoid(logits)
+    tier = os.environ.get("SED_SCALE_TIER", "parity")
+    if tier not in ("parity", "turbo_int8"):
+        raise SystemExit(f"SED_SCALE_TIER must be parity|turbo_int8, got {tier}")
+
+    if tier == "turbo_int8":
+        # Max-throughput serving mode: bf16x1 FFT tier + int8 PTQ CNN
+        # (same construction as bench_fast_featurizer.py's combined mode).
+        from sed_tpu.models.quantize import quantize_cnn, quantized_scores
+
+        calib_w = jnp.asarray(
+            (np.random.default_rng(7).standard_normal(
+                (4, samples, 1)) * 8000).astype(np.int16))
+        calib_f = logmel_features_batch(calib_w, cfg, use_pallas=use_pallas)
+        q = quantize_cnn(model, params, batch_stats,
+                         [jnp.transpose(calib_f, (0, 2, 3, 1))])
+
+        def pipeline_body(w):
+            feats = logmel_features_batch(w, cfg, use_pallas=use_pallas,
+                                          pallas_precision="bf16x1")
+            return quantized_scores(q, jnp.transpose(feats, (0, 2, 3, 1)))
+    else:
+        def pipeline_body(w):
+            feats = logmel_features_batch(w, cfg, use_pallas=use_pallas)
+            x = jnp.transpose(feats, (0, 2, 3, 1))
+            logits = model.apply({"params": params, "batch_stats": batch_stats},
+                                 x, train=False)
+            return jax.nn.sigmoid(logits)
 
     def make_loop(iters):
         @jax.jit
@@ -125,6 +151,7 @@ def main():
     out = {
         "device_kind": dev.device_kind,
         "clip_seconds": CLIP_SECONDS,
+        "tier": tier,
         "protocol": "median-of-5 two-point slopes (benchmarks/protocol.py)",
         "per_batch": {str(b): results[b] for b in results},
         "errors": {str(b): errors[b] for b in errors},
@@ -134,11 +161,13 @@ def main():
                                / results[batches[0]]["audio_s_per_s"], 3)
         if batches[0] == 16 and batches[0] in results else None,
     }
-    with open(os.path.join(REPO, "benchmarks", "BATCH_SCALING.json"),
-              "w") as f:
+    fname = ("BATCH_SCALING.json" if tier == "parity"
+             else "BATCH_SCALING_TURBO_INT8.json")
+    with open(os.path.join(REPO, "benchmarks", fname), "w") as f:
         json.dump(out, f, indent=2)
     print(json.dumps({
-        "metric": "featurize+infer batch scaling, 60s clips, HBM-resident",
+        "metric": f"featurize+infer batch scaling ({tier}), 60s clips, "
+                  "HBM-resident",
         "value": out["best_audio_s_per_s"],
         "unit": "audio-sec/sec/chip",
         "best_batch": best_b,
