@@ -1,0 +1,167 @@
+"""Event-based evaluation: onset/offset-matched precision/recall/F-score.
+
+The reference evaluates only at the FRAME level (utils/metric_utils.py:4-37,
+reproduced exactly in sed_tpu/utils/metrics.py).  For an event detector the
+community-standard complement is the DCASE event-based measure (sed_eval's
+"event-based metrics", Mesaros et al. 2016): a predicted event counts as a
+true positive when its onset lies within a collar of a ground-truth onset
+and, optionally, its offset within ``max(collar, offset_ratio * gt_length)``
+of the ground-truth offset; each ground-truth event may be matched at most
+once.
+
+This evaluates the full serving pipeline — scores through
+``events_post.extract_events`` — on the quantity users of the FilmClap
+use-case actually consume (event times, reference dataset_utils.py:13-39),
+rather than per-frame paint.
+
+Pure NumPy on host: the event lists are tiny; this has no business on the
+accelerator.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Sequence, Tuple
+
+import numpy as np
+
+Interval = Tuple[float, float]  # (start_sec, end_sec)
+
+
+def match_events(
+    ref: Sequence[Interval],
+    est: Sequence[Interval],
+    onset_collar: float = 0.2,
+    offset_collar: float = 0.2,
+    offset_ratio: float = 0.2,
+    match_offset: bool = True,
+) -> List[Tuple[int, int]]:
+    """Greedy onset-ordered matching of estimated to reference events.
+
+    An (est, ref) pair is compatible when ``|est_on - ref_on| <=
+    onset_collar`` and, if ``match_offset``, ``|est_off - ref_off| <=
+    max(offset_collar, offset_ratio * ref_length)`` (sed_eval's offset
+    condition).  Events are scanned in onset order and each side is matched
+    at most once — the standard sed_eval strategy.  Returns matched index
+    pairs ``(est_idx, ref_idx)``.
+    """
+    ref_order = sorted(range(len(ref)), key=lambda i: ref[i][0])
+    est_order = sorted(range(len(est)), key=lambda i: est[i][0])
+    matched_ref: set = set()
+    pairs: List[Tuple[int, int]] = []
+    for ei in est_order:
+        e_on, e_off = est[ei]
+        for ri in ref_order:
+            if ri in matched_ref:
+                continue
+            r_on, r_off = ref[ri]
+            if abs(e_on - r_on) > onset_collar:
+                continue
+            if match_offset:
+                tol = max(offset_collar, offset_ratio * (r_off - r_on))
+                if abs(e_off - r_off) > tol:
+                    continue
+            matched_ref.add(ri)
+            pairs.append((ei, ri))
+            break
+    return pairs
+
+
+def event_based_metrics(
+    ref: Sequence[Interval],
+    est: Sequence[Interval],
+    onset_collar: float = 0.2,
+    offset_collar: float = 0.2,
+    offset_ratio: float = 0.2,
+    match_offset: bool = True,
+) -> Dict[str, float]:
+    """Event-based P/R/F1 for one class of one (or one pooled) recording.
+
+    Degenerate conventions follow the house frame-metric style
+    (utils/metrics.py; reference metric_utils.py:30-31): recall := 1 when
+    there are no reference events, precision := 1 when there are no
+    estimated events.
+    """
+    pairs = match_events(ref, est, onset_collar, offset_collar,
+                         offset_ratio, match_offset)
+    tp = len(pairs)
+    fp = len(est) - tp
+    fn = len(ref) - tp
+    recall = tp / len(ref) if ref else 1.0
+    precision = tp / len(est) if est else 1.0
+    f1 = (2 * precision * recall / (precision + recall)
+          if precision + recall > 0 else 0.0)
+    return {"tp": tp, "fp": fp, "fn": fn,
+            "precision": precision, "recall": recall, "f1": f1}
+
+
+def event_metrics_from_scores(
+    scores: np.ndarray,
+    ref_start_times: Sequence[float],
+    ref_end_times: Sequence[float],
+    frames_per_second: float,
+    threshold: float = 0.5,
+    min_duration: float = 0.0,
+    merge_gap: float = 0.0,
+    onset_collar: float = 0.2,
+    offset_collar: float = 0.2,
+    offset_ratio: float = 0.2,
+    match_offset: bool = True,
+    class_index: int = 0,
+) -> Dict[str, float]:
+    """End-to-end: ``(frames, classes)`` sigmoid scores + ground-truth event
+    times (the parser format of io/tau.py / io/film_clap.py) -> event-based
+    metrics for ``class_index``, with extraction via
+    events_post.extract_events."""
+    from sed_tpu.utils.events_post import extract_events
+
+    est_full = extract_events(np.asarray(scores), frames_per_second,
+                              threshold=threshold, min_duration=min_duration,
+                              merge_gap=merge_gap)[class_index]
+    est = [(s, e) for s, e, _ in est_full]
+    ref = list(zip(ref_start_times, ref_end_times))
+    return event_based_metrics(ref, est, onset_collar, offset_collar,
+                               offset_ratio, match_offset)
+
+
+def event_metrics_from_matrices(
+    scores: np.ndarray,
+    event_matrix: np.ndarray,
+    frames_per_second: float,
+    threshold: float = 0.5,
+    onset_collar: float | None = None,
+    **kwargs,
+) -> Dict[str, float]:
+    """Micro-averaged event metrics from ``(frames, classes)`` scores and a
+    rasterized 0/1 ground-truth matrix (data/events.py create_event_matrix
+    output — what the eval loop's validation sampler yields).
+
+    Ground-truth intervals are recovered from the matrix runs, so onsets are
+    quantized to the frame grid; ``onset_collar`` therefore defaults to one
+    frame period (1/fps — larger than the DCASE 0.2 s at the reference's
+    3 fps) instead of the raw-times default.
+    """
+    from sed_tpu.utils.events_post import _runs, extract_events
+
+    scores = np.asarray(scores)
+    gt = np.asarray(event_matrix)
+    if gt.shape != scores.shape:
+        raise ValueError(f"shape mismatch: scores {scores.shape} vs "
+                         f"event matrix {gt.shape}")
+    fps = float(frames_per_second)
+    collar = (1.0 / fps) if onset_collar is None else onset_collar
+    kwargs.setdefault("offset_collar", collar)
+    est_all = extract_events(scores, fps, threshold=threshold)
+    tot = {"tp": 0, "fp": 0, "fn": 0}
+    for c in range(scores.shape[1]):
+        ref = [(s / fps, e / fps) for s, e in _runs(gt[:, c] >= 0.5)]
+        est = [(s, e) for s, e, _ in est_all[c]]
+        m = event_based_metrics(ref, est, onset_collar=collar, **kwargs)
+        for k in tot:
+            tot[k] += m[k]
+    n_ref = tot["tp"] + tot["fn"]
+    n_est = tot["tp"] + tot["fp"]
+    precision = tot["tp"] / n_est if n_est else 1.0
+    recall = tot["tp"] / n_ref if n_ref else 1.0
+    f1 = (2 * precision * recall / (precision + recall)
+          if precision + recall > 0 else 0.0)
+    return {**tot, "precision": precision, "recall": recall, "f1": f1}

@@ -1,0 +1,106 @@
+"""Event-based (onset/offset collar) metrics: matching rules + pipeline."""
+
+import numpy as np
+
+from sed_tpu.utils.event_metrics import (
+    event_metrics_from_matrices,
+    event_based_metrics,
+    event_metrics_from_scores,
+    match_events,
+)
+
+
+def test_exact_match():
+    ref = [(1.0, 2.0), (5.0, 6.0)]
+    m = event_based_metrics(ref, list(ref))
+    assert m["tp"] == 2 and m["fp"] == 0 and m["fn"] == 0
+    assert m["precision"] == m["recall"] == m["f1"] == 1.0
+
+
+def test_onset_collar_boundary():
+    ref = [(1.0, 2.0)]
+    # onset off by 0.19 s: inside the default 0.2 s collar
+    assert event_based_metrics(ref, [(1.19, 2.0)])["tp"] == 1
+    # onset off by 0.30 s: outside
+    m = event_based_metrics(ref, [(1.30, 2.0)])
+    assert m["tp"] == 0 and m["fp"] == 1 and m["fn"] == 1
+
+
+def test_offset_tolerance_scales_with_event_length():
+    # 10 s event: offset tolerance = max(0.2, 0.2 * 10) = 2 s
+    ref = [(0.0, 10.0)]
+    assert event_based_metrics(ref, [(0.1, 8.5)])["tp"] == 1   # off by 1.5 s
+    assert event_based_metrics(ref, [(0.1, 7.0)])["tp"] == 0   # off by 3 s
+    # short event keeps the absolute 0.2 s floor
+    ref = [(1.0, 1.3)]
+    assert event_based_metrics(ref, [(1.0, 1.45)])["tp"] == 1
+    assert event_based_metrics(ref, [(1.0, 1.6)])["tp"] == 0
+
+
+def test_onset_only_mode():
+    ref = [(1.0, 2.0)]
+    est = [(1.1, 9.0)]  # wildly wrong offset
+    assert event_based_metrics(ref, est)["tp"] == 0
+    assert event_based_metrics(ref, est, match_offset=False)["tp"] == 1
+
+
+def test_each_reference_matched_once():
+    ref = [(1.0, 2.0)]
+    est = [(0.95, 2.0), (1.05, 2.0)]  # both inside the collar
+    m = event_based_metrics(ref, est)
+    assert m["tp"] == 1 and m["fp"] == 1 and m["fn"] == 0
+
+
+def test_degenerate_conventions_match_house_style():
+    # no reference events: recall := 1 (precision penalizes false alarms)
+    m = event_based_metrics([], [(1.0, 2.0)])
+    assert m["recall"] == 1.0 and m["precision"] == 0.0
+    # no estimated events: precision := 1
+    m = event_based_metrics([(1.0, 2.0)], [])
+    assert m["precision"] == 1.0 and m["recall"] == 0.0
+    # both empty: perfect
+    m = event_based_metrics([], [])
+    assert m["f1"] == 1.0
+
+
+def test_greedy_matching_is_onset_ordered():
+    # two refs, two ests — each est can only reach its own ref
+    ref = [(1.0, 2.0), (1.3, 2.3)]
+    est = [(1.35, 2.3), (1.05, 2.0)]
+    pairs = match_events(ref, est)
+    assert sorted(pairs) == [(0, 1), (1, 0)]
+
+
+def test_event_metrics_from_scores_pipeline():
+    # 3 fps scores with one active run at frames 6..11 -> event (2.0, 4.0) s
+    fps = 3.0
+    scores = np.zeros((30, 1), np.float32)
+    scores[6:12, 0] = 0.9
+    m = event_metrics_from_scores(scores, [2.1], [3.9], fps, threshold=0.5)
+    assert m["tp"] == 1 and m["fp"] == 0 and m["fn"] == 0
+
+    # shifted ground truth far from the prediction: miss + false alarm
+    m = event_metrics_from_scores(scores, [5.0], [6.0], fps, threshold=0.5)
+    assert m["tp"] == 0 and m["fp"] == 1 and m["fn"] == 1
+
+
+def test_event_metrics_from_matrices_micro_average():
+    from sed_tpu.data.events import create_event_matrix
+    from sed_tpu.configs import SpectrogramConfig
+
+    cfg = SpectrogramConfig(tau_sed_labels=("a", "b"))
+    fps = cfg.frames_per_second
+    gt = create_event_matrix(30, [2.0], [4.0], cfg)  # paints ALL columns
+    scores = np.zeros((30, 2), np.float32)
+    # class 0: matches the GT run; class 1: silent (misses its GT run)
+    s = int(round(2.0 * fps))
+    e = int(round(4.0 * fps)) + 1
+    scores[s:e, 0] = 0.9
+    m = event_metrics_from_matrices(scores, gt, fps)
+    assert m["tp"] == 1 and m["fn"] == 1 and m["fp"] == 0
+    assert m["precision"] == 1.0 and abs(m["recall"] - 0.5) < 1e-9
+
+    # mismatched shapes must raise
+    import pytest
+    with pytest.raises(ValueError):
+        event_metrics_from_matrices(scores[:, :1], gt, fps)
