@@ -47,6 +47,13 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         "calibrated on synthetic noise unless --calib_wav")
     b.add_argument("--calib_wav", type=str, nargs="*", default=[],
                    help="wav files for int8 activation calibration")
+    b.add_argument("--qat_steps", type=int, default=0,
+                   help="with --quantize int8: distill-fine-tune the int8 "
+                        "weights against the float model on the calibration "
+                        "audio for this many steps before export "
+                        "(models/qat.py; tightens int8 fidelity — measured "
+                        "record benchmarks/QAT_BENCH.json)")
+    b.add_argument("--qat_lr", type=float, default=3e-5)
     b.add_argument("--use_pallas", type=str, default="auto",
                    help="auto|full|off — featurizer kernel choice "
                         "(auto = full on TPU, XLA elsewhere)")
@@ -120,6 +127,8 @@ def cmd_build(args) -> None:
     from sed_tpu.export import (aot_export_pipeline, cnn_serving,
                                 quantized_serving)
 
+    if args.qat_steps > 0 and args.quantize != "int8":
+        raise SystemExit("--qat_steps requires --quantize int8")
     model, state = _load_state(args.ckpt, cfg)
     samples = cfg.working_sample_rate * args.seconds
     mean = std = None
@@ -147,7 +156,24 @@ def cmd_build(args) -> None:
         if mean is not None:
             feats = (feats - mean) / std
         calib = [np.transpose(feats, (0, 2, 3, 1))]
-        q = quantize_cnn(model, state.params, state.batch_stats, calib)
+        if args.qat_steps > 0:
+            from sed_tpu.models.qat import qat_export, qat_finetune, qat_init
+            from sed_tpu.train.state import make_eval_forward
+
+            trainable, static = qat_init(model, state.params,
+                                         state.batch_stats, calib)
+            fwd = make_eval_forward(model)
+            examples = [
+                (x, np.asarray(fwd(state.params, state.batch_stats,
+                                   jnp.asarray(x)))) for x in calib]
+            trainable = qat_finetune(trainable, static, examples,
+                                     mode="distill", steps=args.qat_steps,
+                                     lr=args.qat_lr)
+            q = qat_export(trainable, static)
+            log(f"QAT: {args.qat_steps} distill steps on the calibration "
+                "audio before int8 export")
+        else:
+            q = quantize_cnn(model, state.params, state.batch_stats, calib)
         score_fn, weights = quantized_serving(q, mean, std)
     else:
         score_fn, weights = cnn_serving(model, state.params,
@@ -184,6 +210,7 @@ def cmd_build(args) -> None:
                       "build_seconds": round(build_s, 1),
                       "batch": args.batch, "seconds": args.seconds,
                       "quantize": args.quantize,
+                      "qat_steps": args.qat_steps,
                       "featurizer_precision": args.featurizer_precision,
                       "num_devices": args.num_devices}))
 

@@ -327,6 +327,28 @@ def test_serve_cli_build_and_run(film_clap_root, tmp_path):
     assert s_short.shape[0] == 1 + sr // hop  # 4 frames of real audio
     assert s_long.shape[0] > s_short.shape[0]
 
+    # int8 + QAT distill fine-tune on the calibration audio: artifact builds
+    # and its scores stay within the int8 serving fidelity bound of the f32
+    # artifact's.
+    artifact_q = str(tmp_path / "serving_qat.aot")
+    serve_main(["build", "--ckpt", ckpt, "--out", artifact_q,
+                "--batch", "2", "--seconds", "3", "--use_pallas", "off",
+                "--quantize", "int8", "--qat_steps", "4",
+                "--calib_wav"] + wavs)
+    out_dir_q = str(tmp_path / "serve_out_qat")
+    serve_main(["run", "--artifact", artifact_q, "--outputs_dir", out_dir_q]
+               + wavs)
+    for o in outs:
+        dev = np.abs(np.load(os.path.join(out_dir_q, o))
+                     - np.load(os.path.join(out_dir, o))).max()
+        assert dev < 0.05, dev
+
+    # --qat_steps without --quantize int8 must refuse
+    import pytest as _pytest
+    with _pytest.raises(SystemExit):
+        serve_main(["build", "--ckpt", ckpt, "--out", artifact_q,
+                    "--batch", "2", "--seconds", "3", "--qat_steps", "4"])
+
     # Multi-device artifact (--num_devices 2 over the virtual CPU mesh):
     # same scores as the single-device artifact.
     artifact2 = str(tmp_path / "serving_2dev.aot")
