@@ -61,12 +61,15 @@ def main():
 
     # Featurizer A/B: XLA matmul-rFFT tick vs the fused Pallas kernels
     # (featurizer='auto' default picks the winner on TPU).
-    def make_det(featurizer, precision=None):
+    def make_det(featurizer, precision=None, extract_impl="span",
+                 qparams=None):
         d = DeviceStreamingDetector(model, variables["params"],
                                     variables["batch_stats"], cfg, batch=B,
                                     chunk_samples=chunk, halo=32,
                                     featurizer=featurizer,
-                                    featurizer_precision=precision)
+                                    featurizer_precision=precision,
+                                    extract_impl=extract_impl,
+                                    qparams=qparams)
         # run past startup so the detector is in device mode, steady counters
         outs = []
         for i in range(16):  # enough ticks that emissions exist (> halo)
@@ -145,6 +148,17 @@ def main():
         f"{1e3 * tick:.3f} ms ({tick / tick_p:.2f}x) -> "
         f"~{capacity_p:.0f} streams/chip")
 
+    # Same-process A/B of the frame extraction: 'span' (one contiguous slice
+    # + static windows, the default) vs 'slices' (per-frame dynamic slices,
+    # the original).  Score-gated: the two must emit equal scores.
+    det_sl, out_sl = make_det("pallas", extract_impl="slices")
+    extract_dev = float(np.abs(out_sl - out_p).max())
+    assert extract_dev < 1e-5, f"span-vs-slices score dev {extract_dev}"
+    tick_sl = measure(det_sl._step_fn, det_sl._buf, det_sl._mel)
+    log(f"extract A/B (lockstep pallas tick): span {1e3 * tick_p:.3f} ms vs "
+        f"slices {1e3 * tick_sl:.3f} ms ({tick_sl / tick_p:.2f}x), "
+        f"score dev {extract_dev:.1e}")
+
     log(f"device tick: {1e3 * tick:.3f} ms ({B} streams, 1 s chunks) "
         f"-> ~{capacity:.0f} concurrent real-time streams/chip "
         f"(direct-attached-host projection)")
@@ -169,18 +183,52 @@ def main():
             f"({tick_p / tick_t:.2f}x parity pallas, score dev {sdev:.2e}) "
             f"-> ~{tier_rows[tier]['streams_per_chip']:.0f} streams/chip")
 
+    # --- max-density serving tick: turbo featurizer + int8 CNN ---
+    # The composed fastest supported streaming mode (mirrors the offline
+    # turbo_int8_combined record in FAST_FEATURIZER.json).  int8 fidelity is
+    # its own (lossy) contract — gate at the pinned 0.05 sigmoid bound.
+    from sed_tpu.models.quantize import quantize_cnn
+    from sed_tpu.ops.featurizer import logmel_features_batch
+
+    calib_pcm = jnp.asarray(stream[:4, : 4 * chunk, None])
+    calib_f = jax.jit(lambda w: logmel_features_batch(w, cfg))(calib_pcm)
+    q = quantize_cnn(model, variables["params"], variables["batch_stats"],
+                     [np.transpose(np.asarray(calib_f), (0, 2, 3, 1))])
+    det_q, out_q = make_det("pallas", "turbo", qparams=q)
+    qdev = float(np.abs(out_q - out_x).max())
+    assert qdev < 0.05, f"int8 tick score deviation {qdev}"
+    tick_q = measure(det_q._step_fn, det_q._buf, det_q._mel)
+    int8_row = {
+        "tick_ms": round(1e3 * tick_q, 4),
+        "streams_per_chip": round(B * CHUNK_SECONDS / tick_q, 0),
+        "speedup_vs_parity_pallas_tick": round(tick_p / tick_q, 3),
+        "max_score_dev_vs_xla_tick": qdev,
+    }
+    log(f"turbo+int8 tick: {1e3 * tick_q:.3f} ms "
+        f"({tick_p / tick_q:.2f}x parity pallas, score dev {qdev:.2e}) "
+        f"-> ~{int8_row['streams_per_chip']:.0f} streams/chip")
+
     # --- lifecycle pool tick (per-slot vmapped schedule, stream_pool.py) ---
     # Same geometry, but every ring slice takes a per-slot offset so streams
     # can join/leave: measures the density cost of lifecycle support.
     from sed_tpu.stream_pool import StreamPool
 
-    pool = StreamPool(model, variables["params"], variables["batch_stats"],
-                      cfg, slots=B, chunk_samples=chunk, halo=32)
-    pslots = [pool.join() for _ in range(B)]
-    for i in range(16):
-        pool.push({s: stream[j, i * chunk:(i + 1) * chunk]
-                   for j, s in enumerate(pslots)})
-    assert pool._admitted and len(pool._admitted) == B
+    def make_pool_warm(extract_impl):
+        p = StreamPool(model, variables["params"], variables["batch_stats"],
+                       cfg, slots=B, chunk_samples=chunk, halo=32,
+                       extract_impl=extract_impl)
+        slots_ = [p.join() for _ in range(B)]
+        outs = []
+        for i in range(16):
+            outs.append(p.push({s: stream[j, i * chunk:(i + 1) * chunk]
+                                for j, s in enumerate(slots_)}))
+        assert p._admitted and len(p._admitted) == B
+        emitted = np.concatenate(
+            [np.concatenate([o[s] for s in slots_], axis=0)
+             for o in outs if any(o[s].shape[0] for s in slots_)], axis=0)
+        return p, emitted
+
+    pool, pool_out = make_pool_warm("span")
 
     F = pool._frames_max
     v_offs = np.zeros((B, F), np.int32)
@@ -230,6 +278,42 @@ def main():
         f"{1e3 * ptick:.3f} ms -> ~{pcapacity:.0f} streams/chip "
         f"({ptick / tick_p:.2f}x the same-featurizer lockstep tick)")
 
+    # Pool-side extract A/B (same-process, score-gated on the warmup
+    # emissions, which exercise real per-slot offsets).
+    pool_sl, pool_sl_out = make_pool_warm("slices")
+    pool_extract_dev = float(np.abs(pool_sl_out - pool_out).max())
+    assert pool_extract_dev < 1e-5, \
+        f"pool span-vs-slices score dev {pool_extract_dev}"
+    v_sl = {k: np.zeros(B, np.int32)
+            for k in ("n_new", "write_pos", "win_off", "e_off", "shift")}
+    v_sl_offs = np.zeros((B, F), np.int32)
+    for b, c in pool_sl._admitted.items():
+        offs_b, nn, wp, wo, eo, sh, _, _ = pool_sl._slot_scalars(c)
+        v_sl_offs[b] = offs_b
+        v_sl["n_new"][b], v_sl["write_pos"][b] = nn, wp
+        v_sl["win_off"][b], v_sl["e_off"][b], v_sl["shift"][b] = wo, eo, sh
+    pstep_sl, pargs_save, poffs_save = pool_sl._step_fn, pargs, poffs
+    pargs = {k: jnp.asarray(val) for k, val in v_sl.items()}
+    poffs = jnp.asarray(v_sl_offs)
+    pstep = pstep_sl
+    ptimes_sl = []
+    for k in (K1, K2):
+        fn = make_pool(k)
+        float(fn(pool_sl._buf, pool_sl._mel, chunks))
+        best = float("inf")
+        for rep in range(3):
+            cr = chunks + jnp.int16(rep + 1)
+            cr.block_until_ready()
+            t0 = time.perf_counter()
+            float(fn(pool_sl._buf, pool_sl._mel, cr))
+            best = min(best, time.perf_counter() - t0)
+        ptimes_sl.append(best)
+    ptick_sl = (ptimes_sl[1] - ptimes_sl[0]) / (K2 - K1)
+    pargs, poffs = pargs_save, poffs_save
+    log(f"extract A/B (pool tick): span {1e3 * ptick:.3f} ms vs slices "
+        f"{1e3 * ptick_sl:.3f} ms ({ptick_sl / ptick:.2f}x), "
+        f"score dev {pool_extract_dev:.1e}")
+
     out = {
         "device_kind": dev.device_kind,
         "batch_streams": B,
@@ -244,6 +328,16 @@ def main():
         "pool_tick_device_ms": round(1e3 * ptick, 4),
         "pool_projected_streams_per_chip": round(pcapacity, 0),
         "pool_vs_same_featurizer_lockstep_tick_ratio": round(ptick / tick_p, 3),
+        "extract_ab": {
+            "lockstep_span_ms": round(1e3 * tick_p, 4),
+            "lockstep_slices_ms": round(1e3 * tick_sl, 4),
+            "lockstep_slices_over_span": round(tick_sl / tick_p, 3),
+            "lockstep_score_dev": extract_dev,
+            "pool_span_ms": round(1e3 * ptick, 4),
+            "pool_slices_ms": round(1e3 * ptick_sl, 4),
+            "pool_slices_over_span": round(ptick_sl / ptick, 3),
+            "pool_score_dev": pool_extract_dev,
+        },
         "precision_tiers": tier_rows,
         "note": "device work only; per-tick int16 upload (96 KB/s/stream) "
                 "and host schedule are negligible on a direct-attached host",

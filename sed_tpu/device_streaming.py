@@ -76,6 +76,8 @@ class DeviceStreamingDetector:
         mesh=None,
         featurizer: str = "auto",
         featurizer_precision=None,
+        extract_impl: str = "slices",
+        qparams=None,
     ):
         """``mesh``: an optional ``jax.sharding.Mesh`` with a 'data' axis —
         the stream batch (rings and chunks) is sharded across its devices and
@@ -90,7 +92,21 @@ class DeviceStreamingDetector:
         ``featurizer_precision``: None/'parity' = golden-tested FFT
         (default); 'fast'/'turbo' = reduced-precision serving tiers on the
         Pallas tick path (benchmarks/FAST_FEATURIZER.json); the XLA tick
-        path ignores it."""
+        path ignores it.
+
+        ``extract_impl``: 'slices' (default) = per-frame dynamic slices;
+        'span' = one contiguous ring slice + static hop-spaced frame
+        windows — built as a candidate speedup, pending the hardware
+        same-process A/B (STREAMING_TICK.json) before it can become the
+        default (CLAUDE.md: interpret/CPU passing does not clear Mosaic
+        compositions).
+
+        ``qparams``: int8 serving artifact (models/quantize.py /
+        models/qat.py) — the tick (and the startup/flush host machinery)
+        scores with the int8 MXU forward instead of the float model."""
+        if extract_impl not in ("span", "slices"):
+            raise ValueError(
+                f"extract_impl must be span|slices, got {extract_impl}")
         self.cfg = cfg
         self.batch = batch
         self.chunk = int(chunk_samples)
@@ -113,9 +129,11 @@ class DeviceStreamingDetector:
         # Startup runs through the host-side class until every
         # reflection-dependent frame is featurized and the ring covers the
         # live window.
+        self._qparams = qparams
         self._host = BatchedStreamingDetector(
             model, params, batch_stats, cfg, batch=batch, halo=halo,
-            total_stride=total_stride, bucket=bucket, mean=mean, std=std)
+            total_stride=total_stride, bucket=bucket, mean=mean, std=std,
+            qparams=qparams)
         self._switch_after = cfg.nfft + hop  # total samples, then migrate
         self._device_mode = False
 
@@ -158,11 +176,23 @@ class DeviceStreamingDetector:
             buf = jnp.concatenate([buf[:, C:], newc], axis=1)
 
             # 2. extract the up-to-F newly ready frames.
-            frames = [
-                jax.lax.dynamic_slice(buf, (0, offs[j]), (B, nfft))
-                for j in range(F)
-            ]
-            frames = jnp.stack(frames, axis=1)  # (B, F, nfft)
+            if extract_impl == "span":
+                # One contiguous slice + static hop-spaced windows:
+                # tick_schedule guarantees offs[j] == offs[0] + j*hop for the
+                # real (j < n_new) frames; the masked tail reads the zero
+                # padding (the mel write masks it via n_new below).
+                SL = (F - 1) * hop + nfft
+                buf_ext = jnp.concatenate(
+                    [buf, jnp.zeros((B, SL - nfft), jnp.float32)], axis=1)
+                span = jax.lax.dynamic_slice(buf_ext, (0, offs[0]), (B, SL))
+                frames = jnp.stack(
+                    [span[:, j * hop: j * hop + nfft] for j in range(F)],
+                    axis=1)                     # (B, F, nfft)
+            else:  # 'slices': per-frame dynamic slices (measured A/B ref)
+                frames = jnp.stack([
+                    jax.lax.dynamic_slice(buf, (0, offs[j]), (B, nfft))
+                    for j in range(F)
+                ], axis=1)                      # (B, F, nfft)
 
             # 3. featurize (same math as the offline featurizer).
             if use_pallas_feat:
@@ -189,9 +219,14 @@ class DeviceStreamingDetector:
             ext = jnp.concatenate(
                 [mel_ring, jnp.zeros((B, M, mel_bins), jnp.float32)], axis=1)
             win = jax.lax.dynamic_slice(ext, (0, win_off, 0), (B, M, mel_bins))
-            scores = jax.nn.sigmoid(model.apply(
-                {"params": params, "batch_stats": batch_stats},
-                win[:, :, :, None], train=False))
+            if qparams is not None:
+                from sed_tpu.models.quantize import quantized_scores
+
+                scores = quantized_scores(qparams, win[:, :, :, None])
+            else:
+                scores = jax.nn.sigmoid(model.apply(
+                    {"params": params, "batch_stats": batch_stats},
+                    win[:, :, :, None], train=False))
             sc_ext = jnp.concatenate(
                 [scores, jnp.zeros((B, M, scores.shape[-1]), jnp.float32)],
                 axis=1)
@@ -247,7 +282,8 @@ class DeviceStreamingDetector:
             samples=buf[:, lo - (self._t_total - self._l):],
             buf_start=lo, n_frames=self._n_frames,
             frames_mel=mel[:, : self._n_frames - self._mel_start],
-            mel_start=self._mel_start, emitted=self._emitted)
+            mel_start=self._mel_start, emitted=self._emitted,
+            qparams=self._qparams)
 
     # -- public API ----------------------------------------------------------
 

@@ -77,7 +77,15 @@ class StreamPool:
         mesh=None,
         featurizer: str = "auto",
         featurizer_precision=None,
+        extract_impl: str = "slices",
+        qparams=None,
     ):
+        """``qparams``: optional int8 serving artifact (models/quantize.py /
+        models/qat.py) — every slot (tick, startup, and flush) scores with
+        the int8 MXU forward instead of the float model."""
+        if extract_impl not in ("span", "slices"):
+            raise ValueError(
+                f"extract_impl must be span|slices, got {extract_impl}")
         self.cfg = cfg
         self.slots = int(slots)
         self.chunk = int(chunk_samples)
@@ -101,6 +109,7 @@ class StreamPool:
         #   free      — available for join()
         #   pending   — joined, running host-side startup (self._pending[b])
         #   admitted  — state lives in the device ring rows
+        self._qparams = qparams
         self._pending: Dict[int, BatchedStreamingDetector] = {}
         self._admitted: Dict[int, dict] = {}   # slot -> schedule counters
 
@@ -141,13 +150,32 @@ class StreamPool:
                 newc = chunk.astype(jnp.float32)
             buf = jnp.concatenate([buf[:, C:], newc], axis=1)
 
-            def extract(bufrow, offrow):  # (L,), (F,) -> (F, nfft)
-                return jnp.stack([
-                    jax.lax.dynamic_slice(bufrow, (offrow[j],), (nfft,))
-                    for j in range(F)
-                ])
+            if extract_impl == "span":
+                # One contiguous per-row span slice + static hop-spaced
+                # windows.  tick_schedule guarantees offs[:, j] ==
+                # offs[:, 0] + j*hop for the real (j < n_new) frames; the
+                # masked tail (j >= n_new) reads zero-padding here instead
+                # of the old clamped duplicate — fine either way, since the
+                # mel write masks it (keep < n_new below).  Replaces B*F
+                # vmapped dynamic slices (gather lowering) with B slices.
+                SL = (F - 1) * hop + nfft
+                buf_ext = jnp.concatenate(
+                    [buf, jnp.zeros((B, SL - nfft), jnp.float32)], axis=1)
 
-            frames = jax.vmap(extract)(buf, offs)        # (B, F, nfft)
+                def extract(bufrow_ext, off0):  # (L+SL-nfft,), () -> (F, nfft)
+                    span = jax.lax.dynamic_slice(bufrow_ext, (off0,), (SL,))
+                    return jnp.stack(
+                        [span[j * hop: j * hop + nfft] for j in range(F)])
+
+                frames = jax.vmap(extract)(buf_ext, offs[:, 0])  # (B, F, nfft)
+            else:  # 'slices': per-frame dynamic slices (the measured A/B ref)
+                def extract(bufrow, offrow):  # (L,), (F,) -> (F, nfft)
+                    return jnp.stack([
+                        jax.lax.dynamic_slice(bufrow, (offrow[j],), (nfft,))
+                        for j in range(F)
+                    ])
+
+                frames = jax.vmap(extract)(buf, offs)    # (B, F, nfft)
 
             if use_pallas_feat:
                 from sed_tpu.ops.pallas_featurizer import logmel_frames_pallas
@@ -175,9 +203,14 @@ class StreamPool:
             win = jax.vmap(
                 lambda extrow, wo: jax.lax.dynamic_slice(
                     extrow, (wo, 0), (M, mel_bins)))(ext, win_off)
-            scores = jax.nn.sigmoid(model.apply(
-                {"params": params, "batch_stats": batch_stats},
-                win[:, :, :, None], train=False))
+            if qparams is not None:
+                from sed_tpu.models.quantize import quantized_scores
+
+                scores = quantized_scores(qparams, win[:, :, :, None])
+            else:
+                scores = jax.nn.sigmoid(model.apply(
+                    {"params": params, "batch_stats": batch_stats},
+                    win[:, :, :, None], train=False))
             sc_ext = jnp.concatenate(
                 [scores, jnp.zeros((B, M, scores.shape[-1]), jnp.float32)],
                 axis=1)
@@ -208,7 +241,8 @@ class StreamPool:
                 self._pending[b] = BatchedStreamingDetector(
                     self._model, self._params, self._batch_stats, self.cfg,
                     batch=1, halo=self.halo, total_stride=self.stride,
-                    bucket=self._m, mean=self.mean, std=self.std)
+                    bucket=self._m, mean=self.mean, std=self.std,
+                    qparams=self._qparams)
                 return b
         raise RuntimeError(f"all {self.slots} slots are occupied")
 
@@ -258,7 +292,8 @@ class StreamPool:
             samples=buf_row[:, lo - (c["t_total"] - self._l):],
             buf_start=lo, n_frames=c["n_frames"],
             frames_mel=mel_row[:, : c["n_frames"] - c["mel_start"]],
-            mel_start=c["mel_start"], emitted=c["emitted"])
+            mel_start=c["mel_start"], emitted=c["emitted"],
+            qparams=self._qparams)
         return h.flush()[0]
 
     # -- tick ----------------------------------------------------------------

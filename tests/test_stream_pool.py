@@ -201,3 +201,66 @@ def test_pool_pallas_featurizer_matches_xla():
         return np.concatenate([o for o in outs if o.shape[0]], axis=0)
 
     np.testing.assert_allclose(run("pallas"), run("xla"), atol=1e-3)
+
+
+def test_pool_extract_span_equals_slices():
+    """The span-based frame extraction (one contiguous per-row slice +
+    static hop-spaced windows) must emit scores equal to the per-frame
+    dynamic-slice reference at staggered per-slot phases."""
+    rng = np.random.default_rng(11)
+    n = 14
+    audio = (0.1 * rng.standard_normal((2, n, CHUNK))).astype(np.float32)
+    model, state = _model_state()
+
+    def run(extract_impl):
+        pool = StreamPool(model, state.params, state.batch_stats, CFG,
+                          slots=2, chunk_samples=CHUNK, halo=64,
+                          total_stride=8, bucket=64,
+                          extract_impl=extract_impl)
+        a = pool.join()
+        outs = {a: [pool.push({a: audio[0, 0]})[a]]}  # stagger slot phases
+        b = pool.join()
+        outs[b] = []
+        for i in range(1, n):
+            o = pool.push({a: audio[0, i], b: audio[1, i - 1]})
+            outs[a].append(o[a])
+            outs[b].append(o[b])
+        outs[a].append(pool.leave(a))
+        outs[b].append(pool.leave(b))
+        return {k: np.concatenate([x for x in v if x.shape[0]], axis=0)
+                for k, v in outs.items()}
+
+    span, slices = run("span"), run("slices")
+    for k in span:
+        np.testing.assert_allclose(span[k], slices[k], atol=1e-5)
+
+
+def test_pool_int8_qparams_matches_quantized_fresh_stream():
+    """An int8 pool slot's scores equal a fresh int8 single-stream detector
+    on the same audio (the lifecycle exactness contract in serving mode)."""
+    from sed_tpu.models.quantize import quantize_cnn
+
+    rng = np.random.default_rng(13)
+    n = 12
+    audio = (0.1 * rng.standard_normal((n, CHUNK))).astype(np.float32)
+    model, state = _model_state()
+    calib = jnp.asarray(rng.standard_normal(
+        (2, CFG.train_crop_size, CFG.mel_bins, 1)), jnp.float32)
+    q = quantize_cnn(model, state.params, state.batch_stats, [np.asarray(calib)])
+
+    pool = StreamPool(model, state.params, state.batch_stats, CFG,
+                      slots=2, chunk_samples=CHUNK, halo=64,
+                      total_stride=8, bucket=64, qparams=q)
+    s = pool.join()
+    outs = [pool.push({s: c})[s] for c in audio]
+    outs.append(pool.leave(s))
+    pooled = np.concatenate([o for o in outs if o.shape[0]], axis=0)
+
+    det = BatchedStreamingDetector(model, state.params, state.batch_stats,
+                                   CFG, batch=1, halo=64, total_stride=8,
+                                   bucket=64, qparams=q)
+    fresh = [det.push(c[None])[0] for c in audio]
+    fresh.append(det.flush()[0])
+    ref = np.concatenate([o for o in fresh if o.shape[0]], axis=0)
+    assert pooled.shape == ref.shape
+    np.testing.assert_allclose(pooled, ref, atol=1e-5)
