@@ -58,6 +58,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--num_devices", type=int, default=1,
                    help="shard the pool's slots over a data mesh of this "
                         "many devices (slots must divide evenly)")
+    p.add_argument("--quantize", choices=["int8"], default=None,
+                   help="score with the int8 PTQ forward (lossy serving "
+                        "mode, models/quantize.py; calibrated on the first "
+                        "file's features)")
     p.add_argument("--mean_std_file", type=str, default="")
     p.add_argument("--device", default="tpu", type=str)
     p.add_argument("--event_threshold", type=float, default=None)
@@ -116,11 +120,27 @@ def main(argv=None):
                 f"{len(jax.devices())} devices are visible")
         slots = args.num_devices * (-(-slots // args.num_devices))
         mesh = create_mesh(args.num_devices)
+    qparams = None
+    if args.quantize == "int8":
+        import jax.numpy as jnp
+
+        from sed_tpu.models.quantize import quantize_cnn
+        from sed_tpu.ops.featurizer import logmel_features_batch
+
+        calib_wav = queue[0]["wav"]
+        feats = np.asarray(logmel_features_batch(
+            jnp.asarray(calib_wav[None, :, None]), cfg))
+        if mean is not None:
+            feats = (feats - mean) / std
+        qparams = quantize_cnn(model, state.params, state.batch_stats,
+                               [np.transpose(feats, (0, 2, 3, 1))])
+        log("int8 serving mode: activation scales calibrated on "
+            f"{queue[0]['path']}")
     pool = StreamPool(model, state.params, state.batch_stats, cfg,
                       slots=slots, chunk_samples=chunk, halo=args.halo,
                       mean=mean, std=std, featurizer=args.featurizer,
                       featurizer_precision=args.featurizer_precision,
-                      mesh=mesh)
+                      mesh=mesh, qparams=qparams)
 
     active = {}           # slot -> file record
     next_file = 0

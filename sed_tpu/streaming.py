@@ -144,7 +144,12 @@ class BatchedStreamingDetector:
         bucket: int = 128,
         mean: Optional[np.ndarray] = None,
         std: Optional[np.ndarray] = None,
+        qparams=None,
     ):
+        """``qparams``: an int8 serving artifact (models/quantize.py
+        quantize_cnn / models/qat.py qat_export output) — scores with the
+        int8 MXU forward instead of the float model (lossy serving mode,
+        same fidelity contract as the offline int8 path)."""
         assert halo % total_stride == 0
         if hasattr(model, "model_config"):
             from sed_tpu.parallel.time_shard import receptive_field
@@ -185,25 +190,34 @@ class BatchedStreamingDetector:
 
         self._featurize = jax.jit(featurize)
 
-        def forward(x):  # (batch, T, mel, 1) -> (batch, T', classes)
-            logits = model.apply(
-                {"params": params, "batch_stats": batch_stats}, x, train=False
-            )
-            return jax.nn.sigmoid(logits)
+        self.qparams = qparams
+        if qparams is not None:
+            from sed_tpu.models.quantize import quantized_scores
+
+            def forward(x):  # int8 serving forward (same shape contract)
+                return quantized_scores(qparams, x)
+        else:
+            def forward(x):  # (batch, T, mel, 1) -> (batch, T', classes)
+                logits = model.apply(
+                    {"params": params, "batch_stats": batch_stats}, x,
+                    train=False
+                )
+                return jax.nn.sigmoid(logits)
 
         self._forward = jax.jit(forward)
 
     @classmethod
     def from_state(cls, model, params, batch_stats, cfg, *, batch, halo,
                    total_stride, bucket, mean, std, samples, buf_start,
-                   n_frames, frames_mel, mel_start, emitted):
+                   n_frames, frames_mel, mel_start, emitted, qparams=None):
         """Rebuild a detector around externally-held streaming state (the
         device-resident pipeline migrates back through this for flush()).
         Keeps the state contract in ONE place: any field this class's
         push/flush logic reads is set here via __init__ + explicit
         injection."""
         det = cls(model, params, batch_stats, cfg, batch=batch, halo=halo,
-                  total_stride=total_stride, bucket=bucket, mean=mean, std=std)
+                  total_stride=total_stride, bucket=bucket, mean=mean, std=std,
+                  qparams=qparams)
         det._samples = np.asarray(samples, np.float32)
         det._buf_start = int(buf_start)
         det._n_frames = int(n_frames)
@@ -349,10 +363,10 @@ class StreamingDetector(BatchedStreamingDetector):
                  cfg: SpectrogramConfig = DEFAULT_SPECTROGRAM, halo: int = 64,
                  total_stride: int = 8, bucket: int = 128,
                  mean: Optional[np.ndarray] = None,
-                 std: Optional[np.ndarray] = None):
+                 std: Optional[np.ndarray] = None, qparams=None):
         super().__init__(model, params, batch_stats, cfg, batch=1, halo=halo,
                          total_stride=total_stride, bucket=bucket, mean=mean,
-                         std=std)
+                         std=std, qparams=qparams)
 
     def push(self, chunk: np.ndarray) -> np.ndarray:
         """Feed (samples,) float32 audio; returns newly finalized

@@ -433,6 +433,19 @@ def test_stream_cli_matches_offline_infer(film_clap_root, tmp_path):
                                    err_msg=base)
         assert os.path.exists(os.path.join(stream_dir, f"{base}_events.csv"))
 
+    # --quantize int8: the int8 serving mode streams within the pinned
+    # int8-vs-f32 fidelity bound of the float scores.
+    q_dir = str(tmp_path / "stream_out_int8")
+    stream_main(wavs + ["--ckpt", ckpt, "--outputs_dir", q_dir,
+                        "--device", "cpu", "--slots", "2",
+                        "--quantize", "int8"])
+    for w in wavs:
+        base = os.path.splitext(os.path.basename(w))[0]
+        got = np.load(os.path.join(q_dir, f"{base}_scores.npy"))
+        ref = np.load(os.path.join(infer_dir, f"{base}_scores.npy"))
+        assert got.shape == ref.shape
+        assert np.abs(got - ref).max() < 0.05, (base, np.abs(got - ref).max())
+
 
 def test_stream_cli_mesh(film_clap_root, tmp_path):
     """--num_devices shards the pool over the virtual mesh; scores match the
