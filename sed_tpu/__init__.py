@@ -9,7 +9,9 @@ Top-level API (lazily imported so ``import sed_tpu`` stays light):
   models:     CnnAvgPooling, MobileNetV1, M5
   training:   train, evaluate, make_optimizer, save_checkpoint, load_checkpoint
   inference:  batch_predict_files, StreamingDetector, windowed_forward
-  metrics:    calculate_metrics, f_score
+  metrics:    calculate_metrics, f_score, event_based_metrics
+  quantized:  quantize_cnn, quantized_scores, qat_init, qat_finetune,
+              qat_export
 """
 
 __version__ = "0.1.0"
@@ -41,6 +43,14 @@ _EXPORTS = {
     "windowed_forward": "sed_tpu.parallel.time_shard",
     "calculate_metrics": "sed_tpu.utils.metrics",
     "f_score": "sed_tpu.utils.metrics",
+    "event_based_metrics": "sed_tpu.utils.event_metrics",
+    "event_metrics_from_scores": "sed_tpu.utils.event_metrics",
+    "extract_events": "sed_tpu.utils.events_post",
+    "quantize_cnn": "sed_tpu.models.quantize",
+    "quantized_scores": "sed_tpu.models.quantize",
+    "qat_init": "sed_tpu.models.qat",
+    "qat_finetune": "sed_tpu.models.qat",
+    "qat_export": "sed_tpu.models.qat",
 }
 
 
