@@ -145,3 +145,26 @@ def test_device_streaming_pallas_featurizer_matches_xla():
     # featurizer parity is <=1e-4 dB in log-mel; after the CNN + sigmoid the
     # score deviation stays small but above the jit-rounding tolerance.
     np.testing.assert_allclose(P, A, atol=1e-3)
+
+
+def test_device_streaming_extract_span_equals_slices():
+    """Lockstep tick: the span extraction must emit scores equal to the
+    per-frame dynamic-slice reference (the pool twin lives in
+    test_stream_pool.py)."""
+    rng = np.random.default_rng(17)
+    B, sec = 2, 40
+    chunk = CFG.working_sample_rate  # 1 s
+    ys = (0.1 * rng.standard_normal((B, sec * chunk))).astype(np.float32)
+    model, state = _model_state()
+
+    def run(extract_impl):
+        det = DeviceStreamingDetector(model, state.params, state.batch_stats,
+                                      CFG, batch=B, chunk_samples=chunk,
+                                      halo=64, total_stride=8, bucket=64,
+                                      extract_impl=extract_impl)
+        outs = [det.push(ys[:, i * chunk:(i + 1) * chunk])
+                for i in range(sec)]
+        outs.append(det.flush())
+        return np.concatenate([o for o in outs if o.shape[1]], axis=1)
+
+    np.testing.assert_allclose(run("span"), run("slices"), atol=1e-5)
