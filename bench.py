@@ -208,12 +208,27 @@ def main() -> None:
             "int8_load_to_first_result_s": d["int8"]["load_to_first_result_s"],
         }
 
+    # Max-throughput serving mode on record (turbo bf16x1 FFT + int8 CNN,
+    # batch-swept): benchmarks/bench_batch_scaling.py SED_SCALE_TIER=turbo_int8.
+    max_serving = None
+    ts_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "benchmarks", "BATCH_SCALING_TURBO_INT8.json")
+    if os.path.exists(ts_path):
+        with open(ts_path) as f:
+            d = json.load(f)
+        max_serving = {
+            "audio_s_per_s": d["best_audio_s_per_s"],
+            "batch": int(d["best_batch"]),
+            "mode": "turbo featurizer + int8 CNN (lossy serving tiers)",
+        }
+
     print(json.dumps({
         "metric": "featurize+infer throughput, 60s clips, HBM-resident",
         "value": round(compute_rate, 1),
         "unit": "audio-sec/sec/chip",
         "vs_baseline": round(compute_rate / 100.0, 2),
         "serving_aot_cold_start": serving_aot,
+        "max_serving_mode_on_record": max_serving,
         "protocol": {
             "n_slope_samples": stats["n"],
             "discarded_samples": stats["discarded"],
