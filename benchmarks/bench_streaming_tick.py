@@ -242,15 +242,17 @@ def main():
     pstep = pool._step_fn
     pargs = {k: jnp.asarray(val) for k, val in v.items()}
     poffs = jnp.asarray(v_offs)
+    pactive = jnp.ones(B, bool)
 
     def make_pool(k):
         @jax.jit
         def run(buf, mel, cs):
             def body(carry, c):
                 buf, mel = carry
-                buf, mel, out = pstep(buf, mel, c, poffs, pargs["n_new"],
-                                      pargs["write_pos"], pargs["win_off"],
-                                      pargs["e_off"], pargs["shift"])
+                buf, mel, out = pstep(buf, mel, c, pactive, poffs,
+                                      pargs["n_new"], pargs["write_pos"],
+                                      pargs["win_off"], pargs["e_off"],
+                                      pargs["shift"])
                 return (buf, mel), out[0, 0, 0]
             (_, _), outs = jax.lax.scan(body, (buf, mel), cs[:k])
             return outs.sum()

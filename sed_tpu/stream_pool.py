@@ -19,10 +19,12 @@ axis, so every slot runs its own schedule phase:
     independent in the tick step (inference-mode BatchNorm uses running
     stats), so junk in a free slot cannot contaminate active ones.
 
-The tick clock stays shared — every joined stream supplies one fixed-size
-chunk per :meth:`push` — which is what makes the batched model forward ride
-the MXU.  What lifecycle adds is that the SET of streams may change between
-ticks.
+Chunks stay fixed-size — one ``chunk_samples`` block per pushing stream —
+which is what makes the batched model forward ride the MXU.  But ticks are
+SPARSE: :meth:`push` takes any subset of the joined slots; a slot absent
+from a push idles (its rings and counters are untouched — the per-slot
+``active`` mask gates its sample-ring shift), so each stream advances at its
+own rate, and the SET of streams may change between ticks via join/leave.
 
 Per-slot schedule arithmetic is the same integer math as
 BatchedStreamingDetector's (streaming.py emission_upto/window_start — the ONE
@@ -139,16 +141,22 @@ class StreamPool:
 
         feat_prec = resolve_featurizer_precision(featurizer_precision)
 
-        def step(buf, mel_ring, chunk, offs, n_new, write_pos, win_off,
-                 e_off, shift):
+        def step(buf, mel_ring, chunk, active, offs, n_new, write_pos,
+                 win_off, e_off, shift):
             """One pool tick.  Scalars are (B,) per-slot vectors (offs is
             (B, F)); ring slices are vmapped over the slot axis, the
-            featurize matmuls and the model forward stay batched."""
+            featurize matmuls and the model forward stay batched.
+
+            ``active`` (B,) bool gates the sample-ring shift: a joined slot
+            that skipped this tick (sparse push) keeps its row bit-identical
+            — its other scalars are zero, which the masked mel write and
+            emit_n=0 already make a no-op."""
             if chunk.dtype == jnp.int16:
                 newc = chunk.astype(jnp.float32) / 32768.0
             else:
                 newc = chunk.astype(jnp.float32)
-            buf = jnp.concatenate([buf[:, C:], newc], axis=1)
+            buf = jnp.where(active[:, None],
+                            jnp.concatenate([buf[:, C:], newc], axis=1), buf)
 
             if extract_impl == "span":
                 # One contiguous per-row span slice + static hop-spaced
@@ -307,17 +315,21 @@ class StreamPool:
                              self.halo)
 
     def push(self, chunks: Dict[int, np.ndarray]) -> Dict[int, np.ndarray]:
-        """Feed one ``(chunk_samples,)`` int16-PCM or float32 chunk per joined
-        stream; returns ``{slot: (frames, classes)}`` newly finalized scores.
+        """Feed one ``(chunk_samples,)`` int16-PCM or float32 chunk for ANY
+        subset of the joined streams; returns ``{slot: (frames, classes)}``
+        newly finalized scores for the slots that pushed.
 
-        Every joined (pending or admitted) slot must appear in ``chunks`` —
-        the tick clock is shared; the set of slots may change between ticks
-        via :meth:`join`/:meth:`leave`."""
+        Ticks are sparse: a joined slot absent from ``chunks`` idles this
+        tick — its rings, schedule counters, and scores are untouched, so
+        every stream advances at its own pace (variable-rate serving).  The
+        set of slots may also change between ticks via
+        :meth:`join`/:meth:`leave`."""
         joined = set(self._pending) | set(self._admitted)
-        if set(chunks) != joined:
+        extra = set(chunks) - joined
+        if extra:
             raise ValueError(
-                f"push must cover exactly the joined slots {sorted(joined)}, "
-                f"got {sorted(chunks)}")
+                f"push for non-joined slots {sorted(extra)} "
+                f"(joined: {sorted(joined)})")
         # Validate EVERY chunk before any state mutation: raising after some
         # pending stream already consumed its chunk would silently desync
         # that stream when the caller retries the push.
@@ -336,6 +348,8 @@ class StreamPool:
         # them (and its chunk was already consumed host-side this tick).
         to_admit = []
         for b in list(self._pending):
+            if b not in arrs:
+                continue  # sparse tick: pending stream idles host-side too
             ck = arrs[b]
             f32 = (ck.astype(np.float32) / 32768.0 if ck.dtype == np.int16
                    else ck.astype(np.float32))
@@ -344,9 +358,11 @@ class StreamPool:
             if h._buf_start + h._samples.shape[1] >= self._switch_after:
                 to_admit.append(b)
 
-        # 2. admitted streams: one vmapped device tick for all slots.
-        if self._admitted:
+        # 2. admitted streams that pushed this tick: ONE vmapped device tick.
+        ticking = [b for b in self._admitted if b in arrs]
+        if ticking:
             B, F = self.slots, self._frames_max
+            active = np.zeros(B, bool)
             offs = np.zeros((B, F), np.int32)
             n_new = np.zeros(B, np.int32)
             write_pos = np.zeros(B, np.int32)
@@ -355,20 +371,24 @@ class StreamPool:
             shift = np.zeros(B, np.int32)
             emit_n = {}
             new_counters = {}
-            for b, c in self._admitted.items():
+            for b in ticking:
+                active[b] = True
                 (offs[b], n_new[b], write_pos[b], win_off[b], e_off[b],
-                 shift[b], emit_n[b], new_counters[b]) = self._slot_scalars(c)
-            # Rows without an admitted stream keep all-zero scalars, which
-            # are in-range (n_new=0 masks the mel write); slices and writes
+                 shift[b], emit_n[b], new_counters[b]) = self._slot_scalars(
+                     self._admitted[b])
+            # Rows without a ticking stream (free slots AND idle joined
+            # slots) keep all-zero scalars, which are in-range (n_new=0
+            # masks the mel write, shift=0 is the identity ring shift, and
+            # active=False skips the sample-ring shift); slices and writes
             # touch only their own row, so junk cannot leak across slots.
 
-            # int16 PCM rides the wire when every admitted chunk is int16
+            # int16 PCM rides the wire when every ticking chunk is int16
             # (the per-tick upload is then B*chunk*2 bytes, de-quantized on
             # device); any float chunk falls back to a float32 batch.
-            all_i16 = all(arrs[b].dtype == np.int16 for b in self._admitted)
+            all_i16 = all(arrs[b].dtype == np.int16 for b in ticking)
             dt = np.int16 if all_i16 else np.float32
             chunk_batch = np.zeros((B, self.chunk), dt)
-            for b in self._admitted:
+            for b in ticking:
                 ck = arrs[b]
                 if all_i16:
                     chunk_batch[b] = ck
@@ -379,10 +399,11 @@ class StreamPool:
 
             self._buf, self._mel, dev_out = self._step(
                 self._buf, self._mel, self._put(chunk_batch),
-                jnp.asarray(offs), jnp.asarray(n_new), jnp.asarray(write_pos),
-                jnp.asarray(win_off), jnp.asarray(e_off), jnp.asarray(shift))
+                jnp.asarray(active), jnp.asarray(offs), jnp.asarray(n_new),
+                jnp.asarray(write_pos), jnp.asarray(win_off),
+                jnp.asarray(e_off), jnp.asarray(shift))
             dev_out = np.asarray(dev_out)
-            for b in self._admitted:
+            for b in ticking:
                 out[b] = dev_out[b, : emit_n[b]]
             self._admitted.update(new_counters)
 

@@ -88,6 +88,58 @@ def test_pool_join_leave_matches_fresh_streams():
                                    err_msg=f"stream {k}")
 
 
+def test_pool_sparse_ticks_match_fresh_streams():
+    """Streams advancing at DIFFERENT rates (sparse push): A pushes every
+    tick, B every 2nd, C (joining late) every 3rd.  Idle ticks must leave a
+    slot's rings/counters untouched — every stream's emissions + tail must
+    equal a fresh detector fed its chunks back to back."""
+    rng = np.random.default_rng(7)
+    model, state = _model_state()
+    lives = {  # name -> (join_tick, push_period, n_chunks)
+        "A": (0, 1, 12),
+        "B": (1, 2, 8),
+        "C": (8, 3, 5),
+    }
+    audio = {k: (0.1 * rng.standard_normal((n, CHUNK))).astype(np.float32)
+             for k, (_, _, n) in lives.items()}
+
+    pool = StreamPool(model, state.params, state.batch_stats, CFG, slots=3,
+                      chunk_samples=CHUNK, halo=64, total_stride=8, bucket=64)
+    slot_of, fed = {}, {k: 0 for k in lives}
+    got, tails = {k: [] for k in lives}, {}
+    for tick in range(40):
+        for k, (j, _, _) in lives.items():
+            if tick == j:
+                slot_of[k] = pool.join()
+        chunks = {}
+        pushing = []
+        for k, (j, period, n) in lives.items():
+            if k in slot_of and tick >= j and (tick - j) % period == 0 \
+                    and fed[k] < n:
+                chunks[slot_of[k]] = audio[k][fed[k]]
+                pushing.append(k)
+        out = pool.push(chunks)  # legal even when nobody pushes
+        assert set(out) == {slot_of[k] for k in pushing}
+        for k in pushing:
+            got[k].append(out[slot_of[k]])
+            fed[k] += 1
+            if fed[k] == lives[k][2]:
+                tails[k] = pool.leave(slot_of.pop(k))
+
+    assert set(tails) == set(lives)
+    for k, (_, _, n) in lives.items():
+        ref_outs, ref_tail = _fresh_run(model, state, audio[k])
+        assert len(got[k]) == n
+        for i, (g, r) in enumerate(zip(got[k], ref_outs)):
+            assert g.shape == r.shape, (k, i, g.shape, r.shape)
+        g_all = np.concatenate([g for g in got[k] if g.shape[0]] +
+                               [tails[k]], axis=0)
+        r_all = np.concatenate([r for r in ref_outs if r.shape[0]] +
+                               [ref_tail], axis=0)
+        np.testing.assert_allclose(g_all, r_all, atol=1e-5,
+                                   err_msg=f"stream {k}")
+
+
 def test_pool_int16_chunks_match_float():
     rng = np.random.default_rng(1)
     model, state = _model_state()
@@ -115,8 +167,10 @@ def test_pool_validation():
     s = pool.join()
     with pytest.raises(RuntimeError, match="slots are occupied"):
         pool.join()
-    with pytest.raises(ValueError, match="joined slots"):
-        pool.push({})  # missing the joined slot
+    assert pool.push({}) == {}  # sparse tick: everyone idles — a no-op
+    with pytest.raises(ValueError, match="non-joined"):
+        pool.push({s: np.zeros(CHUNK, np.float32),
+                   s + 1: np.zeros(CHUNK, np.float32)})
     with pytest.raises(ValueError, match="chunk must be"):
         pool.push({s: np.zeros(17, np.float32)})
     with pytest.raises(ValueError, match="not joined"):
