@@ -132,7 +132,7 @@ def run(args) -> dict:
 
     from sed_tpu.train.loop import evaluate
 
-    losses, recall_sets, precision_sets, aps = evaluate(
+    losses, recall_sets, precision_sets, aps, _ = evaluate(
         model, state, dataset, "spectogram", pos_weight=5.0,
         outputs_dir=outputs_dir, iteration=args.steps, cfg=cfg)
     plan["val_metrics"] = {

@@ -62,10 +62,15 @@ def evaluate(
     batch padding is output-preserving).  Per-recording losses are computed
     on host (numpy) to keep variable shapes off the device entirely.
     Sigmoid is applied here since models emit logits (train.py:44).
-    Returns (losses, recall_sets, precision_sets, APs).
+    Returns (losses, recall_sets, precision_sets, APs, event_metrics) —
+    the last a per-recording list of onset/offset-collar event-based
+    P/R/F1 dicts (utils/event_metrics.py; beyond the reference, which
+    evaluates frames only — metric_utils.py:4-37), or [] when ``cfg`` is
+    None (no frame rate to place event times on).
     """
     forward = make_eval_forward(model)
     losses, recal_sets, precision_sets, aps = [], [], [], []
+    event_ms = []
     debug = []  # (input, output_scores, target, name)
 
     model_config = getattr(model, "model_config", None)
@@ -125,11 +130,19 @@ def evaluate(
         recal_sets.append(recal_vals)
         precision_sets.append(precision_vals)
         aps.append(ap)
+        if cfg is not None:
+            from sed_tpu.utils.event_metrics import event_metrics_from_matrices
+
+            # Truncate to the common frame count — the same odd/even pooling
+            # mismatch rule the loss applies (reference utils/common.py:20-22).
+            n = min(scores.shape[0], target.shape[0])
+            event_ms.append(event_metrics_from_matrices(
+                scores[:n], target[:n], cfg.frames_per_second))
         debug.append((plot_input, scores, target, name))
 
     if make_plots and debug:
         _plot_best_worst(debug, losses, aps, mode, outputs_dir, iteration, cfg)
-    return losses, recal_sets, precision_sets, aps
+    return losses, recal_sets, precision_sets, aps, event_ms
 
 
 def _plot_best_worst(debug, losses, aps, mode, outputs_dir, iteration, cfg):
@@ -332,15 +345,20 @@ def train(
                 print(f"epoch: {epoch}, step: {iterations}, loss: {last_loss:.2f}, "
                       f"im/sec: {im_sec:.1f}")
 
-                val_losses, recal_sets, precision_sets, aps = evaluate(
-                    model, state, dataset, mode, pos_weight, outputs_dir,
-                    iterations, limit_val_samples=limit_val_samples,
-                    make_plots=make_plots, cfg=cfg,
-                )
+                val_losses, recal_sets, precision_sets, aps, event_ms = \
+                    evaluate(
+                        model, state, dataset, mode, pos_weight, outputs_dir,
+                        iterations, limit_val_samples=limit_val_samples,
+                        make_plots=make_plots, cfg=cfg,
+                    )
                 if val_losses:
                     plotter.report_validation_metrics(
                         val_losses, recal_sets, precision_sets, aps, iterations
                     )
+                    if event_ms:
+                        from sed_tpu.utils.event_metrics import micro_average
+
+                        plotter.report_event_metrics(micro_average(event_ms))
                     plotter.record(outputs_dir)  # metrics.jsonl always written
                     if make_plots:
                         plotter.plot(outputs_dir)

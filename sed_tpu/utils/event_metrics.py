@@ -165,3 +165,18 @@ def event_metrics_from_matrices(
     f1 = (2 * precision * recall / (precision + recall)
           if precision + recall > 0 else 0.0)
     return {**tot, "precision": precision, "recall": recall, "f1": f1}
+
+
+def micro_average(metrics: Sequence[Dict[str, float]]) -> Dict[str, float]:
+    """Pool per-recording event-metric dicts into one micro-averaged dict
+    (sum tp/fp/fn, recompute P/R/F1 under the same degenerate conventions).
+    Used by the train loop to put ONE event-level row per log point into
+    metrics.jsonl."""
+    tot = {k: int(sum(m[k] for m in metrics)) for k in ("tp", "fp", "fn")}
+    n_ref = tot["tp"] + tot["fn"]
+    n_est = tot["tp"] + tot["fp"]
+    precision = tot["tp"] / n_est if n_est else 1.0
+    recall = tot["tp"] / n_ref if n_ref else 1.0
+    f1 = (2 * precision * recall / (precision + recall)
+          if precision + recall > 0 else 0.0)
+    return {**tot, "precision": precision, "recall": recall, "f1": f1}

@@ -30,9 +30,16 @@ class ProgressPlotter:
         self.iterations = []
         self.last_recal_vals = None
         self.last_precision_vals = None
+        self.last_event_metrics = None
 
     def report_train_loss(self, loss: float):
         self.train_buffer.append(float(loss))
+
+    def report_event_metrics(self, metrics: dict):
+        """Micro-averaged event-based P/R/F1 for this log point
+        (utils/event_metrics.py micro_average) — rides metrics.jsonl as
+        event_* fields; no PNG (the reference artifacts stay unchanged)."""
+        self.last_event_metrics = dict(metrics)
 
     def report_validation_metrics(self, val_losses, recal_sets, precision_sets, APs, iteration):
         self.iterations.append(int(iteration))
@@ -77,6 +84,10 @@ class ProgressPlotter:
             "max_f1": self.f1_score_avgs[-1],
             "max_f5": self.f5_score_avgs[-1],
         }
+        if self.last_event_metrics is not None:
+            record.update({f"event_{k}": v
+                           for k, v in self.last_event_metrics.items()})
+            self.last_event_metrics = None
         with open(path, "a") as f:
             f.write(json.dumps(record) + "\n")
 

@@ -73,7 +73,7 @@ def test_training_improves_ap(tmp_path):
                                        preprocessed_mode="logMel", augment=False)
 
     def run_eval(state):
-        losses, _, _, aps = evaluate(
+        losses, _, _, aps, _ = evaluate(
             model, state, ds, "spectogram", pos_weight=5.0,
             outputs_dir=str(tmp_path), iteration=0, make_plots=False, cfg=CFG,
         )
@@ -109,12 +109,16 @@ def test_waveform_evaluate_path(tmp_path):
     tx = make_optimizer(1e-3)
     sample = jnp.zeros((5, wcfg.frame_size, 1))
     state = init_state(model, jax.random.key(0), sample, tx)
-    losses, recals, precs, aps = evaluate(
+    losses, recals, precs, aps, event_ms = evaluate(
         model, state, _FakeWaveformDataset(), "waveform", pos_weight=5.0,
         outputs_dir=str(tmp_path), iteration=0, make_plots=True, cfg=wcfg,
     )
     assert len(losses) == 1 and np.isfinite(losses[0])
     assert recals[0].shape == (21,)
+    # Event-based metrics ride along (one dict per recording): must agree
+    # with calling the utility directly on the same scores/targets.
+    assert len(event_ms) == 1
+    assert {"tp", "fp", "fn", "precision", "recall", "f1"} <= set(event_ms[0])
     import os
 
     assert os.path.isdir(os.path.join(str(tmp_path), "images", "Iter-0"))
@@ -194,6 +198,9 @@ def test_metrics_jsonl_written_without_plots(tmp_path):
     assert os.path.exists(path)
     rec = json.loads(open(path).read().strip())
     assert np.isfinite(rec["train_loss"])
+    # Event-based metrics (micro-averaged over the val fold) ride the record.
+    assert {"event_precision", "event_recall", "event_f1"} <= set(rec)
+    assert rec["event_tp"] + rec["event_fn"] >= 0
     assert not os.path.exists(os.path.join(str(tmp_path), "Training_loss.png"))
 
 
@@ -249,7 +256,7 @@ def test_evaluate_mixed_lengths_bucketed(tmp_path):
     state = init_state(model, jax.random.key(0),
                        jnp.zeros((1, 30, CFG.mel_bins, 1)), make_optimizer(1e-3))
 
-    losses, recals, precs, aps = evaluate(
+    losses, recals, precs, aps, event_ms = evaluate(
         model, state, ds, "spectogram", pos_weight=5.0,
         outputs_dir=str(tmp_path), iteration=0, make_plots=False, cfg=CFG)
 
