@@ -114,6 +114,7 @@ class StreamPool:
         self._qparams = qparams
         self._pending: Dict[int, BatchedStreamingDetector] = {}
         self._admitted: Dict[int, dict] = {}   # slot -> schedule counters
+        self._staged: Dict[int, np.ndarray] = {}  # slot -> un-pushed samples
 
         B, L, M = self.slots, self._l, self._m
         if mesh is not None:
@@ -279,14 +280,17 @@ class StreamPool:
         self._admitted[b] = counters
 
     def leave(self, b: int) -> np.ndarray:
-        """End stream ``b``: exact tail via the host flush machinery; frees
-        the slot.  Returns the (frames, classes) tail block."""
+        """End stream ``b``: exact tail via the host flush machinery (any
+        audio still staged by :meth:`feed` is scored first); frees the slot.
+        Returns the (frames, classes) tail block."""
+        rem = self._staged.pop(b, None)
         if b in self._pending:
             h = self._pending.pop(b)
-            if h._buf_start + h._samples.shape[1] == 0:
+            if (h._buf_start + h._samples.shape[1] == 0
+                    and (rem is None or rem.size == 0)):
                 # Never received audio: nothing to flush.
                 return np.zeros((0, self.cfg.classes_num), np.float32)
-            return h.flush()[0]
+            return self._drain(h, rem)
         if b not in self._admitted:
             raise ValueError(f"slot {b} is not joined")
         c = self._admitted.pop(b)
@@ -302,7 +306,72 @@ class StreamPool:
             frames_mel=mel_row[:, : c["n_frames"] - c["mel_start"]],
             mel_start=c["mel_start"], emitted=c["emitted"],
             qparams=self._qparams)
-        return h.flush()[0]
+        return self._drain(h, rem)
+
+    @staticmethod
+    def _f32(a: np.ndarray) -> np.ndarray:
+        """int16 PCM -> de-quantized float32 (the ONE PCM16 rule, CLAUDE.md);
+        float passes through as float32."""
+        a = np.asarray(a)
+        if a.dtype == np.int16:
+            return a.astype(np.float32) / 32768.0
+        return a.astype(np.float32)
+
+    def _drain(self, h: BatchedStreamingDetector, rem) -> np.ndarray:
+        """Score a staged remainder through the host machinery, then flush."""
+        outs = []
+        if rem is not None and rem.size:
+            outs.append(h.push(self._f32(rem)[None])[0])
+        outs.append(h.flush()[0])
+        return np.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
+
+    # -- variable-size input: host staging over the fixed-chunk tick ---------
+
+    def feed(self, b: int, samples: np.ndarray) -> None:
+        """Stage ANY number of samples (int16 PCM or float32, 1-D) for slot
+        ``b``.  No device work happens here — :meth:`tick` scores every slot
+        that has accumulated a full chunk, and :meth:`leave` drains a partial
+        remainder exactly — so callers push audio as it arrives (sockets,
+        files, uneven producers) without caring about chunk geometry.
+
+        Drive a slot through either feed()/tick() or raw :meth:`push`, not
+        both interleaved: push bypasses staging, so staged samples would be
+        scored out of order."""
+        if b not in self._pending and b not in self._admitted:
+            raise ValueError(f"slot {b} is not joined")
+        arr = np.asarray(samples)
+        if arr.ndim != 1:
+            raise ValueError(f"samples must be 1-D, got shape {arr.shape}")
+        cur = self._staged.get(b)
+        if cur is None or cur.size == 0:
+            self._staged[b] = arr.copy()
+        elif cur.dtype == arr.dtype:
+            self._staged[b] = np.concatenate([cur, arr])
+        else:  # mixed int16/float32 feeds: promote both de-quantized
+            self._staged[b] = np.concatenate([self._f32(cur), self._f32(arr)])
+
+    def staged(self, b: int) -> int:
+        """Samples staged for slot ``b`` not yet scored by a tick."""
+        st = self._staged.get(b)
+        return 0 if st is None else int(st.size)
+
+    def tick(self) -> Dict[int, np.ndarray]:
+        """Score one fixed-size chunk for EVERY slot with a full chunk
+        staged (one batched device dispatch per round, repeated until no
+        slot has a full chunk left).  Returns ``{slot: (frames, classes)}``
+        concatenated emissions for the slots that advanced."""
+        out: Dict[int, list] = {}
+        while True:
+            chunks = {b: st[: self.chunk] for b, st in self._staged.items()
+                      if st is not None and st.size >= self.chunk}
+            if not chunks:
+                break
+            o = self.push(chunks)
+            for b in chunks:
+                self._staged[b] = self._staged[b][self.chunk:]
+                out.setdefault(b, []).append(o[b])
+        return {b: (np.concatenate(v, axis=0) if len(v) > 1 else v[0])
+                for b, v in out.items()}
 
     # -- tick ----------------------------------------------------------------
 

@@ -140,6 +140,66 @@ def test_pool_sparse_ticks_match_fresh_streams():
                                    err_msg=f"stream {k}")
 
 
+def test_pool_feed_tick_arbitrary_sizes_match_fresh_streams():
+    """Variable-size input via feed()/tick(): random piece sizes (0.1x-1.8x
+    the chunk), ticks at irregular intervals, and a partial staged remainder
+    drained by leave() — concatenated scores must equal a fresh detector fed
+    the same audio, for float32, int16, and mixed-dtype feeds."""
+    rng = np.random.default_rng(11)
+    model, state = _model_state()
+    total = {"f32": 9 * CHUNK + 1234, "i16": 7 * CHUNK + 777,
+             "mix": 6 * CHUNK + 3210}
+    audio = {k: (0.1 * rng.standard_normal(n)).astype(np.float32)
+             for k, n in total.items()}
+    audio["i16"] = (audio["i16"] * 32768.0).astype(np.int16)
+    # 'mix' alternates dtypes per piece; snap it to the int16 grid so the
+    # int16 round trip is lossless and the float oracle is exact.
+    audio["mix"] = (np.round(audio["mix"] * 32768.0).astype(np.int16)
+                    .astype(np.float32) / 32768.0)
+
+    pool = StreamPool(model, state.params, state.batch_stats, CFG, slots=3,
+                      chunk_samples=CHUNK, halo=64, total_stride=8, bucket=64)
+    slot_of = {k: pool.join() for k in audio}
+    pos = {k: 0 for k in audio}
+    got = {k: [] for k in audio}
+    step = 0
+    while any(pos[k] < len(audio[k]) for k in audio):
+        for k in audio:
+            if pos[k] >= len(audio[k]):
+                continue
+            n = int(rng.integers(CHUNK // 10, 2 * CHUNK))
+            piece = audio[k][pos[k]: pos[k] + n]
+            pos[k] += len(piece)
+            if k == "mix" and step % 2:  # alternate dtypes into one slot
+                piece = (piece * 32768.0).astype(np.int16)
+            pool.feed(slot_of[k], piece)
+        step += 1
+        if step % 2 == 0:  # irregular tick cadence
+            for b, sc in pool.tick().items():
+                for k in audio:
+                    if slot_of[k] == b:
+                        got[k].append(sc)
+    for b, sc in pool.tick().items():
+        for k in audio:
+            if slot_of[k] == b:
+                got[k].append(sc)
+    tails = {k: pool.leave(slot_of[k]) for k in audio}
+
+    for k in audio:
+        # Oracle: fresh detector on the same signal as float32 (int16 on the
+        # grid de-quantizes losslessly, incl. the 'mix' dtype alternation).
+        ref_audio = audio[k].astype(np.float32) / 32768.0 \
+            if audio[k].dtype == np.int16 else audio[k]
+        det = BatchedStreamingDetector(model, state.params, state.batch_stats,
+                                       CFG, batch=1, halo=64, total_stride=8,
+                                       bucket=64)
+        ref = [det.push(ref_audio[None])[0], det.flush()[0]]
+        r_all = np.concatenate([x for x in ref if x.shape[0]], axis=0)
+        g_all = np.concatenate([g for g in got[k] if g.shape[0]] +
+                               [tails[k]], axis=0)
+        np.testing.assert_allclose(g_all, r_all, atol=1e-5, err_msg=k)
+
+
 def test_pool_int16_chunks_match_float():
     rng = np.random.default_rng(1)
     model, state = _model_state()
