@@ -4,10 +4,12 @@ The reference has no streaming at all (its infer.py:9-37 is batch-offline
 only); this CLI puts the device-resident streaming stack (sed_tpu/
 stream_pool.py — HBM rings, one jitted tick for the whole fleet, join/leave
 mid-run) on the user surface.  Each wav file becomes one stream: files join
-as slots free up (optionally staggered to exercise churn), push fixed-size
-chunks every tick, and leave with an exact flush when their audio ends.
-Scores per file equal the offline pipeline on the same audio (the streaming
-invariant pinned by tests/test_stream_pool.py).
+as slots free up (optionally staggered to exercise churn), feed() one
+chunk's worth of audio per tick (the final piece is partial — no padding),
+tick() scores the fleet in one batched dispatch, and leave() drains the
+remainder exactly when a file's audio ends.  Scores per file equal the
+offline pipeline on the same audio (the streaming invariant pinned by
+tests/test_stream_pool.py and test_cli.py).
 
     python -m sed_tpu.cli.stream a.wav b.wav c.wav --ckpt <ckpt> \
         [--chunk_seconds 1.0] [--slots 8] [--stagger_ticks 2] \
@@ -163,21 +165,21 @@ def main(argv=None):
             tick += 1
             continue
 
-        chunks = {}
         leaving = []
         for slot, rec in active.items():
             take = min(len(rec["wav"]) - rec["pos"], chunk)
-            c = np.zeros(chunk, np.float32)
-            c[:take] = rec["wav"][rec["pos"]: rec["pos"] + take]
+            pool.feed(slot, rec["wav"][rec["pos"]: rec["pos"] + take])
             rec["pos"] += take
             pushed_samples += take
-            chunks[slot] = c
             if rec["pos"] >= len(rec["wav"]):
-                leaving.append(slot)  # final (possibly padded) chunk
-        out = pool.push(chunks)
-        for slot, rec in active.items():
-            if out[slot].shape[0]:
-                rec["scores"].append(out[slot])
+                leaving.append(slot)
+        # One batched device tick for every slot with a full chunk staged;
+        # a file's final partial chunk is drained exactly by leave() — no
+        # zero padding, no post-hoc score trimming.
+        out = pool.tick()
+        for slot, sc in out.items():
+            if sc.shape[0]:
+                active[slot]["scores"].append(sc)
         for slot in leaving:
             rec = active.pop(slot)
             tail = pool.leave(slot)
@@ -202,10 +204,9 @@ def main(argv=None):
 def _finalize(rec, cfg, args) -> None:
     scores = (np.concatenate(rec["scores"], axis=0) if rec["scores"]
               else np.zeros((0, cfg.classes_num), np.float32))
-    # Trim frames scored over the final chunk's zero pad to the real audio
-    # (frames = 1 + n // hop, as serve run does).
-    n_frames = min(scores.shape[0], 1 + len(rec["wav"]) // cfg.hop_size)
-    scores = scores[:n_frames]
+    # feed()/leave() score exactly the real audio (the final partial chunk
+    # drains through the host flush), so the frame count already equals the
+    # offline pipeline's (model-stride-truncated) count — no trimming needed.
     base = os.path.splitext(os.path.basename(rec["path"]))[0]
     np.save(os.path.join(args.outputs_dir, f"{base}_scores.npy"), scores)
     if args.event_threshold is not None:
