@@ -86,6 +86,30 @@ def main():
               f"{d:.2e}")
         assert d < 1e-5
 
+    print("== Part 1b: variable-rate input (feed/tick staging) ==")
+    # Real producers are uneven: stage ANY piece sizes with feed(), score
+    # full chunks in batched ticks, and leave() drains the partial tail
+    # exactly.  Slots absent from a round simply idle (sparse ticks).
+    pool = StreamPool(model, params, stats, cfg, slots=2,
+                      chunk_samples=chunk, halo=64, total_stride=8, bucket=64)
+    wav = (0.1 * rng.standard_normal(5 * chunk + 1234)).astype(np.float32)
+    s = pool.join()
+    outs, pos = [], 0
+    while pos < len(wav):
+        n = int(rng.integers(chunk // 3, 2 * chunk))  # uneven producer
+        pool.feed(s, wav[pos:pos + n])
+        pos += n
+        outs += list(pool.tick().values())
+    outs.append(pool.leave(s))
+    ref = BatchedStreamingDetector(model, params, stats, cfg, batch=1,
+                                   halo=64, total_stride=8, bucket=64)
+    theirs = np.concatenate([x for x in (ref.push(wav[None])[0],
+                                         ref.flush()[0]) if x.shape[0]])
+    mine = np.concatenate([x for x in outs if x.shape[0]])
+    d = float(np.abs(mine - theirs).max())
+    print(f"  uneven feeds -> {mine.shape[0]} frames, max diff {d:.2e}")
+    assert d < 1e-5
+
     print("== Part 2: AOT serving artifact ==")
     from sed_tpu.export import (aot_export_pipeline, cnn_serving,
                                 load_aot_pipeline)
