@@ -40,6 +40,8 @@ _EXPORTS = {
     "BatchedStreamingDetector": "sed_tpu.streaming",
     "DeviceStreamingDetector": "sed_tpu.device_streaming",
     "StreamPool": "sed_tpu.stream_pool",
+    "StreamServer": "sed_tpu.serve_socket",
+    "StreamClient": "sed_tpu.serve_socket",
     "windowed_forward": "sed_tpu.parallel.time_shard",
     "calculate_metrics": "sed_tpu.utils.metrics",
     "f_score": "sed_tpu.utils.metrics",

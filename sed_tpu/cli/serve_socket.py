@@ -1,0 +1,93 @@
+"""Live streaming server CLI: PCM over TCP in, per-frame scores out.
+
+    python -m sed_tpu.cli.serve_socket --ckpt <ckpt> --port 8123 \
+        [--slots 8] [--chunk_seconds 1.0] [--quantize int8]
+
+Each TCP connection is one live stream over the lifecycle pool
+(sed_tpu/stream_pool.py): clients write length-prefixed int16 PCM at their
+own rate, batched device ticks score every stream with a full chunk staged,
+and closing the stream drains the exact tail (wire protocol:
+sed_tpu/serve_socket.py).  The reference serves nothing (its infer.py reads
+files offline); this is the live-deployment surface on top of the same
+golden-tested pipeline.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def build_arg_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="Live PCM streaming scorer")
+    p.add_argument("--ckpt", type=str, required=True)
+    p.add_argument("--host", type=str, default="127.0.0.1")
+    p.add_argument("--port", type=int, default=0,
+                   help="0 = pick a free port (printed on stdout)")
+    p.add_argument("--slots", type=int, default=8,
+                   help="max concurrent streams (pool slots)")
+    p.add_argument("--chunk_seconds", type=float, default=1.0)
+    p.add_argument("--tick_interval", type=float, default=0.05,
+                   help="seconds between batched device ticks")
+    p.add_argument("--halo", type=int, default=64)
+    p.add_argument("--featurizer", type=str, default="auto")
+    p.add_argument("--featurizer_precision", type=str, default="parity",
+                   choices=["parity", "fast", "turbo"])
+    p.add_argument("--mean_std_file", type=str, default="")
+    p.add_argument("--device", default="tpu", type=str)
+    p.add_argument("--tau_labels", type=str, default="doorslam")
+    p.add_argument("--run_seconds", type=float, default=0.0,
+                   help="serve for N seconds then exit (0 = forever); used "
+                        "by tests and smoke runs")
+    return p
+
+
+def main(argv=None):
+    args = build_arg_parser().parse_args(argv)
+
+    import jax
+
+    if args.device == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+
+    from sed_tpu.cli.infer import load_model_and_state
+    from sed_tpu.configs import SpectrogramConfig
+    from sed_tpu.serve_socket import StreamServer
+    from sed_tpu.stream_pool import StreamPool
+
+    cfg = SpectrogramConfig(tau_sed_labels=tuple(args.tau_labels.split(",")))
+    mean = std = None
+    if args.mean_std_file:
+        import pickle
+
+        with open(args.mean_std_file, "rb") as f:
+            d = pickle.load(f)
+        mean, std = d["mean"], d["std"]
+    model, state = load_model_and_state(args.ckpt, cfg)
+    pool = StreamPool(
+        model, state.params, state.batch_stats, cfg, slots=args.slots,
+        chunk_samples=int(round(args.chunk_seconds * cfg.working_sample_rate)),
+        halo=args.halo, mean=mean, std=std, featurizer=args.featurizer,
+        featurizer_precision=args.featurizer_precision)
+    server = StreamServer(pool, host=args.host, port=args.port,
+                          tick_interval=args.tick_interval)
+    server.start()
+    print(json.dumps({"host": server.address[0], "port": server.address[1],
+                      "slots": args.slots,
+                      "chunk_samples": pool.chunk}), flush=True)
+    try:
+        if args.run_seconds > 0:
+            time.sleep(args.run_seconds)
+        else:
+            while True:
+                time.sleep(3600)
+    except KeyboardInterrupt:
+        print("shutting down", file=sys.stderr)
+    finally:
+        server.stop()
+
+
+if __name__ == "__main__":
+    main()

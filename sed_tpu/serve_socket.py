@@ -1,0 +1,234 @@
+"""TCP streaming server: live PCM in, per-frame scores out, over StreamPool.
+
+The reference stops at batch-offline scoring (its infer.py:9-37 reads a wav
+from disk); a production deployment serves LIVE streams.  This module puts
+the lifecycle pool (stream_pool.py — HBM rings, sparse batched ticks,
+exact join/leave) behind a socket so any client that can write PCM gets
+real-time scores:
+
+  * connect            = StreamPool.join (a free slot, else the connection
+                         is refused with an error frame)
+  * write audio frames = StreamPool.feed — ANY piece sizes, each client at
+                         its own rate; a timer thread ticks the pool, so all
+                         clients with a full chunk share ONE batched device
+                         dispatch
+  * end-of-stream      = StreamPool.leave — the partial remainder drains
+                         through the exact host flush; the tail scores come
+                         back before the final empty frame
+
+Scores returned over a connection's lifetime equal offline inference on the
+concatenated audio (the streaming invariant; pinned by
+tests/test_serve_socket.py against the offline scorer).
+
+Wire protocol (little-endian, symmetric framing):
+  client -> server   [u32 n_bytes][n_bytes of int16 PCM]   audio piece
+                     [u32 0]                               end of stream
+  server -> client   [u32 n_bytes][n_bytes of float32]     (frames*classes)
+                     scores, frame-major; classes is fixed by the model
+                     [u32 0]                               stream complete
+  On join failure (pool full) the server sends [u32 0xFFFFFFFF] and closes.
+
+Threading: per-connection reader threads only STAGE audio (host numpy); all
+device work happens on the single ticker thread, so JAX dispatch is never
+concurrent.  One lock guards the pool's host state.
+"""
+
+from __future__ import annotations
+
+import socket
+import struct
+import threading
+from typing import Dict, Optional
+
+import numpy as np
+
+_U32 = struct.Struct("<I")
+ERR_FULL = 0xFFFFFFFF
+
+
+def _send_frame(sock: socket.socket, payload: bytes) -> None:
+    sock.sendall(_U32.pack(len(payload)) + payload)
+
+
+def _recv_exact(sock: socket.socket, n: int) -> Optional[bytes]:
+    buf = b""
+    while len(buf) < n:
+        part = sock.recv(n - len(buf))
+        if not part:
+            return None
+        buf += part
+    return buf
+
+
+def _recv_frame(sock: socket.socket) -> Optional[bytes]:
+    """Returns payload bytes, b'' for an end marker, None on EOF/error.
+    Raises RuntimeError on the ERR_FULL join-refusal header."""
+    head = _recv_exact(sock, 4)
+    if head is None:
+        return None
+    n = _U32.unpack(head)[0]
+    if n == ERR_FULL:
+        raise RuntimeError("server pool is full")
+    if n == 0:
+        return b""
+    return _recv_exact(sock, n)
+
+
+class StreamServer:
+    """Serve a StreamPool over TCP.
+
+    ``pool``: a configured :class:`sed_tpu.stream_pool.StreamPool`.
+    ``tick_interval``: seconds between batched device ticks (0 = tick
+    eagerly whenever any client has a full chunk staged).
+    """
+
+    def __init__(self, pool, host: str = "127.0.0.1", port: int = 0,
+                 tick_interval: float = 0.05):
+        self.pool = pool
+        self.tick_interval = float(tick_interval)
+        self._lock = threading.Lock()          # guards pool host state
+        self._conns: Dict[int, socket.socket] = {}   # slot -> client socket
+        self._done = threading.Event()
+        self._srv = socket.create_server((host, port))
+        self.address = self._srv.getsockname()
+        self._threads = []
+
+    # -- lifecycle -----------------------------------------------------------
+
+    def start(self) -> None:
+        t = threading.Thread(target=self._accept_loop, daemon=True)
+        t.start()
+        self._threads.append(t)
+        t = threading.Thread(target=self._tick_loop, daemon=True)
+        t.start()
+        self._threads.append(t)
+
+    def stop(self) -> None:
+        self._done.set()
+        try:
+            self._srv.close()
+        except OSError:
+            pass
+        for t in self._threads:
+            t.join(timeout=5)
+        with self._lock:
+            for sock in self._conns.values():
+                try:
+                    sock.close()
+                except OSError:
+                    pass
+            self._conns.clear()
+
+    # -- server internals ----------------------------------------------------
+
+    def _accept_loop(self) -> None:
+        while not self._done.is_set():
+            try:
+                conn, _ = self._srv.accept()
+            except OSError:
+                return  # listener closed by stop()
+            with self._lock:
+                try:
+                    slot = self.pool.join()
+                except RuntimeError:
+                    slot = None
+            if slot is None:
+                try:
+                    conn.sendall(_U32.pack(ERR_FULL))
+                    conn.close()
+                except OSError:
+                    pass
+                continue
+            with self._lock:
+                self._conns[slot] = conn
+            t = threading.Thread(target=self._reader, args=(slot, conn),
+                                 daemon=True)
+            t.start()
+            self._threads.append(t)
+
+    def _reader(self, slot: int, conn: socket.socket) -> None:
+        """Stage this client's audio; on end-of-stream (or disconnect) drain
+        the exact tail and reply with the final frames."""
+        while True:
+            payload = _recv_frame(conn)
+            if payload:  # audio piece
+                pcm = np.frombuffer(payload, dtype="<i2")
+                with self._lock:
+                    self.pool.feed(slot, pcm)
+                continue
+            # b'' = explicit end; None = client vanished — drain either way.
+            # Tail is sent under the SAME lock as the tick sends, so frames
+            # on one socket never interleave across threads.
+            with self._lock:
+                self._conns.pop(slot, None)
+                try:
+                    tail = self.pool.leave(slot)
+                except ValueError:
+                    tail = None  # stream too short to featurize at all
+                if payload is not None:  # orderly end: tail + completion
+                    try:
+                        if tail is not None and tail.shape[0]:
+                            _send_frame(conn, np.ascontiguousarray(
+                                tail, dtype="<f4").tobytes())
+                        conn.sendall(_U32.pack(0))
+                        conn.close()
+                    except OSError:
+                        pass
+            return
+
+    def _tick_loop(self) -> None:
+        # Sends stay under the lock: score frames for one socket must never
+        # interleave with the reader's tail send.  A client that stops
+        # reading can therefore stall the tick clock — acceptable for the
+        # trusted-client serving this targets; put per-slot writer queues in
+        # front if exposed to untrusted consumers.
+        while not self._done.wait(self.tick_interval):
+            with self._lock:
+                out = self.pool.tick()
+                for slot, scores in out.items():
+                    sock = self._conns.get(slot)
+                    if sock is None or not scores.shape[0]:
+                        continue
+                    try:
+                        _send_frame(sock, np.ascontiguousarray(
+                            scores, dtype="<f4").tobytes())
+                    except OSError:
+                        pass  # client vanished; its reader handles the leave
+
+
+class StreamClient:
+    """Minimal blocking client for :class:`StreamServer`'s wire protocol."""
+
+    def __init__(self, host: str, port: int, classes_num: int = 1):
+        self.classes = int(classes_num)
+        self._sock = socket.create_connection((host, port))
+        self._buf: list = []
+
+    def send(self, pcm: np.ndarray) -> None:
+        """Send int16 PCM samples (any length)."""
+        pcm = np.ascontiguousarray(np.asarray(pcm), dtype="<i2")
+        _send_frame(self._sock, pcm.tobytes())
+
+    def poll(self) -> Optional[np.ndarray]:
+        """Blocking read of one score frame -> (frames, classes), or None
+        when the server signals stream completion."""
+        payload = _recv_frame(self._sock)  # raises RuntimeError on ERR_FULL
+        if payload is None:
+            raise ConnectionError("server closed the connection")
+        if payload == b"":
+            return None
+        arr = np.frombuffer(payload, dtype="<f4")
+        return arr.reshape(-1, self.classes)
+
+    def finish(self) -> np.ndarray:
+        """Signal end of stream and collect every remaining score frame."""
+        self._sock.sendall(_U32.pack(0))
+        outs = []
+        while True:
+            sc = self.poll()
+            if sc is None:
+                break
+            outs.append(sc)
+        self._sock.close()
+        return (np.concatenate(outs, axis=0) if outs
+                else np.zeros((0, self.classes), np.float32))
