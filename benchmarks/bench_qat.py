@@ -123,8 +123,9 @@ def main():
     def measure(q, label):
         sc = np.asarray(jax.jit(lambda v: quantized_scores(q, v))(vx))
         dev = float(np.max(np.abs(sc - ref_scores)))
-        aps = [calculate_metrics(sc[i], e)[0] for i, e in enumerate(val_e)]
-        ref_aps = [calculate_metrics(ref_scores[i], e)[0]
+        # calculate_metrics returns (recalls, precisions, ap) — AP is [2].
+        aps = [calculate_metrics(sc[i], e)[2] for i, e in enumerate(val_e)]
+        ref_aps = [calculate_metrics(ref_scores[i], e)[2]
                    for i, e in enumerate(val_e)]
         row = {"max_sigmoid_dev_vs_f32": dev,
                "val_ap": float(np.mean(aps)),
@@ -178,7 +179,7 @@ def main():
         "qat": {"mode": "distill", "source": source, "steps": qat_steps,
                 "lr": qat_lr, "examples": len(examples)},
         "f32_val_ap": float(np.mean(
-            [calculate_metrics(ref_scores[i], e)[0]
+            [calculate_metrics(ref_scores[i], e)[2]
              for i, e in enumerate(val_e)])),
         "ptq": ptq_row,
         "qat_result": qat_row,

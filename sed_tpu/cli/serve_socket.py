@@ -1,7 +1,7 @@
 """Live streaming server CLI: PCM over TCP in, per-frame scores out.
 
     python -m sed_tpu.cli.serve_socket --ckpt <ckpt> --port 8123 \
-        [--slots 8] [--chunk_seconds 1.0] [--quantize int8]
+        [--slots 8] [--chunk_seconds 1.0] [--quantize int8 --calib_wav a.wav]
 
 Each TCP connection is one live stream over the lifecycle pool
 (sed_tpu/stream_pool.py): clients write length-prefixed int16 PCM at their
@@ -35,6 +35,13 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--featurizer", type=str, default="auto")
     p.add_argument("--featurizer_precision", type=str, default="parity",
                    choices=["parity", "fast", "turbo"])
+    p.add_argument("--quantize", choices=["int8"], default=None,
+                   help="score with the int8 PTQ forward (lossy serving "
+                        "mode, models/quantize.py); requires --calib_wav")
+    p.add_argument("--calib_wav", type=str, default="",
+                   help="wav file whose features calibrate the int8 "
+                        "activation scales (no input files exist at server "
+                        "start, so calibration audio must be supplied)")
     p.add_argument("--mean_std_file", type=str, default="")
     p.add_argument("--device", default="tpu", type=str)
     p.add_argument("--tau_labels", type=str, default="doorslam")
@@ -66,11 +73,32 @@ def main(argv=None):
             d = pickle.load(f)
         mean, std = d["mean"], d["std"]
     model, state = load_model_and_state(args.ckpt, cfg)
+    qparams = None
+    if args.quantize == "int8":
+        if not args.calib_wav:
+            raise SystemExit("--quantize int8 requires --calib_wav")
+        import jax.numpy as jnp
+        import numpy as np
+
+        from sed_tpu.io.audio import read_multichannel_audio
+        from sed_tpu.models.quantize import quantize_cnn
+        from sed_tpu.ops.featurizer import logmel_features_batch
+
+        wav = np.asarray(read_multichannel_audio(
+            args.calib_wav, target_fs=cfg.working_sample_rate, cfg=cfg))[:, 0]
+        feats = np.asarray(logmel_features_batch(
+            jnp.asarray(wav[None, :, None]), cfg))
+        if mean is not None:
+            feats = (feats - mean) / std
+        qparams = quantize_cnn(model, state.params, state.batch_stats,
+                               [np.transpose(feats, (0, 2, 3, 1))])
+        print(f"int8 serving mode: calibrated on {args.calib_wav}",
+              file=sys.stderr)
     pool = StreamPool(
         model, state.params, state.batch_stats, cfg, slots=args.slots,
         chunk_samples=int(round(args.chunk_seconds * cfg.working_sample_rate)),
         halo=args.halo, mean=mean, std=std, featurizer=args.featurizer,
-        featurizer_precision=args.featurizer_precision)
+        featurizer_precision=args.featurizer_precision, qparams=qparams)
     server = StreamServer(pool, host=args.host, port=args.port,
                           tick_interval=args.tick_interval)
     server.start()

@@ -182,7 +182,17 @@ def main(argv=None):
                 active[slot]["scores"].append(sc)
         for slot in leaving:
             rec = active.pop(slot)
-            tail = pool.leave(slot)
+            try:
+                tail = pool.leave(slot)
+            except ValueError as e:
+                if "too short" not in str(e):
+                    raise
+                # A clip shorter than nfft/2 samples cannot be featurized
+                # (same reflect-padding constraint as offline); skip it
+                # without aborting the other streams.
+                log(f"tick {tick}: {os.path.basename(rec['path'])} too "
+                    f"short to featurize ({e}); emitting empty scores")
+                tail = np.zeros((0, cfg.classes_num), np.float32)
             if tail.shape[0]:
                 rec["scores"].append(tail)
             _finalize(rec, cfg, args)

@@ -78,14 +78,14 @@ class StreamServer:
     """Serve a StreamPool over TCP.
 
     ``pool``: a configured :class:`sed_tpu.stream_pool.StreamPool`.
-    ``tick_interval``: seconds between batched device ticks (0 = tick
-    eagerly whenever any client has a full chunk staged).
+    ``tick_interval``: seconds between batched device ticks (clamped to
+    >= 1 ms — the tick loop is timer-driven, not staged-gated).
     """
 
     def __init__(self, pool, host: str = "127.0.0.1", port: int = 0,
                  tick_interval: float = 0.05):
         self.pool = pool
-        self.tick_interval = float(tick_interval)
+        self.tick_interval = max(float(tick_interval), 1e-3)
         self._lock = threading.Lock()          # guards pool host state
         self._conns: Dict[int, socket.socket] = {}   # slot -> client socket
         self._done = threading.Event()
@@ -109,7 +109,18 @@ class StreamServer:
             self._srv.close()
         except OSError:
             pass
-        for t in self._threads:
+        # Close live client sockets FIRST so reader threads blocked in recv
+        # wake up (their drain path then runs), and only then join.
+        with self._lock:
+            conns = list(self._conns.values())
+        for sock in conns:
+            try:
+                sock.shutdown(socket.SHUT_RDWR)
+            except OSError:
+                pass
+        with self._lock:
+            threads = list(self._threads)
+        for t in threads:
             t.join(timeout=5)
         with self._lock:
             for sock in self._conns.values():
@@ -139,31 +150,45 @@ class StreamServer:
                 except OSError:
                     pass
                 continue
-            with self._lock:
-                self._conns[slot] = conn
             t = threading.Thread(target=self._reader, args=(slot, conn),
                                  daemon=True)
+            with self._lock:
+                self._conns[slot] = conn
+                # Prune finished readers so the list doesn't scale with
+                # total historical connections.
+                self._threads = [x for x in self._threads if x.is_alive()]
+                self._threads.append(t)
             t.start()
-            self._threads.append(t)
 
     def _reader(self, slot: int, conn: socket.socket) -> None:
-        """Stage this client's audio; on end-of-stream (or disconnect) drain
-        the exact tail and reply with the final frames."""
-        while True:
-            payload = _recv_frame(conn)
-            if payload:  # audio piece
-                pcm = np.frombuffer(payload, dtype="<i2")
-                with self._lock:
-                    self.pool.feed(slot, pcm)
-                continue
-            # b'' = explicit end; None = client vanished — drain either way.
+        """Stage this client's audio; on end-of-stream, disconnect, or ANY
+        error, drain the slot (never leak it) and reply with the final
+        frames when the end was orderly."""
+        payload = None
+        try:
+            while True:
+                payload = _recv_frame(conn)
+                if payload:  # audio piece
+                    if len(payload) % 2:
+                        payload = None  # malformed int16 frame: treat as drop
+                        break
+                    pcm = np.frombuffer(payload, dtype="<i2")
+                    with self._lock:
+                        self.pool.feed(slot, pcm)
+                    continue
+                break  # b'' = explicit end; None = client vanished
+        except (OSError, RuntimeError, ValueError):
+            payload = None  # reset/garbage frame: drain without replying
+        finally:
             # Tail is sent under the SAME lock as the tick sends, so frames
             # on one socket never interleave across threads.
             with self._lock:
                 self._conns.pop(slot, None)
                 try:
                     tail = self.pool.leave(slot)
-                except ValueError:
+                except ValueError as e:
+                    if "too short" not in str(e):
+                        raise  # ring/schedule invariant violation: surface it
                     tail = None  # stream too short to featurize at all
                 if payload is not None:  # orderly end: tail + completion
                     try:
@@ -171,10 +196,12 @@ class StreamServer:
                             _send_frame(conn, np.ascontiguousarray(
                                 tail, dtype="<f4").tobytes())
                         conn.sendall(_U32.pack(0))
-                        conn.close()
                     except OSError:
                         pass
-            return
+            try:
+                conn.close()
+            except OSError:
+                pass
 
     def _tick_loop(self) -> None:
         # Sends stay under the lock: score frames for one socket must never

@@ -84,14 +84,7 @@ def event_based_metrics(
     pairs = match_events(ref, est, onset_collar, offset_collar,
                          offset_ratio, match_offset)
     tp = len(pairs)
-    fp = len(est) - tp
-    fn = len(ref) - tp
-    recall = tp / len(ref) if ref else 1.0
-    precision = tp / len(est) if est else 1.0
-    f1 = (2 * precision * recall / (precision + recall)
-          if precision + recall > 0 else 0.0)
-    return {"tp": tp, "fp": fp, "fn": fn,
-            "precision": precision, "recall": recall, "f1": f1}
+    return _pooled({"tp": tp, "fp": len(est) - tp, "fn": len(ref) - tp})
 
 
 def event_metrics_from_scores(
@@ -158,6 +151,14 @@ def event_metrics_from_matrices(
         m = event_based_metrics(ref, est, onset_collar=collar, **kwargs)
         for k in tot:
             tot[k] += m[k]
+    return _pooled(tot)
+
+
+def _pooled(tot: Dict[str, int]) -> Dict[str, float]:
+    """tp/fp/fn counts -> P/R/F1 under the house degenerate conventions
+    (precision := 1 when nothing was estimated, recall := 1 when there is
+    no ground truth) — THE one definition shared by event_based_metrics,
+    event_metrics_from_matrices, and micro_average."""
     n_ref = tot["tp"] + tot["fn"]
     n_est = tot["tp"] + tot["fp"]
     precision = tot["tp"] / n_est if n_est else 1.0
@@ -169,14 +170,7 @@ def event_metrics_from_matrices(
 
 def micro_average(metrics: Sequence[Dict[str, float]]) -> Dict[str, float]:
     """Pool per-recording event-metric dicts into one micro-averaged dict
-    (sum tp/fp/fn, recompute P/R/F1 under the same degenerate conventions).
-    Used by the train loop to put ONE event-level row per log point into
-    metrics.jsonl."""
-    tot = {k: int(sum(m[k] for m in metrics)) for k in ("tp", "fp", "fn")}
-    n_ref = tot["tp"] + tot["fn"]
-    n_est = tot["tp"] + tot["fp"]
-    precision = tot["tp"] / n_est if n_est else 1.0
-    recall = tot["tp"] / n_ref if n_ref else 1.0
-    f1 = (2 * precision * recall / (precision + recall)
-          if precision + recall > 0 else 0.0)
-    return {**tot, "precision": precision, "recall": recall, "f1": f1}
+    (sum tp/fp/fn, recompute P/R/F1).  Used by the train loop to put ONE
+    event-level row per log point into metrics.jsonl."""
+    return _pooled({k: int(sum(m[k] for m in metrics))
+                    for k in ("tp", "fp", "fn")})

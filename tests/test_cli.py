@@ -587,3 +587,41 @@ def test_tau_waveform_train_cli(tau_root, tmp_path):
     ])
     run_dir = os.path.join(outputs_root, os.listdir(outputs_root)[0])
     assert "iteration_2.ckpt" in os.listdir(os.path.join(run_dir, "checkpoints"))
+
+
+def test_stream_cli_short_file_does_not_abort_run(tmp_path):
+    """A clip shorter than nfft/2 samples cannot be featurized (reflect-pad
+    constraint); the stream CLI must log it, emit empty scores, and still
+    finalize the other files."""
+    import jax
+    import jax.numpy as jnp
+
+    from sed_tpu.cli.stream import main as stream_main
+    from sed_tpu.models.cnn import CnnAvgPooling, TRAIN_CHANNEL_AND_POOL
+    from sed_tpu.train.checkpoint import save_checkpoint
+    from sed_tpu.train.optim import make_optimizer
+    from sed_tpu.train.state import init_state
+
+    sr = CFG.working_sample_rate
+    rng = np.random.default_rng(0)
+    long_wav = str(tmp_path / "long.wav")
+    short_wav = str(tmp_path / "short.wav")
+    wavfile.write(long_wav, sr,
+                  (0.1 * rng.standard_normal(6 * sr)).astype(np.float32))
+    wavfile.write(short_wav, sr,  # < nfft/2 = 16384 samples
+                  (0.1 * rng.standard_normal(2000)).astype(np.float32))
+
+    model = CnnAvgPooling(classes_num=CFG.classes_num,
+                          model_config=TRAIN_CHANNEL_AND_POOL)
+    state = init_state(model, jax.random.key(0),
+                       jnp.zeros((1, CFG.train_crop_size, CFG.mel_bins, 1)),
+                       make_optimizer(1e-4))
+    ckpt = save_checkpoint(state, str(tmp_path / "run"), 1)
+
+    out_dir = str(tmp_path / "stream_short")
+    stream_main([long_wav, short_wav, "--ckpt", ckpt, "--device", "cpu",
+                 "--outputs_dir", out_dir])
+    long_scores = np.load(os.path.join(out_dir, "long_scores.npy"))
+    short_scores = np.load(os.path.join(out_dir, "short_scores.npy"))
+    assert long_scores.shape[0] > 0
+    assert short_scores.shape == (0, CFG.classes_num)
