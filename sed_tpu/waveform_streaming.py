@@ -1,0 +1,119 @@
+"""Streaming inference for the waveform (M5) model family.
+
+The spectrogram streaming stack (streaming.py / device_streaming.py /
+stream_pool.py) needs rings and halos because the 2-D CNN is convolutional
+over time.  M5 is simpler: it scores each hop-strided 31680-sample frame
+INDEPENDENTLY (global mean over time inside the frame — reference
+waveform_models.py:59-69), so streaming is a rolling sample buffer that
+emits one score per completed frame, exactly matching the offline
+validation splitter (reference waveform_dataset.py:10-30; our
+data/events.py frame_coverage_labels: frame i covers samples
+``[i*hop, i*hop + 2*(frame_size//2))``).
+
+Scores are EXACTLY the offline per-frame scores — same forward, same
+windows; no emission latency beyond the frame itself (a frame finalizes the
+moment its last sample arrives).  tests/test_waveform_streaming.py pins
+equality against the offline split across random push sizes.
+
+``qparams`` switches the forward to the int8 M5 serving path
+(models/quantize.py quantized_m5_forward) — lossy, same contract as the
+spectrogram detectors' int8 mode.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sed_tpu.configs import WaveformConfig, DEFAULT_WAVEFORM
+
+
+class BatchedWaveformStreamingDetector:
+    """B lockstep waveform streams; push ANY number of samples per call.
+
+    Returns (batch, new_frames, classes) sigmoid scores per push — frames
+    whose last sample arrived in this chunk.  There is no flush: the offline
+    splitter drops the partial tail (no end padding), so end-of-stream emits
+    nothing further.
+    """
+
+    def __init__(self, model, params, batch_stats,
+                 cfg: WaveformConfig = DEFAULT_WAVEFORM, batch: int = 1,
+                 frame_bucket: int = 8, qparams=None):
+        self.cfg = cfg
+        self.batch = int(batch)
+        self._frame = 2 * (cfg.frame_size // 2)  # == frame_size (even)
+        self._hop = cfg.hop_size
+        self._bucket = int(frame_bucket)
+        self._total = 0     # samples received
+        self._emitted = 0   # frames scored
+        # Rolling buffer holds everything not yet fully consumed by a frame:
+        # sample index of buf[:, 0] is emitted*hop.
+        self._buf = np.zeros((self.batch, 0), np.float32)
+
+        if qparams is not None:
+            from sed_tpu.models.quantize import quantized_m5_forward
+
+            fwd = partial(quantized_m5_forward, qparams)
+        else:
+            def fwd(x):
+                return model.apply(
+                    {"params": params, "batch_stats": batch_stats},
+                    x, train=False)
+
+        @jax.jit
+        def score(frames):  # (batch*k, frame) -> (batch*k, classes)
+            return jax.nn.sigmoid(fwd(frames[:, :, None]))
+
+        self._score = score
+
+    def _ready(self, total: int) -> int:
+        return 0 if total < self._frame else (total - self._frame) // self._hop + 1
+
+    def push(self, chunk: np.ndarray) -> np.ndarray:
+        """(batch, samples) float32 — or int16 PCM, de-quantized by 1/32768
+        (the ONE PCM16 rule) — any sample count, same for every row."""
+        chunk = np.asarray(chunk)
+        if chunk.dtype == np.int16:
+            chunk = chunk.astype(np.float32) / 32768.0
+        chunk = chunk.astype(np.float32).reshape(self.batch, -1)
+        self._buf = np.concatenate([self._buf, chunk], axis=1)
+        self._total += chunk.shape[1]
+
+        k = self._ready(self._total) - self._emitted
+        if k <= 0:
+            return np.zeros((self.batch, 0, self._classes()), np.float32)
+        # Frame j (j=0..k-1) starts at buffer offset j*hop.
+        idx = (np.arange(k)[:, None] * self._hop + np.arange(self._frame))
+        frames = self._buf[:, idx]                      # (batch, k, frame)
+        kp = self._bucket * (-(-k // self._bucket))     # bucketed compile
+        if kp != k:
+            frames = np.concatenate(
+                [frames, np.zeros((self.batch, kp - k, self._frame),
+                                  np.float32)], axis=1)
+        flat = jnp.asarray(frames.reshape(self.batch * kp, self._frame))
+        scores = np.asarray(self._score(flat))
+        scores = scores.reshape(self.batch, kp, -1)[:, :k]
+        self._emitted += k
+        self._buf = self._buf[:, k * self._hop:]       # drop consumed hops
+        return scores
+
+    def _classes(self) -> int:
+        return self.cfg.classes_num
+
+
+class WaveformStreamingDetector(BatchedWaveformStreamingDetector):
+    """Single live waveform stream: push (samples,), get (frames, classes)."""
+
+    def __init__(self, model, params, batch_stats,
+                 cfg: WaveformConfig = DEFAULT_WAVEFORM,
+                 frame_bucket: int = 8, qparams=None):
+        super().__init__(model, params, batch_stats, cfg, batch=1,
+                         frame_bucket=frame_bucket, qparams=qparams)
+
+    def push(self, chunk: np.ndarray) -> np.ndarray:
+        return super().push(np.asarray(chunk).reshape(1, -1))[0]

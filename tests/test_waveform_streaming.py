@@ -1,0 +1,104 @@
+"""Streaming M5 (sed_tpu/waveform_streaming.py): per-frame scores across
+arbitrary push sizes must EXACTLY equal offline scoring of the hop-strided
+validation split (data/events.py frame_coverage_labels geometry)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from sed_tpu.configs import WaveformConfig
+from sed_tpu.data.events import frame_coverage_labels
+from sed_tpu.models.m5 import M5
+from sed_tpu.train.optim import make_optimizer
+from sed_tpu.train.state import init_state, make_eval_forward
+from sed_tpu.waveform_streaming import (BatchedWaveformStreamingDetector,
+                                        WaveformStreamingDetector)
+
+WCFG = WaveformConfig(working_sample_rate=8000, time_margin=0.33)
+
+
+@pytest.fixture(scope="module")
+def m5_state():
+    model = M5(classes_num=1)
+    tx = make_optimizer(1e-3)
+    state = init_state(model, jax.random.key(0),
+                       jnp.zeros((2, WCFG.frame_size, 1)), tx)
+    return model, state
+
+
+def _offline_scores(model, state, wav):
+    """Oracle: the offline validation path — hop-strided frames through the
+    eval forward, sigmoid applied as the eval loop does."""
+    frames, _ = frame_coverage_labels(wav[None], [], [], WCFG)
+    fwd = make_eval_forward(model)
+    logits = np.asarray(fwd(state.params, state.batch_stats,
+                            jnp.asarray(np.transpose(frames, (0, 2, 1)))))
+    return 1.0 / (1.0 + np.exp(-logits))
+
+
+def test_streaming_m5_matches_offline_split(m5_state):
+    model, state = m5_state
+    rng = np.random.default_rng(0)
+    wav = (0.1 * rng.standard_normal(6 * WCFG.frame_size + 1234)
+           ).astype(np.float32)
+    ref = _offline_scores(model, state, wav)
+
+    det = WaveformStreamingDetector(model, state.params, state.batch_stats,
+                                    WCFG)
+    outs, pos = [], 0
+    while pos < len(wav):
+        n = int(rng.integers(100, WCFG.frame_size * 2))
+        outs.append(det.push(wav[pos: pos + n]))
+        pos += n
+    got = np.concatenate([o for o in outs if o.shape[0]], axis=0)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, atol=1e-6)
+
+
+def test_streaming_m5_int16_and_batch(m5_state):
+    """Batched lockstep streams + int16 PCM chunks: row b equals a fresh
+    single-stream run on row b's audio."""
+    model, state = m5_state
+    rng = np.random.default_rng(1)
+    wav = (0.1 * rng.standard_normal((3, 4 * WCFG.frame_size))
+           ).astype(np.float32)
+    i16 = (wav * 32768.0).astype(np.int16)
+
+    det = BatchedWaveformStreamingDetector(
+        model, state.params, state.batch_stats, WCFG, batch=3)
+    outs = []
+    for i in range(0, wav.shape[1], 5000):
+        outs.append(det.push(i16[:, i: i + 5000]))
+    got = np.concatenate([o for o in outs if o.shape[1]], axis=1)
+
+    for b in range(3):
+        single = WaveformStreamingDetector(model, state.params,
+                                           state.batch_stats, WCFG)
+        souts = [single.push(i16[b])]
+        ref = np.concatenate([o for o in souts if o.shape[0]], axis=0)
+        np.testing.assert_allclose(got[b], ref, atol=1e-6, err_msg=str(b))
+
+
+def test_streaming_m5_int8_qparams(m5_state):
+    """qparams routes every frame through the int8 M5 forward; streamed int8
+    equals offline int8 scoring of the same frames."""
+    model, state = m5_state
+    from sed_tpu.models.quantize import quantize_m5, quantized_m5_forward
+
+    rng = np.random.default_rng(2)
+    wav = (0.1 * rng.standard_normal(4 * WCFG.frame_size)).astype(np.float32)
+    frames, _ = frame_coverage_labels(wav[None], [], [], WCFG)
+    calib = [np.transpose(frames, (0, 2, 1))]
+    q = quantize_m5(model, state.params, state.batch_stats, calib)
+    ref = np.asarray(jax.nn.sigmoid(quantized_m5_forward(
+        q, jnp.asarray(np.transpose(frames, (0, 2, 1))))))
+
+    det = WaveformStreamingDetector(model, state.params, state.batch_stats,
+                                    WCFG, qparams=q)
+    outs, pos = [], 0
+    while pos < len(wav):
+        outs.append(det.push(wav[pos: pos + 7000]))
+        pos += 7000
+    got = np.concatenate([o for o in outs if o.shape[0]], axis=0)
+    np.testing.assert_allclose(got, ref, atol=1e-6)
