@@ -62,21 +62,42 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         help="comma-separated event classes — must match the "
                              "checkpoint's training config (--tau_labels on "
                              "the training CLI)")
+    parser.add_argument("--arch", type=str, default="CnnAvgPooling",
+                        choices=["CnnAvgPooling", "MobileNetV1", "M5"],
+                        help="model family the checkpoint was trained with "
+                             "(M5 = waveform path: one score per hop-strided "
+                             "31680-sample frame)")
     return parser
 
 
-def load_model_and_state(ckpt_path: str, cfg, batch_hint: int = 1):
+def load_model_and_state(ckpt_path: str, cfg, batch_hint: int = 1,
+                         arch: str = "CnnAvgPooling"):
     import jax
     import jax.numpy as jnp
 
-    from sed_tpu.models.cnn import CnnAvgPooling, TRAIN_CHANNEL_AND_POOL
     from sed_tpu.train.checkpoint import load_checkpoint
     from sed_tpu.train.optim import make_optimizer
     from sed_tpu.train.state import init_state
 
-    model = CnnAvgPooling(classes_num=cfg.classes_num, model_config=TRAIN_CHANNEL_AND_POOL)
+    if arch == "CnnAvgPooling":
+        from sed_tpu.models.cnn import CnnAvgPooling, TRAIN_CHANNEL_AND_POOL
+
+        model = CnnAvgPooling(classes_num=cfg.classes_num,
+                              model_config=TRAIN_CHANNEL_AND_POOL)
+        sample = jnp.zeros((batch_hint, cfg.train_crop_size, cfg.mel_bins, 1))
+    elif arch == "MobileNetV1":
+        from sed_tpu.models.cnn import MobileNetV1
+
+        model = MobileNetV1(classes_num=cfg.classes_num)
+        sample = jnp.zeros((batch_hint, cfg.train_crop_size, cfg.mel_bins, 1))
+    elif arch == "M5":
+        from sed_tpu.models.m5 import M5
+
+        model = M5(classes_num=cfg.classes_num)
+        sample = jnp.zeros((batch_hint, cfg.frame_size, 1))
+    else:
+        raise ValueError(f"unknown arch {arch!r}")
     tx = make_optimizer(1e-6)
-    sample = jnp.zeros((batch_hint, cfg.train_crop_size, cfg.mel_bins, 1))
     template = init_state(model, jax.random.key(0), sample, tx)
     state = load_checkpoint(ckpt_path, template, model_only=True)
     return model, state
@@ -116,18 +137,32 @@ def predict_file(model, state, audio_path: str, cfg, mean=None, std=None,
 
     x = jnp.transpose(jnp.asarray(feats), (1, 2, 0))[None]  # (1, frames, mel, channels)
 
+    # MobileNetV1 emits sigmoid confidences IN the forward (reference
+    # spectogram_models.py:117); CnnAvgPooling emits logits.
+    emits_scores = type(model).__name__ == "MobileNetV1"
     if quantize == "int8":
-        from sed_tpu.models.quantize import quantize_cnn, quantized_cnn_forward
-
         # Calibrate over the WHOLE file (strided subsample spanning its
         # length), not a prefix: a prefix-only absmax clips loud events that
         # occur later in a long recording — the same clipping class the M5
         # 'loud transient' regression test guards against (test_quantize.py).
         calib = np.asarray(x[:, :: max(1, x.shape[1] // 2048)])
-        q = quantize_cnn(model, state.params, state.batch_stats, [calib])
+        if emits_scores:
+            from sed_tpu.models.quantize import (quantize_mobilenet,
+                                                 quantized_mobilenet_forward)
 
-        def forward(batch):
-            return quantized_cnn_forward(q, batch)
+            q = quantize_mobilenet(model, state.params, state.batch_stats,
+                                   [calib])
+
+            def forward(batch):
+                return quantized_mobilenet_forward(q, batch)
+        else:
+            from sed_tpu.models.quantize import (quantize_cnn,
+                                                 quantized_cnn_forward)
+
+            q = quantize_cnn(model, state.params, state.batch_stats, [calib])
+
+            def forward(batch):
+                return quantized_cnn_forward(q, batch)
     else:
         def forward(batch):
             return model.apply(
@@ -135,9 +170,55 @@ def predict_file(model, state, audio_path: str, cfg, mean=None, std=None,
                 batch, train=False
             )
 
-    logits = windowed_forward(forward, x, window=window, halo=halo)
-    scores = np.asarray(jax.nn.sigmoid(jnp.asarray(logits)))[0]
+    out = windowed_forward(forward, x, window=window, halo=halo)
+    if emits_scores:
+        scores = np.asarray(out)[0]
+    else:
+        scores = np.asarray(jax.nn.sigmoid(jnp.asarray(out)))[0]
     return log_mel, scores
+
+
+def predict_file_m5(model, state, audio_path: str, cfg,
+                    quantize: str = None, frame_bucket: int = 32):
+    """Waveform-path inference: hop-strided frames (the offline validation
+    split, data/events.py frame_coverage_labels) scored independently by M5
+    — one sigmoid confidence per frame.  Returns (frames, classes) scores."""
+    import jax
+    import jax.numpy as jnp
+
+    from sed_tpu.data.events import frame_coverage_labels
+    from sed_tpu.io.audio import read_multichannel_audio
+
+    wav = np.asarray(read_multichannel_audio(
+        audio_path, target_fs=cfg.working_sample_rate, cfg=cfg))
+    frames, _ = frame_coverage_labels(wav.T.astype(np.float32), [], [], cfg)
+    if not len(frames):
+        return np.zeros((0, cfg.classes_num), np.float32)
+    x = np.transpose(frames, (0, 2, 1))  # (n, frame_size, channels)
+
+    if quantize == "int8":
+        from sed_tpu.models.quantize import quantize_m5, quantized_m5_forward
+
+        q = quantize_m5(model, state.params, state.batch_stats,
+                        [x[:: max(1, len(x) // 256)]])
+
+        def forward(batch):
+            return quantized_m5_forward(q, batch)
+    else:
+        def forward(batch):
+            return model.apply(
+                {"params": state.params, "batch_stats": state.batch_stats},
+                batch, train=False)
+
+    score = jax.jit(lambda b: jax.nn.sigmoid(forward(b)))
+    n = len(x)
+    padded = frame_bucket * (-(-n // frame_bucket))
+    if padded != n:  # bucket the batch axis: frames are independent
+        x = np.concatenate(
+            [x, np.zeros((padded - n,) + x.shape[1:], np.float32)])
+    outs = [np.asarray(score(jnp.asarray(x[i:i + frame_bucket])))
+            for i in range(0, padded, frame_bucket)]
+    return np.concatenate(outs, axis=0)[:n]
 
 
 def main(argv=None):
@@ -151,10 +232,17 @@ def main(argv=None):
     if args.device == "cpu":
         jax.config.update("jax_platforms", "cpu")
 
-    from sed_tpu.configs import SpectrogramConfig
+    from sed_tpu.configs import SpectrogramConfig, WaveformConfig
     from sed_tpu.utils.plotting import plot_sample_features
 
-    cfg = SpectrogramConfig(tau_sed_labels=tuple(args.tau_labels.split(",")))
+    labels = tuple(args.tau_labels.split(","))
+    if args.arch == "M5":
+        cfg = WaveformConfig(tau_sed_labels=labels)
+        if args.batch:
+            parser.error("--batch applies to the spectrogram archs; the M5 "
+                         "path already scores all frames of a file batched")
+    else:
+        cfg = SpectrogramConfig(tau_sed_labels=labels)
 
     mean = std = None
     if args.mean_std_file:
@@ -164,7 +252,7 @@ def main(argv=None):
             d = pickle.load(f)
         mean, std = d["mean"], d["std"]
 
-    model, state = load_model_and_state(args.ckpt, cfg)
+    model, state = load_model_and_state(args.ckpt, cfg, arch=args.arch)
     os.makedirs(args.outputs_dir, exist_ok=True)
 
     batch_scores = None
@@ -200,6 +288,10 @@ def main(argv=None):
                     audio_file, target_fs=cfg.working_sample_rate, cfg=cfg
                 )
                 log_mel = np.asarray(logmel_features(wav.astype(np.float32), cfg))
+        elif args.arch == "M5":
+            log_mel = None
+            scores = predict_file_m5(model, state, audio_file, cfg,
+                                     quantize=args.quantize)
         else:
             log_mel, scores = predict_file(
                 model, state, audio_file, cfg, mean, std,
@@ -224,14 +316,15 @@ def main(argv=None):
                           os.path.join(args.outputs_dir, f"{base}_events.csv"))
             print(f"  events (score >= {args.event_threshold}): "
                   f"{sum(len(e) for e in evs)}")
-        if not args.no_plot:
+        if not args.no_plot and log_mel is not None:
             plot_sample_features(
                 log_mel, mode="spectogram", output=scores,
                 file_name=base,
                 plot_path=os.path.join(args.outputs_dir, f"{base}.png"),
                 cfg=cfg,
             )
-        print(f"  frames={scores.shape[0]}, max score={scores.max():.3f}")
+        mx = float(scores.max()) if scores.size else float("nan")
+        print(f"  frames={scores.shape[0]}, max score={mx:.3f}")
 
 
 if __name__ == "__main__":

@@ -625,3 +625,83 @@ def test_stream_cli_short_file_does_not_abort_run(tmp_path):
     short_scores = np.load(os.path.join(out_dir, "short_scores.npy"))
     assert long_scores.shape[0] > 0
     assert short_scores.shape == (0, CFG.classes_num)
+
+
+def test_infer_cli_arch_m5(tmp_path):
+    """--arch M5 scores hop-strided frames; CLI output equals the offline
+    split through the model forward (sigmoid applied once)."""
+    import jax
+    import jax.numpy as jnp
+
+    from sed_tpu.cli.infer import main as infer_main
+    from sed_tpu.configs import WaveformConfig
+    from sed_tpu.data.events import frame_coverage_labels
+    from sed_tpu.models.m5 import M5
+    from sed_tpu.train.checkpoint import save_checkpoint
+    from sed_tpu.train.optim import make_optimizer
+    from sed_tpu.train.state import init_state
+
+    wcfg = WaveformConfig()
+    sr = wcfg.working_sample_rate
+    rng = np.random.default_rng(0)
+    wav = (0.1 * rng.standard_normal(4 * wcfg.frame_size)).astype(np.float32)
+    wav_path = str(tmp_path / "m5_clip.wav")
+    wavfile.write(wav_path, sr, wav)
+
+    model = M5(classes_num=wcfg.classes_num)
+    state = init_state(model, jax.random.key(0),
+                       jnp.zeros((1, wcfg.frame_size, 1)),
+                       make_optimizer(1e-4))
+    ckpt = save_checkpoint(state, str(tmp_path / "m5run"), 1)
+
+    out_dir = str(tmp_path / "m5_out")
+    infer_main([wav_path, "--ckpt", ckpt, "--arch", "M5", "--device", "cpu",
+                "--outputs_dir", out_dir, "--event_threshold", "0.9"])
+    got = np.load(os.path.join(out_dir, "m5_clip_scores.npy"))
+
+    frames, _ = frame_coverage_labels(wav[None], [], [], wcfg)
+    ref = np.asarray(jax.nn.sigmoid(model.apply(
+        {"params": state.params, "batch_stats": state.batch_stats},
+        jnp.asarray(np.transpose(frames, (0, 2, 1))), train=False)))
+    np.testing.assert_allclose(got, ref, atol=1e-6)
+    assert os.path.exists(os.path.join(out_dir, "m5_clip_events.csv"))
+
+
+def test_infer_cli_arch_mobilenet(tmp_path):
+    """--arch MobileNetV1 must NOT double-sigmoid (the model emits
+    confidences in forward); CLI scores equal the direct model output."""
+    import jax
+    import jax.numpy as jnp
+
+    from sed_tpu.cli.infer import main as infer_main
+    from sed_tpu.models.cnn import MobileNetV1
+    from sed_tpu.ops.featurizer import logmel_features
+    from sed_tpu.train.checkpoint import save_checkpoint
+    from sed_tpu.train.optim import make_optimizer
+    from sed_tpu.train.state import init_state
+
+    sr = CFG.working_sample_rate
+    rng = np.random.default_rng(1)
+    wav = (0.1 * rng.standard_normal(8 * sr)).astype(np.float32)
+    wav_path = str(tmp_path / "mb_clip.wav")
+    wavfile.write(wav_path, sr, wav)
+
+    model = MobileNetV1(classes_num=CFG.classes_num)
+    state = init_state(model, jax.random.key(0),
+                       jnp.zeros((1, CFG.train_crop_size, CFG.mel_bins, 1)),
+                       make_optimizer(1e-4))
+    ckpt = save_checkpoint(state, str(tmp_path / "mbrun"), 1)
+
+    out_dir = str(tmp_path / "mb_out")
+    infer_main([wav_path, "--ckpt", ckpt, "--arch", "MobileNetV1",
+                "--device", "cpu", "--outputs_dir", out_dir, "--no_plot"])
+    got = np.load(os.path.join(out_dir, "mb_clip_scores.npy"))
+    assert ((got >= 0) & (got <= 1)).all()
+
+    log_mel = np.asarray(logmel_features(wav[:, None], CFG))
+    x = jnp.transpose(jnp.asarray(log_mel), (1, 2, 0))[None]
+    ref = np.asarray(model.apply(
+        {"params": state.params, "batch_stats": state.batch_stats},
+        x, train=False))[0]
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, atol=1e-5)
