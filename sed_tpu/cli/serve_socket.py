@@ -42,6 +42,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    help="wav file whose features calibrate the int8 "
                         "activation scales (no input files exist at server "
                         "start, so calibration audio must be supplied)")
+    p.add_argument("--arch", type=str, default="CnnAvgPooling",
+                   choices=["CnnAvgPooling", "M5"],
+                   help="model family: CnnAvgPooling streams over the "
+                        "spectrogram HBM-ring pool; M5 streams hop-strided "
+                        "waveform frames (scored the moment each completes)")
     p.add_argument("--mean_std_file", type=str, default="")
     p.add_argument("--device", default="tpu", type=str)
     p.add_argument("--tau_labels", type=str, default="doorslam")
@@ -60,11 +65,12 @@ def main(argv=None):
         jax.config.update("jax_platforms", "cpu")
 
     from sed_tpu.cli.infer import load_model_and_state
-    from sed_tpu.configs import SpectrogramConfig
+    from sed_tpu.configs import SpectrogramConfig, WaveformConfig
     from sed_tpu.serve_socket import StreamServer
-    from sed_tpu.stream_pool import StreamPool
 
-    cfg = SpectrogramConfig(tau_sed_labels=tuple(args.tau_labels.split(",")))
+    labels = tuple(args.tau_labels.split(","))
+    cfg = (WaveformConfig(tau_sed_labels=labels) if args.arch == "M5"
+           else SpectrogramConfig(tau_sed_labels=labels))
     mean = std = None
     if args.mean_std_file:
         import pickle
@@ -72,7 +78,7 @@ def main(argv=None):
         with open(args.mean_std_file, "rb") as f:
             d = pickle.load(f)
         mean, std = d["mean"], d["std"]
-    model, state = load_model_and_state(args.ckpt, cfg)
+    model, state = load_model_and_state(args.ckpt, cfg, arch=args.arch)
     qparams = None
     if args.quantize == "int8":
         if not args.calib_wav:
@@ -81,30 +87,51 @@ def main(argv=None):
         import numpy as np
 
         from sed_tpu.io.audio import read_multichannel_audio
-        from sed_tpu.models.quantize import quantize_cnn
-        from sed_tpu.ops.featurizer import logmel_features_batch
 
         wav = np.asarray(read_multichannel_audio(
             args.calib_wav, target_fs=cfg.working_sample_rate, cfg=cfg))[:, 0]
-        feats = np.asarray(logmel_features_batch(
-            jnp.asarray(wav[None, :, None]), cfg))
-        if mean is not None:
-            feats = (feats - mean) / std
-        qparams = quantize_cnn(model, state.params, state.batch_stats,
-                               [np.transpose(feats, (0, 2, 3, 1))])
+        if args.arch == "M5":
+            from sed_tpu.data.events import frame_coverage_labels
+            from sed_tpu.models.quantize import quantize_m5
+
+            frames, _ = frame_coverage_labels(
+                wav[None].astype(np.float32), [], [], cfg)
+            qparams = quantize_m5(model, state.params, state.batch_stats,
+                                  [np.transpose(frames, (0, 2, 1))])
+        else:
+            from sed_tpu.models.quantize import quantize_cnn
+            from sed_tpu.ops.featurizer import logmel_features_batch
+
+            feats = np.asarray(logmel_features_batch(
+                jnp.asarray(wav[None, :, None]), cfg))
+            if mean is not None:
+                feats = (feats - mean) / std
+            qparams = quantize_cnn(model, state.params, state.batch_stats,
+                                   [np.transpose(feats, (0, 2, 3, 1))])
         print(f"int8 serving mode: calibrated on {args.calib_wav}",
               file=sys.stderr)
-    pool = StreamPool(
-        model, state.params, state.batch_stats, cfg, slots=args.slots,
-        chunk_samples=int(round(args.chunk_seconds * cfg.working_sample_rate)),
-        halo=args.halo, mean=mean, std=std, featurizer=args.featurizer,
-        featurizer_precision=args.featurizer_precision, qparams=qparams)
+    if args.arch == "M5":
+        from sed_tpu.waveform_streaming import WaveformStreamPool
+
+        pool = WaveformStreamPool(model, state.params, state.batch_stats,
+                                  cfg, slots=args.slots, qparams=qparams)
+        chunk = cfg.frame_size  # informational: frames finalize per hop
+    else:
+        from sed_tpu.stream_pool import StreamPool
+
+        pool = StreamPool(
+            model, state.params, state.batch_stats, cfg, slots=args.slots,
+            chunk_samples=int(round(
+                args.chunk_seconds * cfg.working_sample_rate)),
+            halo=args.halo, mean=mean, std=std, featurizer=args.featurizer,
+            featurizer_precision=args.featurizer_precision, qparams=qparams)
+        chunk = pool.chunk
     server = StreamServer(pool, host=args.host, port=args.port,
                           tick_interval=args.tick_interval)
     server.start()
     print(json.dumps({"host": server.address[0], "port": server.address[1],
-                      "slots": args.slots,
-                      "chunk_samples": pool.chunk}), flush=True)
+                      "slots": args.slots, "arch": args.arch,
+                      "chunk_samples": chunk}), flush=True)
     try:
         if args.run_seconds > 0:
             time.sleep(args.run_seconds)

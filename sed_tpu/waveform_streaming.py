@@ -117,3 +117,68 @@ class WaveformStreamingDetector(BatchedWaveformStreamingDetector):
 
     def push(self, chunk: np.ndarray) -> np.ndarray:
         return super().push(np.asarray(chunk).reshape(1, -1))[0]
+
+
+class WaveformStreamPool:
+    """Pool-shaped adapter for serving M5 streams (join/leave/feed/tick —
+    the same surface :class:`sed_tpu.serve_socket.StreamServer` drives, so
+    the TCP server serves either family unchanged).
+
+    M5 frames are independent and any staged audio can be consumed at every
+    tick (no fixed chunk), so each slot is simply its own
+    :class:`WaveformStreamingDetector`; slots are bounded to keep the
+    join/refuse contract of the spectrogram pool.
+    """
+
+    def __init__(self, model, params, batch_stats,
+                 cfg: WaveformConfig = DEFAULT_WAVEFORM, slots: int = 8,
+                 frame_bucket: int = 8, qparams=None):
+        self.cfg = cfg
+        self.slots = int(slots)
+        self._make = lambda: WaveformStreamingDetector(
+            model, params, batch_stats, cfg, frame_bucket=frame_bucket,
+            qparams=qparams)
+        self._dets: dict = {}
+        self._staged: dict = {}
+
+    def join(self) -> int:
+        for b in range(self.slots):
+            if b not in self._dets:
+                self._dets[b] = self._make()
+                self._staged[b] = []
+                return b
+        raise RuntimeError(f"all {self.slots} slots are occupied")
+
+    def feed(self, b: int, samples: np.ndarray) -> None:
+        if b not in self._dets:
+            raise ValueError(f"slot {b} is not joined")
+        arr = np.asarray(samples)
+        if arr.ndim != 1:
+            raise ValueError(f"samples must be 1-D, got shape {arr.shape}")
+        if arr.dtype == np.int16:
+            arr = arr.astype(np.float32) / 32768.0
+        self._staged[b].append(arr.astype(np.float32))
+
+    def tick(self) -> dict:
+        """Score every completed frame of every slot's staged audio."""
+        out = {}
+        for b, pieces in self._staged.items():
+            if not pieces:
+                continue
+            scores = self._dets[b].push(np.concatenate(pieces))
+            self._staged[b] = []
+            if scores.shape[0]:
+                out[b] = scores
+        return out
+
+    def leave(self, b: int) -> np.ndarray:
+        """Frames are emitted as soon as they complete, so the tail is just
+        whatever staged audio still finishes a frame; the sub-frame
+        remainder is dropped (the offline splitter has no end padding)."""
+        if b not in self._dets:
+            raise ValueError(f"slot {b} is not joined")
+        pieces = self._staged.pop(b)
+        det = self._dets.pop(b)
+        if pieces:
+            return det.push(np.concatenate(pieces))
+        return np.zeros((0, self.cfg.classes_num), np.float32)
