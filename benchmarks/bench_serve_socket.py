@@ -1,0 +1,150 @@
+"""End-to-end LIVE serving throughput through the TCP socket path.
+
+STREAMING_TICK.json measures the bare device tick; this measures the whole
+wire: N loopback clients stream int16 PCM through sed_tpu/serve_socket.py
+(framing, staging, batched ticks, score delivery) as fast as the server
+accepts it.  The aggregate real-time factor (audio-seconds scored per
+wall-second) IS the number of concurrent real-time streams this serving
+process sustains end to end — socket overhead, host staging, and dispatch
+included, unlike the tick-only projection.
+
+Reference context: the reference serves nothing (its infer.py:9-37 is
+batch-offline); this extends the serving story.
+
+Run: python benchmarks/bench_serve_socket.py          (TPU; CPU works)
+Env: SED_SOCK_STREAMS (default 16), SED_SOCK_SECONDS per stream (default 60),
+     SED_SOCK_ARCH cnn|m5 (default cnn).
+Writes benchmarks/SERVE_SOCKET_BENCH.json and prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import threading
+import time
+
+import numpy as np
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+REPO = os.path.dirname(HERE)
+sys.path.insert(0, REPO)
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from sed_tpu.configs import SpectrogramConfig, WaveformConfig
+    from sed_tpu.serve_socket import StreamClient, StreamServer
+    from sed_tpu.train.optim import make_optimizer
+    from sed_tpu.train.state import init_state
+
+    n_streams = int(os.environ.get("SED_SOCK_STREAMS", "16"))
+    seconds = float(os.environ.get("SED_SOCK_SECONDS", "60"))
+    arch = os.environ.get("SED_SOCK_ARCH", "cnn")
+    dev = jax.devices()[0]
+    log(f"device: {dev} ({dev.device_kind}); {n_streams} streams x "
+        f"{seconds:.0f}s, arch={arch}")
+
+    if arch == "m5":
+        from sed_tpu.models.m5 import M5
+        from sed_tpu.waveform_streaming import WaveformStreamPool
+
+        cfg = WaveformConfig()
+        model = M5(classes_num=cfg.classes_num)
+        state = init_state(model, jax.random.key(0),
+                           jnp.zeros((1, cfg.frame_size, 1)),
+                           make_optimizer(1e-4))
+        pool = WaveformStreamPool(model, state.params, state.batch_stats,
+                                  cfg, slots=n_streams)
+    else:
+        from sed_tpu.models.cnn import CnnAvgPooling, TRAIN_CHANNEL_AND_POOL
+        from sed_tpu.stream_pool import StreamPool
+
+        cfg = SpectrogramConfig()
+        model = CnnAvgPooling(classes_num=cfg.classes_num,
+                              model_config=TRAIN_CHANNEL_AND_POOL)
+        state = init_state(
+            model, jax.random.key(0),
+            jnp.zeros((1, cfg.train_crop_size, cfg.mel_bins, 1)),
+            make_optimizer(1e-4))
+        pool = StreamPool(model, state.params, state.batch_stats, cfg,
+                          slots=n_streams,
+                          chunk_samples=cfg.working_sample_rate)
+
+    server = StreamServer(pool, tick_interval=0.005)
+    server.start()
+    sr = cfg.working_sample_rate
+    piece = sr  # 1 s pieces
+    n_pieces = int(seconds)
+    rng = np.random.default_rng(0)
+    # One shared second of noise, per-stream offset — content doesn't affect
+    # throughput, and the relay result-cache can't collapse distinct streams
+    # anyway (different slots/phases).
+    base = (3000 * rng.standard_normal(piece + n_streams)).astype(np.int16)
+
+    frames_got = [0] * n_streams
+    errors = []
+
+    def run(i):
+        try:
+            c = StreamClient(*server.address, classes_num=cfg.classes_num)
+            got = 0
+            for k in range(n_pieces):
+                c.send(base[i: i + piece])
+            tail = c.finish()
+            frames_got[i] = tail.shape[0]
+        except Exception as e:  # noqa: BLE001 — report, don't hang the bench
+            errors.append((i, repr(e)))
+
+    # Warmup: one short stream compiles the tick programs.
+    w = StreamClient(*server.address, classes_num=cfg.classes_num)
+    for _ in range(8):
+        w.send(base[:piece])
+    w.finish()
+    log("warmup done")
+
+    t0 = time.perf_counter()
+    threads = [threading.Thread(target=run, args=(i,))
+               for i in range(n_streams)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=1200)
+    wall = time.perf_counter() - t0
+    server.stop()
+    if errors:
+        log(f"client errors: {errors[:4]}")
+    audio_total = n_streams * n_pieces  # seconds of audio pushed
+    rtf = audio_total / wall
+
+    out = {
+        "bench": "serve_socket_end_to_end",
+        "device_kind": dev.device_kind,
+        "arch": arch,
+        "streams": n_streams,
+        "seconds_per_stream": n_pieces,
+        "wall_seconds": round(wall, 2),
+        "aggregate_realtime_factor": round(rtf, 1),
+        "min_frames_per_stream": int(min(frames_got)),
+        "client_errors": len(errors),
+    }
+    with open(os.path.join(HERE, "SERVE_SOCKET_BENCH.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps({
+        "metric": "live socket serving, end-to-end",
+        "value": round(rtf, 1),
+        "unit": "concurrent real-time streams sustained (audio-s/s)",
+        "streams": n_streams,
+        "errors": len(errors),
+    }))
+
+
+if __name__ == "__main__":
+    main()
