@@ -297,6 +297,45 @@ def test_pool_sharded_over_mesh_matches_plain():
         np.testing.assert_allclose(sharded[s], plain[s], atol=1e-5)
 
 
+def test_pool_sparse_ticks_compose_with_mesh():
+    """Sparse ticks under a sharded pool: the per-slot active mask is a
+    replicated scalar vector, so idle rows must stay untouched on every
+    shard — mesh run equals the plain run with the same sparse pattern."""
+    from sed_tpu.parallel.mesh import create_mesh
+
+    rng = np.random.default_rng(21)
+    n = 10
+    audio = (0.1 * rng.standard_normal((8, n, CHUNK))).astype(np.float32)
+    model, state = _model_state()
+
+    def run(mesh):
+        pool = StreamPool(model, state.params, state.batch_stats, CFG,
+                          slots=8, chunk_samples=CHUNK, halo=64,
+                          total_stride=8, bucket=64, mesh=mesh)
+        slots = [pool.join() for _ in range(8)]
+        fed = [0] * 8
+        outs = {s: [] for s in slots}
+        for t in range(2 * n):
+            chunks = {}
+            for i, s in enumerate(slots):
+                if (t % (1 + i % 3) == 0) and fed[i] < n:  # periods 1/2/3
+                    chunks[s] = audio[i, fed[i]]
+                    fed[i] += 1
+            o = pool.push(chunks)
+            for s in o:
+                outs[s].append(o[s])
+        for i, s in enumerate(slots):
+            outs[s].append(pool.leave(s))
+        return {s: np.concatenate([x for x in outs[s] if x.shape[0]], axis=0)
+                for s in slots}
+
+    plain = run(None)
+    sharded = run(create_mesh())
+    for s in plain:
+        assert sharded[s].shape == plain[s].shape
+        np.testing.assert_allclose(sharded[s], plain[s], atol=1e-5)
+
+
 def test_pool_pallas_featurizer_matches_xla():
     """StreamPool featurizer='pallas' (interpret on CPU): same schedule,
     near-identical scores as the XLA tick featurizer."""
