@@ -150,3 +150,43 @@ def test_server_m5_pool_matches_offline_split():
         np.testing.assert_allclose(got, ref, atol=1e-6)
     finally:
         server.stop()
+
+
+def test_server_reclaims_slot_when_client_vanishes(model_state):
+    """A client killed mid-stream (no end marker) must not leak its slot:
+    the reader's drain path runs on the disconnect and a new connection can
+    join the freed slot (regression for the silent reader-thread death)."""
+    import socket as socket_mod
+    import time
+
+    model, state = model_state
+    pool = StreamPool(model, state.params, state.batch_stats, CFG, slots=1,
+                      chunk_samples=CHUNK, halo=64, total_stride=8, bucket=64)
+    server = StreamServer(pool, tick_interval=0.01)
+    server.start()
+    try:
+        first = StreamClient(*server.address)
+        first.send((3000 * np.random.default_rng(7)
+                    .standard_normal(3 * CHUNK)).astype(np.int16))
+        time.sleep(0.3)  # let ticks run
+        # Vanish abruptly: RST instead of a clean end marker.
+        first._sock.setsockopt(socket_mod.SOL_SOCKET, socket_mod.SO_LINGER,
+                               b"\x01\x00\x00\x00\x00\x00\x00\x00")
+        first._sock.close()
+
+        deadline = time.time() + 10
+        second = None
+        while time.time() < deadline:
+            try:
+                cand = StreamClient(*server.address)
+                cand.send(np.zeros(CHUNK, np.int16))
+                time.sleep(0.2)
+                cand.send(np.zeros(CHUNK, np.int16))
+                out = cand.finish()  # raises if the join was refused
+                second = out
+                break
+            except (RuntimeError, ConnectionError):
+                time.sleep(0.3)  # slot not reclaimed yet
+        assert second is not None, "slot was never reclaimed after the RST"
+    finally:
+        server.stop()
