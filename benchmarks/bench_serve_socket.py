@@ -95,8 +95,7 @@ def main():
     def run(i):
         try:
             c = StreamClient(*server.address, classes_num=cfg.classes_num)
-            got = 0
-            for k in range(n_pieces):
+            for _ in range(n_pieces):
                 c.send(base[i: i + piece])
             tail = c.finish()
             frames_got[i] = tail.shape[0]

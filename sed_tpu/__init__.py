@@ -44,6 +44,7 @@ _EXPORTS = {
     "StreamClient": "sed_tpu.serve_socket",
     "WaveformStreamingDetector": "sed_tpu.waveform_streaming",
     "BatchedWaveformStreamingDetector": "sed_tpu.waveform_streaming",
+    "WaveformStreamPool": "sed_tpu.waveform_streaming",
     "windowed_forward": "sed_tpu.parallel.time_shard",
     "calculate_metrics": "sed_tpu.utils.metrics",
     "f_score": "sed_tpu.utils.metrics",

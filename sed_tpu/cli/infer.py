@@ -125,6 +125,13 @@ def predict_file(model, state, audio_path: str, cfg, mean=None, std=None,
 
     if hasattr(model, "model_config"):
         rf = receptive_field(model.model_config)
+    elif type(model).__name__ == "MobileNetV1":
+        from sed_tpu.models.cnn import mobilenet_receptive_field
+
+        rf = mobilenet_receptive_field()
+    else:
+        rf = None
+    if rf is not None:
         min_halo = 8 * (-(-(rf // 2 + 1) // 8))  # ceil(rf/2) to the time stride
         if halo < min_halo:
             print(f"halo {halo} < receptive field requirement {min_halo}; using {min_halo}")
@@ -241,6 +248,15 @@ def main(argv=None):
         if args.batch:
             parser.error("--batch applies to the spectrogram archs; the M5 "
                          "path already scores all frames of a file batched")
+        ignored = [f for f, on in (
+            ("--mean_std_file", bool(args.mean_std_file)),
+            ("--featurizer_precision", args.featurizer_precision != "parity"),
+            ("--window", args.window != 1024),
+            ("--halo", args.halo != 64),
+        ) if on]
+        if ignored:
+            print(f"note: {', '.join(ignored)} have no effect on the M5 "
+                  f"waveform path (no featurizer, frames scored whole)")
     else:
         cfg = SpectrogramConfig(tau_sed_labels=labels)
 
@@ -301,6 +317,11 @@ def main(argv=None):
         base = os.path.splitext(os.path.basename(audio_file))[0]
         np.save(os.path.join(args.outputs_dir, f"{base}_scores.npy"), scores)
         with open(os.path.join(args.outputs_dir, f"{base}_scores.csv"), "w") as f:
+            # time_sec uses the reference's integer frames_per_second
+            # (fs//hop = 3; common_config.py:7) for BOTH archs — the same
+            # grid training rasterization and metrics use.  The true
+            # hop-spaced rate is fs/hop = 3.0303...; exact frame start
+            # times are i*hop/fs (~1% earlier at long horizons).
             f.write("frame,time_sec," + ",".join(cfg.tau_sed_labels) + "\n")
             for i, row in enumerate(scores):
                 vals = ",".join(f"{v:.6f}" for v in row)

@@ -96,6 +96,12 @@ def main(argv=None):
 
             frames, _ = frame_coverage_labels(
                 wav[None].astype(np.float32), [], [], cfg)
+            if not len(frames):
+                raise SystemExit(
+                    f"--calib_wav is too short to yield a single "
+                    f"{cfg.frame_size}-sample frame "
+                    f"({cfg.frame_size / cfg.working_sample_rate:.2f}s at "
+                    f"{cfg.working_sample_rate} Hz); supply a longer wav")
             qparams = quantize_m5(model, state.params, state.batch_stats,
                                   [np.transpose(frames, (0, 2, 1))])
         else:
@@ -113,6 +119,17 @@ def main(argv=None):
     if args.arch == "M5":
         from sed_tpu.waveform_streaming import WaveformStreamPool
 
+        ignored = [f for f, on in (
+            ("--chunk_seconds", args.chunk_seconds != 1.0),
+            ("--halo", args.halo != 64),
+            ("--featurizer", args.featurizer != "auto"),
+            ("--featurizer_precision", args.featurizer_precision != "parity"),
+            ("--mean_std_file", bool(args.mean_std_file)),
+        ) if on]
+        if ignored:
+            print(f"note: {', '.join(ignored)} have no effect on the M5 "
+                  f"pool (frames finalize per hop, no featurizer)",
+                  file=sys.stderr)
         pool = WaveformStreamPool(model, state.params, state.batch_stats,
                                   cfg, slots=args.slots, qparams=qparams)
         chunk = cfg.frame_size  # informational: frames finalize per hop

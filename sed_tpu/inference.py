@@ -43,14 +43,19 @@ def make_batch_predictor(
     mean_arr = None if mean is None else jnp.asarray(np.asarray(mean, np.float32))
     std_arr = None if std is None else jnp.asarray(np.asarray(std, np.float32))
 
+    # MobileNetV1 emits sigmoid confidences IN its forward (reference
+    # spectogram_models.py:117); applying sigmoid again would compress all
+    # scores into [0.5, 0.731].
+    emits_scores = type(model).__name__ == "MobileNetV1"
+
     def forward(params, batch_stats, waveforms):
         feats = logmel_features_batch(waveforms, cfg,
                                       pallas_precision=prec)  # (B, C, T, M)
         if mean_arr is not None:
             feats = (feats - mean_arr) / std_arr
         x = jnp.transpose(feats, (0, 2, 3, 1))               # NHWC
-        logits = model.apply({"params": params, "batch_stats": batch_stats}, x, train=False)
-        return jax.nn.sigmoid(logits)
+        out = model.apply({"params": params, "batch_stats": batch_stats}, x, train=False)
+        return out if emits_scores else jax.nn.sigmoid(out)
 
     if mesh is not None:
         from sed_tpu.parallel.data_parallel import shard_inference

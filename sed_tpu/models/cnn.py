@@ -37,6 +37,18 @@ MOBILENET_STACK: Tuple[Tuple[str, int, int], ...] = (
 )
 
 
+def mobilenet_receptive_field() -> int:
+    """Time receptive field (frames) of the MobileNetV1 stack: per block one
+    k=3 conv (+2 frames at the current stride) followed by an avg-pool of
+    k = stride (``dw`` blocks' pointwise 1x1 conv adds nothing)."""
+    rf, jump = 1, 1
+    for _, _, stride in MOBILENET_STACK:
+        rf += 2 * jump              # the 3x3 (depthwise) conv
+        rf += (stride - 1) * jump   # avg-pool k=stride
+        jump *= stride
+    return rf
+
+
 def num_pools(model_config: Sequence[Tuple[int, int]]) -> int:
     """Count of 2x time-pooling stages, reproducing the reference counter.
 

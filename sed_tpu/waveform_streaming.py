@@ -23,13 +23,33 @@ spectrogram detectors' int8 mode.
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from sed_tpu.configs import WaveformConfig, DEFAULT_WAVEFORM
+
+
+def make_m5_score_fn(model, params, batch_stats, qparams=None):
+    """ONE jitted (n, frame) -> (n, classes) sigmoid scorer, shareable
+    across detectors/pool slots (a fresh @jax.jit closure per stream would
+    recompile the identical forward on every join)."""
+    if qparams is not None:
+        from sed_tpu.models.quantize import quantized_m5_forward
+
+        fwd = partial(quantized_m5_forward, qparams)
+    else:
+        def fwd(x):
+            return model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                x, train=False)
+
+    @jax.jit
+    def score(frames):  # (n, frame) -> (n, classes)
+        return jax.nn.sigmoid(fwd(frames[:, :, None]))
+
+    return score
 
 
 class BatchedWaveformStreamingDetector:
@@ -43,7 +63,9 @@ class BatchedWaveformStreamingDetector:
 
     def __init__(self, model, params, batch_stats,
                  cfg: WaveformConfig = DEFAULT_WAVEFORM, batch: int = 1,
-                 frame_bucket: int = 8, qparams=None):
+                 frame_bucket: int = 8, qparams=None, score_fn=None):
+        """``score_fn``: optionally a shared jitted scorer from
+        :func:`make_m5_score_fn` (pool slots share ONE compile)."""
         self.cfg = cfg
         self.batch = int(batch)
         self._frame = 2 * (cfg.frame_size // 2)  # == frame_size (even)
@@ -54,22 +76,8 @@ class BatchedWaveformStreamingDetector:
         # Rolling buffer holds everything not yet fully consumed by a frame:
         # sample index of buf[:, 0] is emitted*hop.
         self._buf = np.zeros((self.batch, 0), np.float32)
-
-        if qparams is not None:
-            from sed_tpu.models.quantize import quantized_m5_forward
-
-            fwd = partial(quantized_m5_forward, qparams)
-        else:
-            def fwd(x):
-                return model.apply(
-                    {"params": params, "batch_stats": batch_stats},
-                    x, train=False)
-
-        @jax.jit
-        def score(frames):  # (batch*k, frame) -> (batch*k, classes)
-            return jax.nn.sigmoid(fwd(frames[:, :, None]))
-
-        self._score = score
+        self._score = score_fn if score_fn is not None else make_m5_score_fn(
+            model, params, batch_stats, qparams)
 
     def _ready(self, total: int) -> int:
         return 0 if total < self._frame else (total - self._frame) // self._hop + 1
@@ -87,17 +95,25 @@ class BatchedWaveformStreamingDetector:
         k = self._ready(self._total) - self._emitted
         if k <= 0:
             return np.zeros((self.batch, 0, self._classes()), np.float32)
-        # Frame j (j=0..k-1) starts at buffer offset j*hop.
-        idx = (np.arange(k)[:, None] * self._hop + np.arange(self._frame))
-        frames = self._buf[:, idx]                      # (batch, k, frame)
-        kp = self._bucket * (-(-k // self._bucket))     # bucketed compile
-        if kp != k:
-            frames = np.concatenate(
-                [frames, np.zeros((self.batch, kp - k, self._frame),
-                                  np.float32)], axis=1)
-        flat = jnp.asarray(frames.reshape(self.batch * kp, self._frame))
-        scores = np.asarray(self._score(flat))
-        scores = scores.reshape(self.batch, kp, -1)[:, :k]
+        # Hop-strided frame VIEWS (no giant index array) ...
+        win = np.lib.stride_tricks.sliding_window_view(
+            self._buf, self._frame, axis=1)
+        frames = win[:, :: self._hop][:, :k]            # (batch, k, frame)
+        # ... scored in FIXED bucket-sized chunks: one compiled shape no
+        # matter how large a push (a whole drained file) is.
+        fb = self._bucket
+        outs = []
+        for j in range(0, k, fb):
+            blk = frames[:, j: j + fb]
+            if blk.shape[1] != fb:  # pad the tail block only
+                blk = np.concatenate(
+                    [blk, np.zeros((self.batch, fb - blk.shape[1],
+                                    self._frame), np.float32)], axis=1)
+            flat = jnp.asarray(np.ascontiguousarray(
+                blk.reshape(self.batch * fb, self._frame)))
+            outs.append(np.asarray(self._score(flat))
+                        .reshape(self.batch, fb, -1))
+        scores = np.concatenate(outs, axis=1)[:, :k]
         self._emitted += k
         self._buf = self._buf[:, k * self._hop:]       # drop consumed hops
         return scores
@@ -111,9 +127,10 @@ class WaveformStreamingDetector(BatchedWaveformStreamingDetector):
 
     def __init__(self, model, params, batch_stats,
                  cfg: WaveformConfig = DEFAULT_WAVEFORM,
-                 frame_bucket: int = 8, qparams=None):
+                 frame_bucket: int = 8, qparams=None, score_fn=None):
         super().__init__(model, params, batch_stats, cfg, batch=1,
-                         frame_bucket=frame_bucket, qparams=qparams)
+                         frame_bucket=frame_bucket, qparams=qparams,
+                         score_fn=score_fn)
 
     def push(self, chunk: np.ndarray) -> np.ndarray:
         return super().push(np.asarray(chunk).reshape(1, -1))[0]
@@ -135,9 +152,12 @@ class WaveformStreamPool:
                  frame_bucket: int = 8, qparams=None):
         self.cfg = cfg
         self.slots = int(slots)
+        # ONE jitted scorer for the whole pool: joins must not recompile
+        # (a per-slot @jax.jit closure would retrace on every connection).
+        shared = make_m5_score_fn(model, params, batch_stats, qparams)
         self._make = lambda: WaveformStreamingDetector(
             model, params, batch_stats, cfg, frame_bucket=frame_bucket,
-            qparams=qparams)
+            score_fn=shared)
         self._dets: dict = {}
         self._staged: dict = {}
 

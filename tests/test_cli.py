@@ -705,3 +705,11 @@ def test_infer_cli_arch_mobilenet(tmp_path):
         x, train=False))[0]
     assert got.shape == ref.shape
     np.testing.assert_allclose(got, ref, atol=1e-5)
+
+    # The --batch path must respect the same convention (regression: it
+    # used to sigmoid the already-sigmoided MobileNet forward).
+    out_b = str(tmp_path / "mb_out_batch")
+    infer_main([wav_path, "--ckpt", ckpt, "--arch", "MobileNetV1", "--batch",
+                "--device", "cpu", "--outputs_dir", out_b, "--no_plot"])
+    got_b = np.load(os.path.join(out_b, "mb_clip_scores.npy"))
+    np.testing.assert_allclose(got_b, ref, atol=1e-5)
