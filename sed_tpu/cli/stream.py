@@ -72,6 +72,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--tau_labels", type=str, default="doorslam",
                    help="comma-separated event classes — must match the "
                         "checkpoint's training config")
+    p.add_argument("--arch", type=str, default="CnnAvgPooling",
+                   choices=["CnnAvgPooling", "M5"],
+                   help="model family: CnnAvgPooling streams over the "
+                        "spectrogram HBM-ring pool; M5 streams hop-strided "
+                        "waveform frames")
     return p
 
 
@@ -83,12 +88,13 @@ def main(argv=None):
     if args.device == "cpu":
         jax.config.update("jax_platforms", "cpu")
 
-    from sed_tpu.configs import SpectrogramConfig
+    from sed_tpu.configs import SpectrogramConfig, WaveformConfig
     from sed_tpu.cli.infer import load_model_and_state
     from sed_tpu.io.audio import read_multichannel_audio
-    from sed_tpu.stream_pool import StreamPool
 
-    cfg = SpectrogramConfig(tau_sed_labels=tuple(args.tau_labels.split(",")))
+    labels = tuple(args.tau_labels.split(","))
+    cfg = (WaveformConfig(tau_sed_labels=labels) if args.arch == "M5"
+           else SpectrogramConfig(tau_sed_labels=labels))
 
     chunk = int(round(args.chunk_seconds * cfg.working_sample_rate))
     mean = std = None
@@ -99,7 +105,7 @@ def main(argv=None):
             d = pickle.load(f)
         mean, std = d["mean"], d["std"]
 
-    model, state = load_model_and_state(args.ckpt, cfg)
+    model, state = load_model_and_state(args.ckpt, cfg, arch=args.arch)
     os.makedirs(args.outputs_dir, exist_ok=True)
 
     # File queue: (path, mono float32 waveform).  Reading up front keeps the
@@ -124,25 +130,55 @@ def main(argv=None):
         mesh = create_mesh(args.num_devices)
     qparams = None
     if args.quantize == "int8":
-        import jax.numpy as jnp
-
-        from sed_tpu.models.quantize import quantize_cnn
-        from sed_tpu.ops.featurizer import logmel_features_batch
-
         calib_wav = queue[0]["wav"]
-        feats = np.asarray(logmel_features_batch(
-            jnp.asarray(calib_wav[None, :, None]), cfg))
-        if mean is not None:
-            feats = (feats - mean) / std
-        qparams = quantize_cnn(model, state.params, state.batch_stats,
-                               [np.transpose(feats, (0, 2, 3, 1))])
+        if args.arch == "M5":
+            from sed_tpu.data.events import frame_coverage_labels
+            from sed_tpu.models.quantize import quantize_m5
+
+            frames, _ = frame_coverage_labels(calib_wav[None], [], [], cfg)
+            if not len(frames):
+                raise SystemExit(
+                    f"first file is too short to calibrate int8 "
+                    f"(needs >= {cfg.frame_size} samples)")
+            qparams = quantize_m5(model, state.params, state.batch_stats,
+                                  [np.transpose(frames, (0, 2, 1))])
+        else:
+            import jax.numpy as jnp
+
+            from sed_tpu.models.quantize import quantize_cnn
+            from sed_tpu.ops.featurizer import logmel_features_batch
+
+            feats = np.asarray(logmel_features_batch(
+                jnp.asarray(calib_wav[None, :, None]), cfg))
+            if mean is not None:
+                feats = (feats - mean) / std
+            qparams = quantize_cnn(model, state.params, state.batch_stats,
+                                   [np.transpose(feats, (0, 2, 3, 1))])
         log("int8 serving mode: activation scales calibrated on "
             f"{queue[0]['path']}")
-    pool = StreamPool(model, state.params, state.batch_stats, cfg,
-                      slots=slots, chunk_samples=chunk, halo=args.halo,
-                      mean=mean, std=std, featurizer=args.featurizer,
-                      featurizer_precision=args.featurizer_precision,
-                      mesh=mesh, qparams=qparams)
+    if args.arch == "M5":
+        from sed_tpu.waveform_streaming import WaveformStreamPool
+
+        if mesh is not None:
+            raise SystemExit("--num_devices applies to the spectrogram pool")
+        ignored = [f for f, on in (
+            ("--halo", args.halo != 64),
+            ("--featurizer", args.featurizer != "auto"),
+            ("--featurizer_precision", args.featurizer_precision != "parity"),
+            ("--mean_std_file", bool(args.mean_std_file)),
+        ) if on]
+        if ignored:
+            log(f"note: {', '.join(ignored)} have no effect on the M5 pool")
+        pool = WaveformStreamPool(model, state.params, state.batch_stats,
+                                  cfg, slots=slots, qparams=qparams)
+    else:
+        from sed_tpu.stream_pool import StreamPool
+
+        pool = StreamPool(model, state.params, state.batch_stats, cfg,
+                          slots=slots, chunk_samples=chunk, halo=args.halo,
+                          mean=mean, std=std, featurizer=args.featurizer,
+                          featurizer_precision=args.featurizer_precision,
+                          mesh=mesh, qparams=qparams)
 
     active = {}           # slot -> file record
     next_file = 0

@@ -713,3 +713,47 @@ def test_infer_cli_arch_mobilenet(tmp_path):
                 "--device", "cpu", "--outputs_dir", out_b, "--no_plot"])
     got_b = np.load(os.path.join(out_b, "mb_clip_scores.npy"))
     np.testing.assert_allclose(got_b, ref, atol=1e-5)
+
+
+def test_stream_cli_arch_m5_matches_infer(tmp_path):
+    """stream --arch M5 (files as waveform streams) produces the same
+    per-file scores as infer --arch M5."""
+    import jax
+    import jax.numpy as jnp
+
+    from sed_tpu.cli.infer import main as infer_main
+    from sed_tpu.cli.stream import main as stream_main
+    from sed_tpu.configs import WaveformConfig
+    from sed_tpu.models.m5 import M5
+    from sed_tpu.train.checkpoint import save_checkpoint
+    from sed_tpu.train.optim import make_optimizer
+    from sed_tpu.train.state import init_state
+
+    wcfg = WaveformConfig()
+    sr = wcfg.working_sample_rate
+    rng = np.random.default_rng(5)
+    paths = []
+    for i, secs in enumerate((4.0, 2.5)):
+        p = str(tmp_path / f"m5s_{i}.wav")
+        wavfile.write(p, sr, (0.1 * rng.standard_normal(
+            int(secs * wcfg.frame_size))).astype(np.float32))
+        paths.append(p)
+
+    model = M5(classes_num=wcfg.classes_num)
+    state = init_state(model, jax.random.key(0),
+                       jnp.zeros((1, wcfg.frame_size, 1)),
+                       make_optimizer(1e-4))
+    ckpt = save_checkpoint(state, str(tmp_path / "m5srun"), 1)
+
+    s_dir = str(tmp_path / "m5s_stream")
+    stream_main(paths + ["--ckpt", ckpt, "--arch", "M5", "--device", "cpu",
+                         "--outputs_dir", s_dir, "--chunk_seconds", "0.5"])
+    i_dir = str(tmp_path / "m5s_infer")
+    infer_main(paths + ["--ckpt", ckpt, "--arch", "M5", "--device", "cpu",
+                        "--outputs_dir", i_dir])
+    for p in paths:
+        base = os.path.splitext(os.path.basename(p))[0]
+        got = np.load(os.path.join(s_dir, f"{base}_scores.npy"))
+        ref = np.load(os.path.join(i_dir, f"{base}_scores.npy"))
+        assert got.shape == ref.shape, base
+        np.testing.assert_allclose(got, ref, atol=1e-6, err_msg=base)
