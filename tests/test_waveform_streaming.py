@@ -102,3 +102,45 @@ def test_streaming_m5_int8_qparams(m5_state):
         pos += 7000
     got = np.concatenate([o for o in outs if o.shape[0]], axis=0)
     np.testing.assert_allclose(got, ref, atol=1e-6)
+
+
+def test_streaming_m5_geometry_fuzz():
+    """Property fuzz over (sample_rate, time_margin, push pattern): the
+    streamed frame COUNT and frame CONTENT geometry must match
+    frame_coverage_labels for every config, including odd frame sizes
+    (frame = 2*(frame_size//2)) and pushes smaller than a hop."""
+    rng = np.random.default_rng(123)
+    model = M5(classes_num=1)
+    tx = make_optimizer(1e-3)
+    for trial in range(6):
+        sr = int(rng.choice([4000, 6000, 8000, 11025]))
+        margin = float(rng.uniform(0.1, 0.5))
+        cfg = WaveformConfig(working_sample_rate=sr, time_margin=margin)
+        state = init_state(model, jax.random.key(trial),
+                           jnp.zeros((1, cfg.frame_size, 1)), tx)
+        n = int(rng.integers(cfg.frame_size, 6 * cfg.frame_size))
+        wav = (0.1 * rng.standard_normal(n)).astype(np.float32)
+        det = WaveformStreamingDetector(model, state.params,
+                                        state.batch_stats, cfg)
+        outs, pos = [], 0
+        while pos < len(wav):
+            m = int(rng.integers(1, max(2, cfg.frame_size)))
+            outs.append(det.push(wav[pos: pos + m]))
+            pos += m
+        got = np.concatenate([o for o in outs if o.shape[0]], axis=0) \
+            if any(o.shape[0] for o in outs) else np.zeros((0, 1), np.float32)
+        ref = _offline_scores_cfg(model, state, wav, cfg)
+        assert got.shape == ref.shape, (trial, sr, margin, got.shape,
+                                        ref.shape)
+        np.testing.assert_allclose(got, ref, atol=1e-6,
+                                   err_msg=f"trial {trial} sr={sr}")
+
+
+def _offline_scores_cfg(model, state, wav, cfg):
+    frames, _ = frame_coverage_labels(wav[None], [], [], cfg)
+    if not len(frames):
+        return np.zeros((0, 1), np.float32)
+    fwd = make_eval_forward(model)
+    logits = np.asarray(fwd(state.params, state.batch_stats,
+                            jnp.asarray(np.transpose(frames, (0, 2, 1)))))
+    return 1.0 / (1.0 + np.exp(-logits))
