@@ -183,6 +183,47 @@ def aot_export_pipeline(
     return aot_export_fn(pipeline, weights, spec, mesh=mesh)
 
 
+def aot_export_m5_pipeline(
+    score_fn,
+    weights,
+    batch: int,
+    samples: int,
+    cfg=None,
+    pcm_dtype=jnp.int16,
+    mesh=None,
+) -> bytes:
+    """AOT-compile the waveform-family serving graph: (batch, samples, 1)
+    PCM -> hop-strided frame windows (the offline validation split geometry,
+    data/events.py frame_coverage_labels) -> per-frame M5 scores
+    (batch, n_frames, classes).  ``score_fn(weights, windows)`` is
+    :func:`m5_serving`'s scorer (or its int8 variant).  Loadable by
+    :func:`load_aot_pipeline`.  (M5 compiles in seconds even cold — this
+    exists for API symmetry with the CNN pipeline, whose Pallas featurizer
+    is the expensive compile.)"""
+    from sed_tpu.configs import DEFAULT_WAVEFORM
+
+    cfg = cfg or DEFAULT_WAVEFORM
+    frame = 2 * (cfg.frame_size // 2)
+    hop = cfg.hop_size
+    n = (samples - frame) // hop + 1
+    if n < 1:
+        raise ValueError(
+            f"samples={samples} yields no {frame}-sample frame")
+
+    def pipeline(w, x):
+        if x.dtype == jnp.int16:
+            x = x.astype(jnp.float32) / 32768.0
+        else:
+            x = x.astype(jnp.float32)
+        wins = jnp.stack(
+            [x[:, i * hop: i * hop + frame, :] for i in range(n)], axis=1)
+        sc = score_fn(w, wins.reshape(batch * n, frame, x.shape[-1]))
+        return sc.reshape(batch, n, -1)
+
+    spec = jax.ShapeDtypeStruct((batch, samples, 1), pcm_dtype)
+    return aot_export_fn(pipeline, weights, spec, mesh=mesh)
+
+
 def load_aot_pipeline(blob: bytes):
     """Load an :func:`aot_export_pipeline` / :func:`aot_export_fn` artifact;
     returns ``call(audio) -> scores`` running the pre-compiled executable

@@ -232,3 +232,42 @@ def test_aot_sharded_pipeline_roundtrip():
         score_fn, weights, B, samples, CFG, use_pallas=False,
         mesh=create_mesh()))
     np.testing.assert_allclose(sharded(pcm), plain(pcm), atol=1e-5)
+
+
+def test_aot_m5_pipeline_roundtrip():
+    """M5 AOT artifact (export.aot_export_m5_pipeline): int16 PCM ->
+    hop-strided windows -> M5 -> sigmoid, compiled + serialized, must reload
+    and equal the offline hop-split scoring."""
+    import jax
+    import jax.numpy as jnp
+
+    from sed_tpu.configs import WaveformConfig
+    from sed_tpu.data.events import frame_coverage_labels
+    from sed_tpu.export import (aot_export_m5_pipeline, load_aot_pipeline,
+                                m5_serving)
+    from sed_tpu.models.m5 import M5
+    from sed_tpu.train.optim import make_optimizer
+    from sed_tpu.train.state import init_state
+
+    wcfg = WaveformConfig(working_sample_rate=8000, time_margin=0.33)
+    model = M5(classes_num=1)
+    state = init_state(model, jax.random.key(0),
+                       jnp.zeros((1, wcfg.frame_size, 1)),
+                       make_optimizer(1e-4))
+    score_fn, weights = m5_serving(model, state.params, state.batch_stats)
+
+    B, samples = 2, 4 * wcfg.frame_size
+    blob = aot_export_m5_pipeline(score_fn, weights, B, samples, wcfg)
+    call = load_aot_pipeline(blob)
+
+    rng = np.random.default_rng(0)
+    pcm = (3000 * rng.standard_normal((B, samples, 1))).astype(np.int16)
+    got = call(pcm)
+
+    for b in range(B):
+        frames, _ = frame_coverage_labels(
+            (pcm[b, :, 0].astype(np.float32) / 32768.0)[None], [], [], wcfg)
+        ref = np.asarray(score_fn(
+            weights, jnp.asarray(np.transpose(frames, (0, 2, 1)))))
+        assert got[b].shape == ref.shape
+        np.testing.assert_allclose(got[b], ref, atol=1e-6, err_msg=str(b))
