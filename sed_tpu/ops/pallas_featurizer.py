@@ -544,6 +544,128 @@ def _make_wave_fft_power_kernel_roll(n_fft: int, n1: int, n2: int, hop: int,
     return kernel
 
 
+MEL_GROUP = 16  # FFT tiles buffered per in-kernel mel matmul (impl='fuse')
+
+
+def _make_wave_fft_mel_kernel_roll(n_fft: int, n1: int, n2: int, hop: int,
+                                   s_pad: int, span_len: int, phases,
+                                   precision=None, mel_precision="bf16x4"):
+    """Single-kernel featurizer (impl='fuse'): roll-framed FFT tiles with the
+    mel+log projection fused in as a grouped epilogue.
+
+    The two-kernel production path round-trips the (rows, n_fft) power
+    spectrum through HBM between the FFT and mel kernels — ~380 MB written
+    + 380 MB read per 16x60 s batch, plus a second kernel launch.  Here each
+    tile's 8 power rows are written to a VMEM accumulation buffer instead;
+    every MEL_GROUP-th tile (or the final tile) projects the buffered
+    (MEL_GROUP*8, n_fft) rows through the VMEM-resident folded filterbank
+    and applies 10*log10(max(amin, .)), emitting (128, 128) log-mel blocks.
+    M=128 keeps the mel matmul MXU-efficient (a per-tile M=8 projection
+    would K-stream the 32768-deep filterbank at 1/16th utilization).
+
+    The mel accumulation walks K in the same TILE_K ascending order with the
+    same split-operand dot as the standalone resident-fb mel kernel, so the
+    fused path is numerically identical to the production two-kernel path.
+
+    Stale buffer rows (slots past the last real tile in a partial final
+    group) produce junk output rows that land beyond n_frames and are
+    trimmed by the caller — they never alias real rows because each tile
+    writes its own slot before any epilogue fires.
+    """
+    tile_stride = FFT_TILE_R * hop
+    span_rows = span_len // 128
+    group_rows = MEL_GROUP * FFT_TILE_R
+    assert n_fft % TILE_K == 0
+    k_chunks = n_fft // TILE_K
+    mel_dot = _make_dot(mel_precision)
+
+    def kernel(wave_ref, window_ref, w2r_ref, w2i_ref, w1r_ref, w1i_ref,
+               twr_ref, twi_ref, fb_ref, out_ref, span_a, span_b, sem_a,
+               sem_b, pbuf):
+        c = pl.program_id(0)
+        t = pl.program_id(1)
+        n_tiles = pl.num_programs(1)
+        n_sigs = pl.num_programs(0)
+        linear = c * n_tiles + t
+        total = n_sigs * n_tiles
+
+        def aligned_row_of(ci, ti):
+            flat_base = ci * s_pad + ti * tile_stride
+            return pl.multiple_of((flat_base // 1024) * 8, 8)
+
+        def dma_for(span_vmem, sem, ci, ti):
+            return pltpu.make_async_copy(
+                wave_ref.at[pl.ds(aligned_row_of(ci, ti), span_rows)],
+                span_vmem, sem)
+
+        slot = jax.lax.rem(linear, 2)
+        nlin = linear + 1
+        nc = nlin // n_tiles
+        nt = nlin - nc * n_tiles
+
+        @pl.when(linear == 0)
+        def _prologue():
+            dma_for(span_a, sem_a, c, t).start()
+
+        @pl.when((slot == 0) & (nlin < total))
+        def _prefetch_b():
+            dma_for(span_b, sem_b, nc, nt).start()
+
+        @pl.when((slot == 1) & (nlin < total))
+        def _prefetch_a():
+            dma_for(span_a, sem_a, nc, nt).start()
+
+        @pl.when(slot == 0)
+        def _wait_a():
+            dma_for(span_a, sem_a, c, t).wait()
+
+        @pl.when(slot == 1)
+        def _wait_b():
+            dma_for(span_b, sem_b, c, t).wait()
+
+        lane = jax.lax.broadcasted_iota(jnp.int32, (n_fft // 128, 128), 1)
+
+        def build(span_vmem, phase):
+            def _build():
+                return jnp.stack([
+                    _extract_rolled(span_vmem, lane, phase + f * hop,
+                                    n_fft // 128)
+                    for f in range(FFT_TILE_R)
+                ])
+
+            return _build
+
+        def extract(span_vmem):
+            phase_idx = jax.lax.rem(t, len(phases))
+            return jax.lax.switch(phase_idx,
+                                  [build(span_vmem, p) for p in phases])
+
+        frames = jax.lax.cond(slot == 0,
+                              lambda: extract(span_a),
+                              lambda: extract(span_b))
+        frames = frames.reshape(FFT_TILE_R, n_fft)
+        power = _fft_power_body(frames, window_ref, w2r_ref, w2i_ref,
+                                w1r_ref, w1i_ref, twr_ref, twi_ref,
+                                n1, n2, precision)
+
+        in_group = jax.lax.rem(linear, MEL_GROUP)
+        pbuf[pl.ds(pl.multiple_of(in_group * FFT_TILE_R, 8), FFT_TILE_R),
+             :] = power
+
+        @pl.when((in_group == MEL_GROUP - 1) | (linear == total - 1))
+        def _mel_epilogue():
+            acc = jnp.zeros((group_rows, LANES), jnp.float32)
+            dn = (((1,), (0,)), ((), ()))
+            for kk in range(k_chunks):
+                acc += mel_dot(
+                    pbuf[:, kk * TILE_K:(kk + 1) * TILE_K],
+                    fb_ref[pl.ds(kk * TILE_K, TILE_K), :], dn)
+            out_ref[:] = 10.0 * mel_ops.log10_precise(
+                jnp.maximum(acc, AMIN))
+
+    return kernel
+
+
 # ---------------------------------------------------------------------------
 # Packed even/odd rFFT featurizer ('pack').  The classic rFFT halving: frame
 # even/odd half-waveforms in-kernel (same roll framing, half hop / half frame
@@ -1536,6 +1658,133 @@ def logmel_waveform_rolledge(
     return full[:, :n_frames]
 
 
+def _roll_prepass(waveforms: jnp.ndarray, cfg: SpectrogramConfig):
+    """Shared XLA pre-pass of the roll-framed kernels: reflect-pad each
+    signal, lay signals out 1024-aligned in one flat f32 buffer, and compute
+    the kernel's static span geometry.  Returns
+    ``(flat_wave, n_frames, n_tiles, s_pad, span_len, phases)``."""
+    n_fft, hop = cfg.nfft, cfg.hop_size
+    n_signals, n_samples = waveforms.shape
+    n_frames = 1 + n_samples // hop
+    n_tiles = pl.cdiv(n_frames, FFT_TILE_R)
+
+    tile_stride = FFT_TILE_R * hop
+    phase_step = tile_stride % 1024
+    phases = []
+    p = 0
+    while True:
+        phases.append(p)
+        p = (p + phase_step) % 1024
+        if p == 0:
+            break
+    span_len = 1024 + (FFT_TILE_R - 1) * hop + n_fft
+    span_len += (-span_len) % 1024
+
+    pad = n_fft // 2
+    # NOTE a zeros-buffer + three .at[].set() formulation of this pre-pass
+    # (hoping XLA fuses the updates into one pass) measured WORSE on
+    # hardware: 15.2 vs 13.3 ms full path per 16x60 s batch — the update
+    # chain does not fuse.  The jnp.pad chain below stands.
+    needed = (n_tiles * FFT_TILE_R - 1) * hop + n_fft + 1024
+    wave = jnp.pad(waveforms.astype(jnp.float32), ((0, 0), (pad, pad)), mode="reflect")
+    s_pad = max(needed, wave.shape[1])
+    s_pad += (-s_pad) % 1024  # signals start 1024-aligned in the flat buffer
+    wave = jnp.pad(wave, ((0, 0), (0, s_pad - wave.shape[1]))).reshape(-1)
+    # The last tile's aligned span must fit.
+    total_needed = (n_signals - 1) * s_pad + (n_tiles - 1) * tile_stride + span_len
+    if total_needed > wave.shape[0]:
+        wave = jnp.pad(wave, (0, total_needed - wave.shape[0]))
+    wave = jnp.pad(wave, (0, (-wave.shape[0]) % 128))  # row-granular view below
+    return wave, n_frames, n_tiles, s_pad, span_len, phases
+
+
+def logmel_waveform_fused(
+    waveforms: jnp.ndarray,
+    cfg: SpectrogramConfig = DEFAULT_SPECTROGRAM,
+    interpret=None,
+    precision=None,
+    mel_precision="bf16x4",
+) -> jnp.ndarray:
+    """Single-kernel featurizer (impl='fuse'): (n_signals, samples) ->
+    (n_signals, n_frames, mel_bins) with the mel+log stage fused into the
+    roll-framed FFT kernel (see :func:`_make_wave_fft_mel_kernel_roll`) —
+    the power spectrum never exists in HBM, removing its ~760 MB/batch
+    round-trip plus the second kernel launch.  Reference math:
+    dataset/spectogram/preprocess.py:21-45.  Numerics match the production
+    two-kernel path exactly (same dots, same accumulation order); the
+    trim-after-mel rule is satisfied trivially (one kernel, trim at end).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    n_fft, hop = cfg.nfft, cfg.hop_size
+    assert n_fft % TILE_K == 0, "fuse needs nfft % TILE_K == 0"
+    n_signals, n_samples = waveforms.shape
+    wave, n_frames, n_tiles, s_pad, span_len, phases = _roll_prepass(
+        waveforms, cfg)
+    wave = wave.reshape(-1, 128)
+
+    n1, n2, w2r, w2i, w1r, w1i, twr, twi, window = _fft_power_constants(
+        n_fft, cfg.frame_size
+    )
+    consts = [jnp.asarray(window)[None, :], jnp.asarray(w2r), jnp.asarray(w2i),
+              jnp.asarray(w1r), jnp.asarray(w1i), jnp.asarray(twr), jnp.asarray(twi)]
+    const_specs = [
+        pl.BlockSpec(c.shape, lambda i, j: (0, 0), memory_space=pltpu.VMEM)
+        for c in consts
+    ]
+    fb = jnp.asarray(_folded_filterbank(cfg, n_fft))
+    fb_spec = pl.BlockSpec(fb.shape, lambda i, j: (0, 0),
+                           memory_space=pltpu.VMEM)
+
+    kernel = _make_wave_fft_mel_kernel_roll(
+        n_fft, n1, n2, hop, s_pad, span_len, phases, precision, mel_precision)
+
+    total_tiles = n_signals * n_tiles
+    n_groups = pl.cdiv(total_tiles, MEL_GROUP)
+    group_rows = MEL_GROUP * FFT_TILE_R
+    span_slot = pltpu.VMEM((span_len // 128, 128), jnp.float32)
+    scratch = [span_slot, span_slot,
+               pltpu.SemaphoreType.DMA(()), pltpu.SemaphoreType.DMA(()),
+               pltpu.VMEM((group_rows, n_fft), jnp.float32)]
+
+    # Resident filterbank (16 MB) + power group buffer (16 MB) + double
+    # span slots + FFT constants ≈ 36 MB of scoped VMEM (v5e has headroom).
+    mel_flops_pass = {"bf16x1": 1, "bf16x3": 3, None: 3}.get(mel_precision, 4)
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_signals, n_tiles),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),  # waveform stays in HBM
+            *const_specs,
+            fb_spec,
+        ],
+        out_specs=pl.BlockSpec(
+            (group_rows, LANES),
+            lambda c, t: ((c * n_tiles + t) // MEL_GROUP, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_groups * group_rows, LANES),
+                                       jnp.float32),
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=total_tiles * FFT_TILE_R * (
+                4 * n2 * n2 * n1 + 8 * n2 * n1 * n1
+                + 2 * n_fft * LANES * mel_flops_pass),
+            bytes_accessed=total_tiles * span_len * 4
+            + n_groups * group_rows * LANES * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(wave, *consts, fb)
+    out = out[: total_tiles * FFT_TILE_R].reshape(
+        n_signals, n_tiles * FFT_TILE_R, LANES)
+    return out[:, :n_frames, : cfg.mel_bins]
+
+
 def stft_power_from_waveform_pallas(
     waveforms: jnp.ndarray,
     cfg: SpectrogramConfig = DEFAULT_SPECTROGRAM,
@@ -1571,36 +1820,8 @@ def stft_power_from_waveform_pallas(
                                                    precision, trim=trim)
     n_fft, hop = cfg.nfft, cfg.hop_size
     n_signals, n_samples = waveforms.shape
-    n_frames = 1 + n_samples // hop
-    n_tiles = pl.cdiv(n_frames, FFT_TILE_R)
-
-    tile_stride = FFT_TILE_R * hop
-    phase_step = tile_stride % 1024
-    phases = []
-    p = 0
-    while True:
-        phases.append(p)
-        p = (p + phase_step) % 1024
-        if p == 0:
-            break
-    span_len = 1024 + (FFT_TILE_R - 1) * hop + n_fft
-    span_len += (-span_len) % 1024
-
-    pad = n_fft // 2
-    # NOTE a zeros-buffer + three .at[].set() formulation of this pre-pass
-    # (hoping XLA fuses the updates into one pass) measured WORSE on
-    # hardware: 15.2 vs 13.3 ms full path per 16x60 s batch — the update
-    # chain does not fuse.  The jnp.pad chain below stands.
-    needed = (n_tiles * FFT_TILE_R - 1) * hop + n_fft + 1024
-    wave = jnp.pad(waveforms.astype(jnp.float32), ((0, 0), (pad, pad)), mode="reflect")
-    s_pad = max(needed, wave.shape[1])
-    s_pad += (-s_pad) % 1024  # signals start 1024-aligned in the flat buffer
-    wave = jnp.pad(wave, ((0, 0), (0, s_pad - wave.shape[1]))).reshape(-1)
-    # The last tile's aligned span must fit.
-    total_needed = (n_signals - 1) * s_pad + (n_tiles - 1) * tile_stride + span_len
-    if total_needed > wave.shape[0]:
-        wave = jnp.pad(wave, (0, total_needed - wave.shape[0]))
-    wave = jnp.pad(wave, (0, (-wave.shape[0]) % 128))  # row-granular view below
+    wave, n_frames, n_tiles, s_pad, span_len, phases = _roll_prepass(
+        waveforms, cfg)
 
     n1, n2, w2r, w2i, w1r, w1i, twr, twi, window = _fft_power_constants(
         n_fft, cfg.frame_size
@@ -1704,6 +1925,10 @@ def logmel_waveform_pallas(
     # sidesteps the bad slice+reshape+pallas composition and is also
     # copy-free.  See benchmarks/parity_sweep.py for the regression check.
     n_frames_out = 1 + waveforms.shape[1] // cfg.hop_size
+    if impl == "fuse":
+        return logmel_waveform_fused(
+            waveforms, cfg, interpret, precision,
+            mel_precision if mel_precision else "bf16x4")
     if impl == "rolledge":
         return logmel_waveform_rolledge(waveforms, cfg, interpret, precision)
     if impl == "eo":

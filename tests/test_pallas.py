@@ -75,11 +75,36 @@ def test_dma_framing_fused_kernel_matches_xla_path():
         np.asarray(logmel_features(sigs[i][:, None], cfg, "fft", use_pallas=False))[0]
         for i in range(3)
     ])
-    for impl in ("roll", "slice", "eo", "pack"):
+    for impl in ("roll", "slice", "eo", "pack", "fuse"):
         got = np.asarray(logmel_waveform_pallas(jnp.asarray(sigs), cfg,
                                                 interpret=True, impl=impl))
         assert got.shape == ref.shape, impl
         np.testing.assert_allclose(got, ref, atol=1e-4, err_msg=impl)
+
+
+def test_fused_mel_epilogue_matches_roll_exactly():
+    """impl='fuse' (mel+log fused into the FFT kernel as a grouped epilogue)
+    must be numerically IDENTICAL to the production two-kernel path: same
+    dots, same TILE_K accumulation order — only the power spectrum's HBM
+    round-trip is removed.  Geometries cover a single partial group
+    (tiles < MEL_GROUP), a partial final group, and an exact group multiple."""
+    import numpy as np
+
+    from sed_tpu.configs import DEFAULT_SPECTROGRAM as cfg
+    from sed_tpu.ops.pallas_featurizer import (MEL_GROUP,
+                                               logmel_waveform_pallas)
+
+    rng = np.random.default_rng(1)
+    fs = cfg.working_sample_rate
+    for n_sig, secs in [(1, 10), (3, 20), (2, 61)]:
+        sigs = (0.3 * rng.standard_normal((n_sig, secs * fs))).astype(np.float32)
+        ref = np.asarray(logmel_waveform_pallas(jnp.asarray(sigs), cfg,
+                                                interpret=True, impl="roll"))
+        got = np.asarray(logmel_waveform_pallas(jnp.asarray(sigs), cfg,
+                                                interpret=True, impl="fuse"))
+        assert got.shape == ref.shape
+        np.testing.assert_array_equal(got, ref, err_msg=f"{n_sig}x{secs}s")
+    assert MEL_GROUP == 16  # grouped epilogue geometry the above relies on
 
 
 def test_rollraw_kernel_matches_xla_path():
