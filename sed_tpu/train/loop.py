@@ -131,13 +131,20 @@ def evaluate(
         precision_sets.append(precision_vals)
         aps.append(ap)
         if cfg is not None:
-            from sed_tpu.utils.event_metrics import event_metrics_from_matrices
+            from sed_tpu.utils.event_metrics import (
+                event_metrics_from_matrices,
+                segment_metrics_from_matrices,
+            )
 
             # Truncate to the common frame count — the same odd/even pooling
             # mismatch rule the loss applies (reference utils/common.py:20-22).
             n = min(scores.shape[0], target.shape[0])
-            event_ms.append(event_metrics_from_matrices(
-                scores[:n], target[:n], cfg.frames_per_second))
+            m = event_metrics_from_matrices(
+                scores[:n], target[:n], cfg.frames_per_second)
+            # sed_eval's segment view (1 s segments): F1 + error rate.
+            m["segment"] = segment_metrics_from_matrices(
+                scores[:n], target[:n], cfg.frames_per_second)
+            event_ms.append(m)
         debug.append((plot_input, scores, target, name))
 
     if make_plots and debug:
@@ -356,9 +363,14 @@ def train(
                         val_losses, recal_sets, precision_sets, aps, iterations
                     )
                     if event_ms:
-                        from sed_tpu.utils.event_metrics import micro_average
+                        from sed_tpu.utils.event_metrics import (
+                            micro_average,
+                            micro_average_segments,
+                        )
 
                         plotter.report_event_metrics(micro_average(event_ms))
+                        plotter.report_segment_metrics(micro_average_segments(
+                            [m["segment"] for m in event_ms]))
                     plotter.record(outputs_dir)  # metrics.jsonl always written
                     if make_plots:
                         plotter.plot(outputs_dir)

@@ -174,3 +174,91 @@ def micro_average(metrics: Sequence[Dict[str, float]]) -> Dict[str, float]:
     event-level row per log point into metrics.jsonl."""
     return _pooled({k: int(sum(m[k] for m in metrics))
                     for k in ("tp", "fp", "fn")})
+
+
+# ---------------------------------------------------------------------------
+# Segment-based metrics (sed_eval's third standard view, Mesaros et al. 2016):
+# time is cut into fixed-length segments; a class is active in a segment when
+# ANY of its frames is active there.  Complements the frame metrics (the
+# reference's own view, utils/metric_utils.py:4-37) and the event-based
+# collar metrics above — segment F1/ER is the headline measure of the DCASE
+# SED task family the TAU dataset comes from.
+# ---------------------------------------------------------------------------
+
+
+def segment_activity(matrix: np.ndarray, frames_per_second: float,
+                     segment_length: float = 1.0) -> np.ndarray:
+    """(frames, classes) 0/1 activity -> (segments, classes) bool; a segment
+    is active when any of its frames is (frame f belongs to segment
+    ``floor(f / fps / segment_length)``)."""
+    act = np.asarray(matrix) >= 0.5
+    n_frames, n_classes = act.shape
+    idx = np.floor(np.arange(n_frames) / float(frames_per_second)
+                   / segment_length).astype(np.int64)
+    n_seg = int(idx[-1]) + 1 if n_frames else 0
+    out = np.zeros((n_seg, n_classes), dtype=bool)
+    for c in range(n_classes):
+        np.logical_or.at(out[:, c], idx, act[:, c])
+    return out
+
+
+def segment_metrics_from_matrices(
+    scores: np.ndarray,
+    event_matrix: np.ndarray,
+    frames_per_second: float,
+    threshold: float = 0.5,
+    segment_length: float = 1.0,
+) -> Dict[str, float]:
+    """Segment-based P/R/F1 + error rate from ``(frames, classes)`` sigmoid
+    scores and a rasterized ground-truth matrix.
+
+    ER follows sed_eval: per segment, with ``fn_s``/``fp_s`` the per-class
+    miss/false-alarm counts in that segment, substitutions
+    ``S = min(fn_s, fp_s)``, deletions ``D = fn_s - S``, insertions
+    ``I = fp_s - S``; ``ER = (ΣS + ΣD + ΣI) / Σ n_ref``.  P/R/F1 pool
+    tp/fp/fn over all segments and classes under the house degenerate
+    conventions (_pooled)."""
+    scores = np.asarray(scores)
+    gt = np.asarray(event_matrix)
+    if gt.shape != scores.shape:
+        raise ValueError(f"shape mismatch: scores {scores.shape} vs "
+                         f"event matrix {gt.shape}")
+    est = segment_activity(scores >= threshold, frames_per_second,
+                           segment_length)
+    ref = segment_activity(gt, frames_per_second, segment_length)
+    tp = int(np.sum(est & ref))
+    fp_s = np.sum(est & ~ref, axis=1)  # per-segment false alarms
+    fn_s = np.sum(~est & ref, axis=1)  # per-segment misses
+    s = np.minimum(fn_s, fp_s)
+    out = _pooled({"tp": tp, "fp": int(fp_s.sum()), "fn": int(fn_s.sum())})
+    out["substitutions"] = int(s.sum())
+    out["deletions"] = int((fn_s - s).sum())
+    out["insertions"] = int((fp_s - s).sum())
+    out["n_ref"] = int(ref.sum())
+    out["error_rate"] = _segment_er(out)
+    return out
+
+
+def _segment_er(tot: Dict[str, float]) -> float:
+    """ER = (S + D + I) / N_ref; := 0 when there is no reference activity
+    and nothing was inserted, else insertions count against an empty
+    reference as ER = inf convention is avoided by reporting the raw sum
+    (sed_eval reports inf; a serving log can't carry inf, so an empty
+    reference with insertions reports the insertion count)."""
+    n_ref = tot["n_ref"]
+    sdi = tot["substitutions"] + tot["deletions"] + tot["insertions"]
+    if n_ref == 0:
+        return float(sdi)
+    return sdi / n_ref
+
+
+def micro_average_segments(metrics: Sequence[Dict[str, float]]) -> Dict[str, float]:
+    """Pool per-recording segment-metric dicts (sum all counts, recompute
+    P/R/F1 and ER) — the segment analog of :func:`micro_average`."""
+    keys = ("tp", "fp", "fn", "substitutions", "deletions", "insertions",
+            "n_ref")
+    tot = {k: int(sum(m[k] for m in metrics)) for k in keys}
+    out = _pooled({k: tot[k] for k in ("tp", "fp", "fn")})
+    out.update({k: tot[k] for k in keys if k not in ("tp", "fp", "fn")})
+    out["error_rate"] = _segment_er(out)
+    return out

@@ -31,6 +31,7 @@ class ProgressPlotter:
         self.last_recal_vals = None
         self.last_precision_vals = None
         self.last_event_metrics = None
+        self.last_segment_metrics = None
 
     def report_train_loss(self, loss: float):
         self.train_buffer.append(float(loss))
@@ -40,6 +41,12 @@ class ProgressPlotter:
         (utils/event_metrics.py micro_average) — rides metrics.jsonl as
         event_* fields; no PNG (the reference artifacts stay unchanged)."""
         self.last_event_metrics = dict(metrics)
+
+    def report_segment_metrics(self, metrics: dict):
+        """Micro-averaged segment-based P/R/F1 + error rate for this log
+        point (utils/event_metrics.py micro_average_segments) — rides
+        metrics.jsonl as segment_* fields."""
+        self.last_segment_metrics = dict(metrics)
 
     def report_validation_metrics(self, val_losses, recal_sets, precision_sets, APs, iteration):
         self.iterations.append(int(iteration))
@@ -86,8 +93,13 @@ class ProgressPlotter:
         }
         if self.last_event_metrics is not None:
             record.update({f"event_{k}": v
-                           for k, v in self.last_event_metrics.items()})
+                           for k, v in self.last_event_metrics.items()
+                           if not isinstance(v, dict)})
             self.last_event_metrics = None
+        if self.last_segment_metrics is not None:
+            record.update({f"segment_{k}": v
+                           for k, v in self.last_segment_metrics.items()})
+            self.last_segment_metrics = None
         with open(path, "a") as f:
             f.write(json.dumps(record) + "\n")
 

@@ -104,3 +104,68 @@ def test_event_metrics_from_matrices_micro_average():
     import pytest
     with pytest.raises(ValueError):
         event_metrics_from_matrices(scores[:, :1], gt, fps)
+
+
+def test_segment_activity_grid():
+    from sed_tpu.utils.event_metrics import segment_activity
+
+    # fps=3, 1 s segments -> 3 frames per segment; 7 frames -> 3 segments
+    act = np.zeros((7, 2), np.float32)
+    act[1, 0] = 1   # segment 0, class 0
+    act[6, 1] = 1   # segment 2, class 1
+    seg = segment_activity(act, 3, 1.0)
+    assert seg.shape == (3, 2)
+    assert seg[0, 0] and not seg[0, 1]
+    assert not seg[1].any()
+    assert not seg[2, 0] and seg[2, 1]
+
+
+def test_segment_metrics_hand_vector():
+    """Hand-computed sed_eval-style segment F1 + ER (fps=3, 1 s segments).
+
+    ref segments (class 0): {0, 1};  est: {1, 2}
+      seg 0: fn=1 (deletion)   seg 1: tp=1   seg 2: fp=1 (insertion)
+      => tp=1 fp=1 fn=1, S=0 D=1 I=1, N_ref=2, ER=(0+1+1)/2 = 1.0
+    """
+    from sed_tpu.utils.event_metrics import segment_metrics_from_matrices
+
+    gt = np.zeros((9, 1), np.float32)
+    gt[0:6, 0] = 1            # segments 0,1 active
+    scores = np.zeros((9, 1), np.float32)
+    scores[3:9, 0] = 0.9      # segments 1,2 active
+    m = segment_metrics_from_matrices(scores, gt, 3)
+    assert m["tp"] == 1 and m["fp"] == 1 and m["fn"] == 1
+    assert m["substitutions"] == 0 and m["deletions"] == 1 and m["insertions"] == 1
+    assert m["n_ref"] == 2
+    assert abs(m["error_rate"] - 1.0) < 1e-12
+    assert abs(m["f1"] - 0.5) < 1e-12
+
+
+def test_segment_metrics_substitution_multiclass():
+    """A miss and a false alarm in the SAME segment count as one
+    substitution (sed_eval ER definition), not a deletion + insertion."""
+    from sed_tpu.utils.event_metrics import segment_metrics_from_matrices
+
+    gt = np.zeros((3, 2), np.float32)
+    gt[:, 0] = 1               # segment 0: class 0 active
+    scores = np.zeros((3, 2), np.float32)
+    scores[:, 1] = 0.9         # predicted class 1 instead
+    m = segment_metrics_from_matrices(scores, gt, 3)
+    assert m["substitutions"] == 1 and m["deletions"] == 0 and m["insertions"] == 0
+    assert abs(m["error_rate"] - 1.0) < 1e-12
+
+
+def test_micro_average_segments():
+    from sed_tpu.utils.event_metrics import (
+        micro_average_segments,
+        segment_metrics_from_matrices,
+    )
+
+    gt = np.zeros((6, 1), np.float32)
+    gt[:3, 0] = 1
+    good = segment_metrics_from_matrices(gt, gt, 3)          # perfect
+    bad = segment_metrics_from_matrices(np.zeros_like(gt), gt, 3)  # all missed
+    pooled = micro_average_segments([good, bad])
+    assert pooled["tp"] == 1 and pooled["fn"] == 1
+    assert abs(pooled["recall"] - 0.5) < 1e-12
+    assert abs(pooled["error_rate"] - 0.5) < 1e-12  # 1 deletion / 2 ref

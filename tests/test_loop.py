@@ -201,6 +201,10 @@ def test_metrics_jsonl_written_without_plots(tmp_path):
     # Event-based metrics (micro-averaged over the val fold) ride the record.
     assert {"event_precision", "event_recall", "event_f1"} <= set(rec)
     assert rec["event_tp"] + rec["event_fn"] >= 0
+    # Segment-based view (1 s segments) rides the same record.
+    assert {"segment_f1", "segment_error_rate"} <= set(rec)
+    assert rec["segment_error_rate"] >= 0.0
+    assert "event_segment" not in rec  # nested dict must not leak
     assert not os.path.exists(os.path.join(str(tmp_path), "Training_loss.png"))
 
 
