@@ -97,10 +97,12 @@ def main():
     parity_fn = jax.jit(lambda w: logmel_waveform_pallas(w, cfg, impl="roll"))
     fast_fn = jax.jit(lambda w: logmel_waveform_pallas(w, cfg, impl="roll",
                                                        precision="bf16x4"))
+    fuse_fn = jax.jit(lambda w: logmel_waveform_pallas(w, cfg, impl="fuse"))
     log("compiling...")
     ref = np.asarray(ref_fn(batch))
     got = np.asarray(parity_fn(batch))
     fast = np.asarray(fast_fn(batch))
+    fuse = np.asarray(fuse_fn(batch))
 
     FLOOR = -95.0  # oracle bins at/below this are true silence (amin clamp)
     # Additionally mask bins more than 100 dB below the signal's peak mel
@@ -117,15 +119,22 @@ def main():
             "xla_vs_oracle_db": float(np.max(np.abs(ref[i, 0] - oracle[k])[mask])),
             "pallas_vs_oracle_db": float(np.max(np.abs(got[i] - oracle[k])[mask])),
             "fast_vs_oracle_db": float(np.max(np.abs(fast[i] - oracle[k])[mask])),
+            "fuse_vs_oracle_db": float(np.max(np.abs(fuse[i] - oracle[k])[mask])),
         }
         log(f"{k:18s} active {res[k]['active_bins_pct']:5.1f}%  "
             f"xla {res[k]['xla_vs_oracle_db']:.2e}  "
             f"pallas {res[k]['pallas_vs_oracle_db']:.2e}  "
-            f"fast {res[k]['fast_vs_oracle_db']:.2e} dB")
+            f"fast {res[k]['fast_vs_oracle_db']:.2e}  "
+            f"fuse {res[k]['fuse_vs_oracle_db']:.2e} dB")
 
     worst = max(v["pallas_vs_oracle_db"] for v in res.values())
     worst_xla = max(v["xla_vs_oracle_db"] for v in res.values())
     worst_fast = max(v["fast_vs_oracle_db"] for v in res.values())
+    worst_fuse = max(v["fuse_vs_oracle_db"] for v in res.values())
+    # 'fuse' claims numerically-identical math to 'roll' (same dots, same
+    # accumulation order) — also check kernel-vs-kernel across the sweep,
+    # the composition-miscompile probe bench_fuse.py runs at one geometry.
+    fuse_vs_roll = float(np.max(np.abs(fuse - got)))
     # Pass criteria: the 1e-4 budget applies to broadband content (the class
     # the golden oracle tests use).  On pure tones/chirps, bins 90-100 dB
     # below peak drift to several 1e-4 in EVERY f32 pipeline — the XLA
@@ -135,6 +144,8 @@ def main():
     # absolute 1e-3 cap (measured: <=5.7e-4 vs XLA's 4.2e-4).
     per_sig_pass = all(
         v["pallas_vs_oracle_db"] <= min(1e-3, max(1e-4, 3.0 * v["xla_vs_oracle_db"]))
+        and v["fuse_vs_oracle_db"] <= min(
+            1e-3, max(1e-4, 3.0 * v["xla_vs_oracle_db"]))
         for v in res.values())
     out = {
         "device_kind": dev.device_kind,
@@ -152,6 +163,8 @@ def main():
         "worst_pallas_db": worst,
         "worst_xla_db": worst_xla,
         "worst_fast_db": worst_fast,
+        "worst_fuse_db": worst_fuse,
+        "fuse_vs_roll_db": fuse_vs_roll,
         "pass_parity": bool(per_sig_pass),
         "note": "fast mode (bf16x4) meets its 2e-4 claim on broadband "
                 "content; on pure tones its cancellation error reaches "
