@@ -1909,7 +1909,11 @@ def logmel_waveform_pallas(
     packed variants: numerically exact but MEASURED SLOWER (33.9 / 29 ms;
     see ROADMAP.md), kept as tested measurement records.  ``'rollraw'``
     skips the pad pre-pass (also slower, see
-    :func:`stft_power_from_waveform_pallas`).  All impls keep framing
+    :func:`stft_power_from_waveform_pallas`).  ``'fuse'`` runs mel+log as
+    a grouped epilogue inside the FFT kernel (no power HBM round-trip,
+    one launch): hardware BIT-EXACT vs 'roll' but measured 12.08 vs
+    11.46 ms at parity / within-spread at turbo (FUSE_BENCH.json) — the
+    round-trip it removes was already overlapped.  All impls keep framing
     traffic out of HBM — no (frames, n_fft) array ever exists there.
     ``precision=None`` = HIGHEST (parity); 'bf16x3'/'bf16x1' = the
     fast/turbo serving tiers (1.27x/1.71x end-to-end, score-fidelity record
