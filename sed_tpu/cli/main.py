@@ -158,7 +158,9 @@ def get_waveform_dataset_and_model(args):
     import jax.numpy as jnp
 
     dtype = jnp.bfloat16 if getattr(args, "bf16", False) else jnp.float32
-    model = M5(1, dtype=dtype)
+    # The reference hardcodes M5(1) (main.py:69) because classes_num is pinned
+    # to 1; with a real multi-class label list the head must match.
+    model = M5(cfg.classes_num, dtype=dtype)
     return dataset, model, cfg, cfg.cfg_descriptor, "waveform"
 
 

@@ -58,7 +58,8 @@ class SpectrogramBuffers(struct.PyTreeNode):
 
 class WaveformBuffers(struct.PyTreeNode):
     waveform: Any       # (channels, total_samples) float32
-    labels: Any         # (total_samples,) float32 per-start-index labels
+    labels: Any         # (total_samples,) — or (total_samples, classes) when
+                        # multiclass — float32 per-start-index labels
     start_indices: Any  # (num_starts,) int32
 
 
@@ -251,7 +252,10 @@ def make_waveform_train_step(
         ew, el = jax.vmap(lambda row: gather(buffers, row))(extra_starts)
         mask = (jnp.arange(MAX_MIX)[None, :] < k[:, None]).astype(jnp.float32)
         waves = (waves + (ew * mask[:, :, None, None]).sum(axis=1)) / (k[:, None, None] + 1).astype(waves.dtype)
-        labels = jnp.maximum(labels, (el * mask).max(axis=1))
+        # labels: (B,) scalar or (B, classes) multiclass — broadcast the mask
+        # over any trailing class axis.
+        lmask = mask.reshape(mask.shape + (1,) * (el.ndim - 2))
+        labels = jnp.maximum(labels, (el * lmask).max(axis=1))
         waves = _noise(noise_key, waves, batch)
         return waves, labels
 

@@ -18,13 +18,20 @@ def create_event_matrix(
     start_times,
     end_times,
     cfg: AudioConfig = DEFAULT_AUDIO,
+    class_indices=None,
 ) -> np.ndarray:
     """Per-frame classification matrix: 1 inside events, 0 elsewhere.
 
-    Matches the reference exactly (spectograms_dataset.py:205-218), including
-    its quirk of painting *all* class columns for every event (harmless while
-    classes_num == 1):
+    Frame grid matches the reference exactly (spectograms_dataset.py:205-218):
       start_frame = round(start * fps); end_frame = round(end * fps) + 1.
+
+    ``class_indices=None`` reproduces the reference's class-blind painting —
+    every event paints *all* class columns (spectograms_dataset.py:217), which
+    is only correct while classes_num == 1.  With per-event ``class_indices``
+    (the TAU parser's LabeledAudio attribute), each event paints only its own
+    column — the deliberate divergence that makes classes_num > 1 meaningful
+    (PARITY.md "Known divergences"; for classes_num == 1 the two paths are
+    identical).
     """
     event_matrix = np.zeros((frames_num, cfg.classes_num), dtype=np.float32)
     starts = np.asarray(start_times, dtype=np.float64)
@@ -40,11 +47,26 @@ def create_event_matrix(
 
     # Difference-array trick instead of a per-event Python loop: +1 at each
     # start, -1 after each end, cumsum, then threshold (events may overlap).
-    diff = np.zeros(frames_num + 1, dtype=np.int64)
-    np.add.at(diff, start_frames, 1)
-    np.add.at(diff, end_frames, -1)
-    active = np.cumsum(diff[:-1]) > 0
-    event_matrix[active] = 1.0
+    if class_indices is None:
+        diff = np.zeros(frames_num + 1, dtype=np.int64)
+        np.add.at(diff, start_frames, 1)
+        np.add.at(diff, end_frames, -1)
+        event_matrix[np.cumsum(diff[:-1]) > 0] = 1.0
+    else:
+        cls = np.asarray(class_indices, dtype=np.int64)
+        if cls.shape != starts.shape:
+            raise ValueError(
+                f"class_indices shape {cls.shape} does not match "
+                f"{starts.shape[0]} events"
+            )
+        if cls.size and (cls.min() < 0 or cls.max() >= cfg.classes_num):
+            raise ValueError(
+                f"class index out of range for classes_num={cfg.classes_num}"
+            )
+        diff = np.zeros((frames_num + 1, cfg.classes_num), dtype=np.int64)
+        np.add.at(diff, (start_frames, cls), 1)
+        np.add.at(diff, (end_frames, cls), -1)
+        event_matrix[np.cumsum(diff[:-1], axis=0) > 0] = 1.0
     return event_matrix
 
 
@@ -53,6 +75,7 @@ def start_index_labels(
     start_times,
     end_times,
     cfg: AudioConfig = DEFAULT_AUDIO,
+    class_indices=None,
 ) -> np.ndarray:
     """Per-sample boolean array: is a frame *starting* at sample i >=74% event-covered.
 
@@ -60,19 +83,34 @@ def start_index_labels(
     for each event [s, e) seconds, start indices in
       [s*fs - frame*(1-p), e*fs - frame*p)
     are positive, where p = min_event_percentage_in_positive_frame.
+
+    With ``class_indices`` the result is ``(waveform_length, classes_num)``
+    and each event marks only its own class column (the multiclass divergence,
+    see :func:`create_event_matrix`); without, the reference's class-blind
+    1-D array.
     """
-    label = np.zeros(waveform_length, dtype=bool)
+    multiclass = class_indices is not None
+    if multiclass:
+        label = np.zeros((waveform_length, cfg.classes_num), dtype=bool)
+        cls = np.asarray(class_indices, dtype=np.int64)
+    else:
+        label = np.zeros(waveform_length, dtype=bool)
+        cls = np.zeros(len(np.atleast_1d(np.asarray(start_times))), dtype=np.int64)
     fs = cfg.working_sample_rate
     frame = cfg.frame_size
     p = cfg.min_event_percentage_in_positive_frame
-    for start, end in zip(np.asarray(start_times), np.asarray(end_times)):
+    for start, end, c in zip(np.asarray(start_times), np.asarray(end_times), cls):
         first = int(start * fs - frame * (1 - p))
         last = int(end * fs - frame * p)
         # Guard against negative python-slice wraparound; the reference's raw
         # slice assignment behaves the same for in-range events.
         first = max(first, 0)
         if last > first:
-            label[first:min(last, waveform_length)] = True
+            sl = slice(first, min(last, waveform_length))
+            if multiclass:
+                label[sl, c] = True
+            else:
+                label[sl] = True
     return label
 
 
@@ -81,6 +119,7 @@ def frame_coverage_labels(
     start_times,
     end_times,
     cfg: AudioConfig = DEFAULT_AUDIO,
+    class_indices=None,
 ):
     """Split (channels, samples) into hop-strided frames + coverage labels.
 
@@ -91,7 +130,9 @@ def frame_coverage_labels(
     of it.
 
     Returns (frames, labels): frames is (n_frames, channels, frame_size)
-    float32, labels is (n_frames,) bool.
+    float32, labels is (n_frames,) bool — or (n_frames, classes_num) with
+    per-event ``class_indices`` (the multiclass divergence; each event then
+    labels only its own class column).
     """
     channels, samples = waveform.shape
     half = cfg.frame_size // 2
@@ -103,13 +144,21 @@ def frame_coverage_labels(
     for i, c in enumerate(centers):
         frames[i] = waveform[:, c - half:c + half]
 
-    labels = np.zeros(n, dtype=bool)
+    multiclass = class_indices is not None
+    labels = np.zeros((n, cfg.classes_num) if multiclass else n, dtype=bool)
     fs = cfg.working_sample_rate
     starts = np.asarray(start_times, dtype=np.float64) * fs
     ends = np.asarray(end_times, dtype=np.float64) * fs
     if starts.size:
         lo = np.maximum(starts[None, :], (centers - half)[:, None])
         hi = np.minimum(ends[None, :], (centers + half)[:, None])
-        coverage = (hi - lo) / cfg.frame_size
-        labels = np.any(coverage > cfg.min_event_percentage_in_positive_frame, axis=1)
+        covered = (hi - lo) / cfg.frame_size \
+            > cfg.min_event_percentage_in_positive_frame  # (n_frames, n_events)
+        if multiclass:
+            cls = np.asarray(class_indices, dtype=np.int64)
+            for c in range(cfg.classes_num):
+                if np.any(cls == c):
+                    labels[:, c] = covered[:, cls == c].any(axis=1)
+        else:
+            labels = covered.any(axis=1)
     return frames, labels

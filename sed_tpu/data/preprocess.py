@@ -60,16 +60,25 @@ def preprocess_data(
     print("Preprocessing collected data")
     os.makedirs(output_dir, exist_ok=True)
 
+    from sed_tpu.io.labels import event_class_indices
+
     all_features = []
-    for audio_path, start_times, end_times, audio_name in audio_path_and_labels:
+    for item in audio_path_and_labels:
+        audio_path, start_times, end_times, audio_name = item
         feature = featurize_file(audio_path, cfg, preprocess_mode, fft_impl)
         all_features.append(feature)
         output_path = os.path.join(
             output_dir, audio_name + f"_{preprocess_mode}_features_and_labels.pkl"
         )
         with open(output_path, "wb") as f:
+            # Superset of the reference pickle format (preprocess.py:74-76):
+            # class_indices carries per-event class identity (None for
+            # class-blind sources); reference-era pickles without the key
+            # still load (readers use .get()).
             pickle.dump(
-                {"features": feature, "start_times": start_times, "end_times": end_times}, f
+                {"features": feature, "start_times": start_times,
+                 "end_times": end_times,
+                 "class_indices": event_class_indices(item)}, f
             )
 
     all_features = np.concatenate(all_features, axis=1)
@@ -78,19 +87,22 @@ def preprocess_data(
         pickle.dump({"mean": mean, "std": std}, f)
 
     if plot_sample and audio_path_and_labels:
-        audio_path, start_times, end_times, audio_name = random.choice(list(audio_path_and_labels))
+        item = random.choice(list(audio_path_and_labels))
+        audio_path, start_times, end_times, audio_name = item
         try:
             analyze_data_sample(
                 audio_path, start_times, end_times, audio_name,
                 os.path.join(os.path.dirname(output_mean_std_file), "data_sample.png"),
                 cfg,
+                class_indices=event_class_indices(item),
             )
         except Exception as e:  # plotting is best-effort diagnostics
             print(f"data-sample plot skipped: {e}")
 
 
 def analyze_data_sample(audio_path, start_times, end_times, audio_name, plot_path,
-                        cfg: SpectrogramConfig = DEFAULT_SPECTROGRAM) -> None:
+                        cfg: SpectrogramConfig = DEFAULT_SPECTROGRAM,
+                        class_indices=None) -> None:
     """Debug plot + shape walkthrough (reference: preprocess.py:89-113)."""
     from sed_tpu.data.events import create_event_matrix
     from sed_tpu.utils.plotting import plot_sample_features
@@ -99,7 +111,8 @@ def analyze_data_sample(audio_path, start_times, end_times, audio_name, plot_pat
     org_audio, org_sample_rate = read_wav(audio_path)
     audio = read_multichannel_audio(audio_path, target_fs=cfg.working_sample_rate, cfg=cfg)
     feature = np.asarray(logmel_features(audio.astype(np.float32), cfg))
-    event_matrix = create_event_matrix(feature.shape[1], start_times, end_times, cfg)
+    event_matrix = create_event_matrix(feature.shape[1], start_times, end_times, cfg,
+                                       class_indices=class_indices)
     plot_sample_features(feature, mode="spectogram", target=event_matrix,
                          plot_path=plot_path, file_name=audio_name, cfg=cfg)
 

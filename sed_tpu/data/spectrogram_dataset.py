@@ -77,7 +77,8 @@ def read_train_data_to_memory(
             data = pickle.load(f)
         feature = data["features"]
         event_matrix = create_event_matrix(
-            feature.shape[1], data["start_times"], data["end_times"], cfg
+            feature.shape[1], data["start_times"], data["end_times"], cfg,
+            class_indices=data.get("class_indices"),
         )
         frames_num = feature.shape[1]
         num_starts = max(frames_num - crop_size, 0)
@@ -116,7 +117,8 @@ def read_validation_data_to_memory(feature_paths, cfg: SpectrogramConfig = DEFAU
         features_list.append(data["features"])
         event_list.append(
             create_event_matrix(data["features"].shape[1], data["start_times"],
-                                data["end_times"], cfg)
+                                data["end_times"], cfg,
+                                class_indices=data.get("class_indices"))
         )
     return features_list, event_list
 

@@ -21,6 +21,7 @@ from sed_tpu.configs import WaveformConfig, DEFAULT_WAVEFORM
 from sed_tpu.data.events import frame_coverage_labels, start_index_labels
 from sed_tpu.data.split import split_train_val
 from sed_tpu.io.audio import read_multichannel_audio
+from sed_tpu.io.labels import event_class_indices
 
 
 class WaveformDataset:
@@ -45,11 +46,28 @@ class WaveformDataset:
             key=lambda item: item[0], seed=seed,
         )
 
+        # classes_num > 1 labels each crop with a per-class vector; that needs
+        # per-event class identity (LabeledAudio from the TAU parser) — the
+        # class-blind union label would train every class column identically
+        # (the reference defect documented in PARITY.md "Known divergences").
+        multiclass = cfg.classes_num > 1
+
+        def _classes(item):
+            cls = event_class_indices(item)
+            if multiclass and cls is None:
+                raise ValueError(
+                    f"classes_num={cfg.classes_num} requires per-event class "
+                    f"identity on every item (io.labels.LabeledAudio); "
+                    f"{item[3]!r} has none"
+                )
+            return cls if multiclass else None
+
         waveforms: List[np.ndarray] = []
         start_labels: List[np.ndarray] = []
         start_indices: List[np.ndarray] = []
         frame_index = 0
-        for audio_path, start_times, end_times, _name in train_items:
+        for item in train_items:
+            audio_path, start_times, end_times, _name = item
             waveform = read_multichannel_audio(audio_path, target_fs=cfg.working_sample_rate, cfg=cfg)
             waveform = waveform.T.astype(np.float32)  # (channels, samples)
             waveforms.append(waveform)
@@ -60,15 +78,19 @@ class WaveformDataset:
             start_indices.append(possible)
             frame_index += waveform.shape[1]
             start_labels.append(
-                start_index_labels(waveform.shape[1], start_times, end_times, cfg)
+                start_index_labels(waveform.shape[1], start_times, end_times, cfg,
+                                   class_indices=_classes(item))
             )
 
+        empty_labels = (
+            np.zeros((0, cfg.classes_num), bool) if multiclass else np.zeros(0, bool)
+        )
         self.long_waveform = (
             np.concatenate(waveforms, axis=1) if waveforms
             else np.zeros((cfg.audio_channels, 0), np.float32)
         )
         self.all_start_indices_labels = (
-            np.concatenate(start_labels) if start_labels else np.zeros(0, bool)
+            np.concatenate(start_labels) if start_labels else empty_labels
         )
         possible_all = (
             np.concatenate(start_indices) if start_indices else np.zeros(0, np.int64)
@@ -76,8 +98,11 @@ class WaveformDataset:
 
         if balance_classes and possible_all.size:
             # Reference exposes the flag but never uses it in this dataset;
-            # we honor it: subsample empty starts to match event starts.
+            # we honor it: subsample empty starts to match event starts
+            # (a start is "event" when ANY class is active there).
             labels = self.all_start_indices_labels[possible_all]
+            if labels.ndim > 1:
+                labels = labels.any(axis=1)
             pos = possible_all[labels]
             neg = possible_all[~labels]
             rng.shuffle(pos)
@@ -96,21 +121,27 @@ class WaveformDataset:
 
         # Validation: hop-strided frames + coverage labels (waveform_dataset.py:89-98).
         self.val_samples_sets, self.val_label_sets, self.val_file_names = [], [], []
-        for audio_path, start_times, end_times, audio_name in val_items:
+        for item in val_items:
+            audio_path, start_times, end_times, audio_name = item
             waveform = read_multichannel_audio(audio_path, target_fs=cfg.working_sample_rate, cfg=cfg)
             waveform = waveform.T.astype(np.float32)
-            frames, labels = frame_coverage_labels(waveform, start_times, end_times, cfg)
+            frames, labels = frame_coverage_labels(waveform, start_times, end_times, cfg,
+                                                   class_indices=_classes(item))
             self.val_samples_sets.append(frames)
             self.val_label_sets.append(labels)
             self.val_file_names.append(audio_name)
 
+        def _any_class(x):
+            return x.any(axis=-1) if x.ndim > 1 else x
+
         n = len(self.possible_start_indices)
         if n:
-            pct = 100 * np.sum(self.all_start_indices_labels[self.possible_start_indices]) / n
-            print(f"\t- Train split: {n} overlapping frames. ~{pct:.1f}% tagged as event")
+            tagged = _any_class(self.all_start_indices_labels[self.possible_start_indices])
+            print(f"\t- Train split: {n} overlapping frames. "
+                  f"~{100 * np.sum(tagged) / n:.1f}% tagged as event")
         print(
             f"\t- Val split: {sum(len(x) for x in self.val_label_sets)} frames. "
-            f"{sum(int(np.sum(x)) for x in self.val_label_sets)} tagged as event"
+            f"{sum(int(np.sum(_any_class(x))) for x in self.val_label_sets)} tagged as event"
         )
 
     def __len__(self) -> int:

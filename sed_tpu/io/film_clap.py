@@ -10,6 +10,8 @@ import json
 import os
 from collections import defaultdict
 
+from sed_tpu.io.labels import LabeledAudio
+
 LABEL_FILE = "paths_and_labels_fixed_Meron.txt"
 
 
@@ -29,7 +31,9 @@ def get_film_clap_paths_and_labels(data_root: str, time_margin: float = 0.1):
             raise FileNotFoundError(sound_path)
         start_times = [e - time_margin for e in event_centers]
         end_times = [e + time_margin for e in event_centers]
-        result.append((sound_path, start_times, end_times, name))
+        # FilmClap is single-class (every event is a clap): class index 0.
+        result.append(LabeledAudio(sound_path, start_times, end_times, name,
+                                   [0] * len(start_times)))
         num_claps += len(start_times)
         num_audio_files += 1
         files_per_film[film_name] += 1

@@ -15,6 +15,8 @@ import shutil
 import urllib.request
 import zipfile
 
+import numpy as np
+
 from sed_tpu.configs import AudioConfig, DEFAULT_AUDIO
 
 # Zenodo artifacts (download_tau_sed_2019.py:8-31).
@@ -281,10 +283,18 @@ def get_tau_sed_paths_and_labels(
     """Per-wav CSV -> (audio_path, start_times, end_times, bare_name) tuples,
     keeping only rows whose event class is in ``cfg.tau_sed_labels``.
 
-    Reference: dataset/dataset_utils.py:42-60.
+    Reference: dataset/dataset_utils.py:42-60.  Deliberate divergence
+    (PARITY.md "Known divergences"): the reference drops each kept row's
+    ``sound_event_recording`` identity, which makes every class column train
+    on the union signal when classes_num > 1; here the per-event class index
+    into ``cfg.tau_sed_labels`` rides the returned :class:`LabeledAudio` so
+    downstream rasterization can paint the correct column.
     """
     import pandas as pd
 
+    from sed_tpu.io.labels import LabeledAudio
+
+    label_to_index = {label: i for i, label in enumerate(cfg.tau_sed_labels)}
     results = []
     for audio_fname in sorted(os.listdir(audio_dir)):
         bare_name = os.path.splitext(audio_fname)[0]
@@ -293,5 +303,10 @@ def get_tau_sed_paths_and_labels(
         keep = df["sound_event_recording"].isin(cfg.tau_sed_labels).values
         start_times = df["start_time"].values[keep]
         end_times = df["end_time"].values[keep]
-        results.append((audio_path, start_times, end_times, bare_name))
+        class_indices = np.array(
+            [label_to_index[l] for l in df["sound_event_recording"].values[keep]],
+            dtype=np.int64,
+        )
+        results.append(LabeledAudio(audio_path, start_times, end_times,
+                                    bare_name, class_indices))
     return results

@@ -122,7 +122,9 @@ def evaluate(
                 logits, np.asarray(target_np), pos_weight, multi_frame=False
             )
             scores = _sigmoid_np(logits)
-            target = np.asarray(target_np).reshape(-1, 1)
+            target = np.asarray(target_np)
+            if target.ndim == 1:  # scalar labels -> (frames, 1) like the scores
+                target = target.reshape(-1, 1)
             plot_input = np.transpose(np.asarray(input_np), (1, 0, 2))
 
         recal_vals, precision_vals, ap = calculate_metrics(scores, target)

@@ -29,7 +29,11 @@ def weighted_bce_with_logits(
         logits = logits[:, :n]
         targets = targets[:, :n]
     else:
+        # Reference flattens (B, 1) logits against (B,) scalar labels
+        # (utils/common.py:26-27); flattening targets too keeps the pairing
+        # exact when multiclass labels are (B, classes).
         logits = logits.reshape(-1)
+        targets = targets.reshape(-1)
     targets = targets.astype(logits.dtype)
     loss = pos_weight * targets * softplus(-logits) + (1.0 - targets) * softplus(logits)
     return jnp.mean(loss)
@@ -50,6 +54,7 @@ def weighted_bce_with_logits_np(logits, targets, pos_weight: float = 5.0,
         targets = targets[:, :n]
     else:
         logits = logits.reshape(-1)
+        targets = targets.reshape(-1)
     sp = lambda z: np.logaddexp(0.0, z)  # log(1 + e^z), overflow-safe
     loss = pos_weight * targets * sp(-logits) + (1.0 - targets) * sp(logits)
     return float(loss.mean())

@@ -81,7 +81,10 @@ def test_preprocess_pickle_format(preprocessed_logmel):
     assert len(files) == 6
     with open(os.path.join(features_dir, files[0]), "rb") as f:
         d = pickle.load(f)
-    assert set(d) == {"features", "start_times", "end_times"}
+    # Superset of the reference pickle keys (preprocess.py:74-76):
+    # class_indices carries per-event class identity (None for plain tuples).
+    assert set(d) == {"features", "start_times", "end_times", "class_indices"}
+    assert d["class_indices"] is None  # synthetic_corpus uses plain 4-tuples
     # (channels, frames, mel): 15 s * 3 fps + 1 = 46 frames.
     assert d["features"].shape == (1, 46, CFG.mel_bins)
     assert d["features"].dtype == np.float32
