@@ -159,8 +159,15 @@ class SpectrogramDataset:
             os.path.join(features_and_labels_dir, x)
             for x in os.listdir(features_and_labels_dir)
         )
+        # Substring descriptors match the pickle FILENAME, not the full path:
+        # the reference matches full paths (spectograms_dataset.py:269-276),
+        # so a descriptor colliding with a directory component (e.g. 's_2'
+        # inside 'Tau_sound_events_2019') routes EVERY file to validation —
+        # a reference defect, fixed (PARITY.md divergence #1).  All pickles
+        # live flat in one directory, so the basename carries the recording
+        # identity the descriptor is meant to select.
         train_paths, self.val_feature_paths = split_train_val(
-            all_paths, val_descriptor, seed=seed
+            all_paths, val_descriptor, key=os.path.basename, seed=seed
         )
         packed = read_train_data_to_memory(
             train_paths, cfg.train_crop_size, balance_classes, cfg, self._rng

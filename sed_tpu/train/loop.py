@@ -134,18 +134,30 @@ def evaluate(
         aps.append(ap)
         if cfg is not None:
             from sed_tpu.utils.event_metrics import (
-                event_metrics_from_matrices,
+                event_metrics_per_class_from_matrices,
                 segment_metrics_from_matrices,
+                segment_metrics_per_class_from_matrices,
+                _pooled,
             )
+            from sed_tpu.utils.metrics import calculate_metrics_per_class
 
             # Truncate to the common frame count — the same odd/even pooling
             # mismatch rule the loss applies (reference utils/common.py:20-22).
             n = min(scores.shape[0], target.shape[0])
-            m = event_metrics_from_matrices(
+            # One extraction+matching pass serves both views: micro pools
+            # the per-class counts, macro averages the class-wise metrics.
+            per_class = event_metrics_per_class_from_matrices(
                 scores[:n], target[:n], cfg.frames_per_second)
+            m = _pooled({k: sum(d[k] for d in per_class)
+                         for k in ("tp", "fp", "fn")})
+            m["per_class"] = per_class
             # sed_eval's segment view (1 s segments): F1 + error rate.
             m["segment"] = segment_metrics_from_matrices(
                 scores[:n], target[:n], cfg.frames_per_second)
+            m["segment_per_class"] = segment_metrics_per_class_from_matrices(
+                scores[:n], target[:n], cfg.frames_per_second)
+            m["frame_ap_per_class"] = calculate_metrics_per_class(
+                scores[:n], target[:n])[2].tolist()
             event_ms.append(m)
         debug.append((plot_input, scores, target, name))
 
@@ -366,6 +378,7 @@ def train(
                     )
                     if event_ms:
                         from sed_tpu.utils.event_metrics import (
+                            macro_average_classes,
                             micro_average,
                             micro_average_segments,
                         )
@@ -373,6 +386,15 @@ def train(
                         plotter.report_event_metrics(micro_average(event_ms))
                         plotter.report_segment_metrics(micro_average_segments(
                             [m["segment"] for m in event_ms]))
+                        plotter.report_per_class_metrics(
+                            frame_ap_per_class=np.mean(
+                                [m["frame_ap_per_class"] for m in event_ms],
+                                axis=0).tolist(),
+                            event_macro=macro_average_classes(
+                                [m["per_class"] for m in event_ms]),
+                            segment_macro=macro_average_classes(
+                                [m["segment_per_class"] for m in event_ms]),
+                        )
                     plotter.record(outputs_dir)  # metrics.jsonl always written
                     if make_plots:
                         plotter.plot(outputs_dir)

@@ -133,6 +133,15 @@ def event_metrics_from_matrices(
     frame period (1/fps — larger than the DCASE 0.2 s at the reference's
     3 fps) instead of the raw-times default.
     """
+    per_class = _event_counts_per_class(scores, event_matrix, frames_per_second,
+                                        threshold, onset_collar, **kwargs)
+    return _pooled({k: sum(m[k] for m in per_class) for k in ("tp", "fp", "fn")})
+
+
+def _event_counts_per_class(scores, event_matrix, frames_per_second,
+                            threshold=0.5, onset_collar=None, **kwargs):
+    """Per-class event tp/fp/fn dicts — the ONE extraction+matching pass
+    shared by the micro (pooled) and per-class/macro views."""
     from sed_tpu.utils.events_post import _runs, extract_events
 
     scores = np.asarray(scores)
@@ -144,14 +153,27 @@ def event_metrics_from_matrices(
     collar = (1.0 / fps) if onset_collar is None else onset_collar
     kwargs.setdefault("offset_collar", collar)
     est_all = extract_events(scores, fps, threshold=threshold)
-    tot = {"tp": 0, "fp": 0, "fn": 0}
+    out = []
     for c in range(scores.shape[1]):
         ref = [(s / fps, e / fps) for s, e in _runs(gt[:, c] >= 0.5)]
         est = [(s, e) for s, e, _ in est_all[c]]
-        m = event_based_metrics(ref, est, onset_collar=collar, **kwargs)
-        for k in tot:
-            tot[k] += m[k]
-    return _pooled(tot)
+        out.append(event_based_metrics(ref, est, onset_collar=collar, **kwargs))
+    return out
+
+
+def event_metrics_per_class_from_matrices(
+    scores: np.ndarray,
+    event_matrix: np.ndarray,
+    frames_per_second: float,
+    threshold: float = 0.5,
+    onset_collar: float | None = None,
+    **kwargs,
+) -> List[Dict[str, float]]:
+    """Class-wise event-based metrics (sed_eval's class-wise view): one
+    P/R/F1 dict per class column.  Macro-average across recordings and
+    classes with :func:`macro_average_classes`."""
+    return _event_counts_per_class(scores, event_matrix, frames_per_second,
+                                   threshold, onset_collar, **kwargs)
 
 
 def _pooled(tot: Dict[str, int]) -> Dict[str, float]:
@@ -250,6 +272,68 @@ def _segment_er(tot: Dict[str, float]) -> float:
     if n_ref == 0:
         return float(sdi)
     return sdi / n_ref
+
+
+def segment_metrics_per_class_from_matrices(
+    scores: np.ndarray,
+    event_matrix: np.ndarray,
+    frames_per_second: float,
+    threshold: float = 0.5,
+    segment_length: float = 1.0,
+) -> List[Dict[str, float]]:
+    """Class-wise segment-based metrics: one P/R/F1 + ER dict per class.
+
+    Class-wise ER follows sed_eval's class-wise convention — with a single
+    class there are no substitutions, so ``ER_c = (fn_c + fp_c) / n_ref_c``
+    (deletions + insertions over that class's reference segments).
+    """
+    scores = np.asarray(scores)
+    gt = np.asarray(event_matrix)
+    if gt.shape != scores.shape:
+        raise ValueError(f"shape mismatch: scores {scores.shape} vs "
+                         f"event matrix {gt.shape}")
+    est = segment_activity(scores >= threshold, frames_per_second, segment_length)
+    ref = segment_activity(gt, frames_per_second, segment_length)
+    out = []
+    for c in range(scores.shape[1]):
+        tp = int(np.sum(est[:, c] & ref[:, c]))
+        fp = int(np.sum(est[:, c] & ~ref[:, c]))
+        fn = int(np.sum(~est[:, c] & ref[:, c]))
+        m = _pooled({"tp": tp, "fp": fp, "fn": fn})
+        m["n_ref"] = tp + fn
+        m["error_rate"] = (fn + fp) / (tp + fn) if tp + fn else float(fp)
+        out.append(m)
+    return out
+
+
+def macro_average_classes(
+    per_recording_per_class: Sequence[Sequence[Dict[str, float]]],
+) -> Dict[str, float]:
+    """Macro averaging over classes, pooled over recordings (sed_eval's
+    class-wise average): per class, sum tp/fp/fn across recordings and
+    compute P/R/F1 (house degenerate conventions); the macro numbers are the
+    unweighted class means.
+
+    Input: for each recording, the list of per-class dicts
+    (:func:`event_metrics_per_class_from_matrices` /
+    :func:`segment_metrics_per_class_from_matrices` output).  Returns
+    ``{"per_class": [C class dicts], "precision", "recall", "f1"}``.
+    """
+    if not per_recording_per_class:
+        return {"per_class": [], "precision": 1.0, "recall": 1.0, "f1": 0.0}
+    n_classes = len(per_recording_per_class[0])
+    per_class = []
+    for c in range(n_classes):
+        per_class.append(_pooled({
+            k: int(sum(rec[c][k] for rec in per_recording_per_class))
+            for k in ("tp", "fp", "fn")
+        }))
+    return {
+        "per_class": per_class,
+        "precision": float(np.mean([m["precision"] for m in per_class])),
+        "recall": float(np.mean([m["recall"] for m in per_class])),
+        "f1": float(np.mean([m["f1"] for m in per_class])),
+    }
 
 
 def micro_average_segments(metrics: Sequence[Dict[str, float]]) -> Dict[str, float]:

@@ -65,6 +65,33 @@ def calculate_metrics(output: np.ndarray, target: np.ndarray):
     return recalls, precisions, ap
 
 
+def calculate_metrics_per_class(output: np.ndarray, target: np.ndarray):
+    """Class-wise threshold-sweep curves + AP (the sed_eval class-wise view;
+    the reference's own metric pools all classes, utils/metric_utils.py:24).
+
+    Same math and degenerate conventions as :func:`calculate_metrics`, applied
+    per class column: recall := 1 for a class with no ground truth, precision
+    := 1 at thresholds where a class has no positive predictions.
+
+    Returns (recalls, precisions, aps) of shapes ((21, C), (21, C), (C,));
+    macro AP is ``aps.mean()``.  For each class c the results equal
+    ``calculate_metrics(output[:, c:c+1], target[:, c:c+1])`` exactly.
+    """
+    n = min(output.shape[0], target.shape[0])
+    t = np.asarray(target)[:n].astype(np.float64)
+    o = np.asarray(output)[:n].astype(np.float64)
+
+    hard = (o[None, ...] > THRESHOLDS.reshape(-1, 1, 1)).astype(np.float64)  # (21, n, C)
+    tp = ((2.0 * t[None, ...] - hard) == 1.0).sum(axis=1)                    # (21, C)
+    num_gt = t.sum(axis=0)                                                   # (C,)
+    num_pos = hard.sum(axis=1)                                               # (21, C)
+
+    recalls = np.where(num_gt[None, :] > 0, tp / np.maximum(num_gt[None, :], 1e-300), 1.0)
+    precisions = np.where(num_pos > 0, tp / np.maximum(num_pos, 1e-300), 1.0)
+    aps = np.sum(precisions[:-1] * (recalls[:-1] - recalls[1:]), axis=0)
+    return recalls, precisions, aps
+
+
 def calculate_metrics_jax(output: jnp.ndarray, target: jnp.ndarray):
     """Device-side variant of :func:`calculate_metrics` (jit-compatible).
 

@@ -32,6 +32,7 @@ class ProgressPlotter:
         self.last_precision_vals = None
         self.last_event_metrics = None
         self.last_segment_metrics = None
+        self.last_per_class = None
 
     def report_train_loss(self, loss: float):
         self.train_buffer.append(float(loss))
@@ -47,6 +48,22 @@ class ProgressPlotter:
         point (utils/event_metrics.py micro_average_segments) — rides
         metrics.jsonl as segment_* fields."""
         self.last_segment_metrics = dict(metrics)
+
+    def report_per_class_metrics(self, frame_ap_per_class, event_macro,
+                                 segment_macro):
+        """Class-wise view for this log point (sed_eval macro convention;
+        utils/event_metrics.py macro_average_classes): per-class frame AP
+        (recording-averaged) + macro event/segment P/R/F1 — rides
+        metrics.jsonl as AP_per_class / macro_AP / event_macro_* /
+        segment_macro_* fields."""
+        self.last_per_class = {
+            "AP_per_class": [float(a) for a in frame_ap_per_class],
+            "macro_AP": float(np.mean(frame_ap_per_class)),
+            **{f"event_macro_{k}": float(event_macro[k])
+               for k in ("precision", "recall", "f1")},
+            **{f"segment_macro_{k}": float(segment_macro[k])
+               for k in ("precision", "recall", "f1")},
+        }
 
     def report_validation_metrics(self, val_losses, recal_sets, precision_sets, APs, iteration):
         self.iterations.append(int(iteration))
@@ -100,6 +117,9 @@ class ProgressPlotter:
             record.update({f"segment_{k}": v
                            for k, v in self.last_segment_metrics.items()})
             self.last_segment_metrics = None
+        if self.last_per_class is not None:
+            record.update(self.last_per_class)
+            self.last_per_class = None
         with open(path, "a") as f:
             f.write(json.dumps(record) + "\n")
 

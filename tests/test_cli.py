@@ -565,6 +565,13 @@ def test_tau_train_cli_multiclass(tau_root, tmp_path):
     assert not np.array_equal(em[:, 0], em[:, 1])
     assert em[:, 0].sum() > 0 and em[:, 1].sum() > 0
 
+    # Class-wise metrics ride metrics.jsonl: one AP per class + macro fields.
+    import json
+
+    rec = json.loads(open(os.path.join(run_dir, "metrics.jsonl")).readline())
+    assert len(rec["AP_per_class"]) == 2
+    assert {"macro_AP", "event_macro_f1", "segment_macro_f1"} <= set(rec)
+
     # Inference from the 2-class checkpoint via the CLI: --tau_labels must
     # match the training config (same flag as the training CLI).
     import glob

@@ -342,3 +342,21 @@ def test_odd_frame_size_coverage_labels():
     wave = np.zeros((1, 5 * cfg.working_sample_rate), np.float32)
     frames, labels = frame_coverage_labels(wave, [1.0], [2.0], cfg)
     assert frames.shape[2] == 2 * (cfg.frame_size // 2)
+
+
+def test_val_descriptor_matches_basename_not_path(preprocessed_logmel, tmp_path):
+    """Substring val descriptors select by pickle FILENAME; a descriptor
+    colliding with a directory component (reference full-path matching defect,
+    spectograms_dataset.py:269-276) must not swallow the whole corpus."""
+    import shutil
+
+    features_dir, mean_std = preprocessed_logmel
+    # Re-home the cache under a directory whose NAME contains the descriptor.
+    evil = tmp_path / "corpus_clip_5_cache"
+    shutil.copytree(features_dir, evil)
+    ds = SpectrogramDataset(str(evil), mean_std, val_descriptor="clip_5",
+                            preprocessed_mode="logMel", cfg=CFG, seed=0)
+    # Only clip_5 is validation; the other five files train.
+    assert len(ds.val_feature_paths) == 1
+    assert ds.val_feature_paths[0].endswith("clip_5_logMel_features_and_labels.pkl")
+    assert len(ds) == 5 * (46 - CFG.train_crop_size)

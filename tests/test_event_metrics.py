@@ -169,3 +169,68 @@ def test_micro_average_segments():
     assert pooled["tp"] == 1 and pooled["fn"] == 1
     assert abs(pooled["recall"] - 0.5) < 1e-12
     assert abs(pooled["error_rate"] - 0.5) < 1e-12  # 1 deletion / 2 ref
+
+
+def test_event_metrics_per_class_and_macro():
+    """Class-wise event metrics (round 4): asymmetric per-class GT gives
+    distinct class numbers; micro == pooled counts; macro == class mean."""
+    import numpy as np
+
+    from sed_tpu.configs import AudioConfig
+    from sed_tpu.data.events import create_event_matrix
+    from sed_tpu.utils.event_metrics import (
+        event_metrics_from_matrices,
+        event_metrics_per_class_from_matrices,
+        macro_average_classes,
+    )
+
+    cfg = AudioConfig(tau_sed_labels=("a", "b"))
+    fps = cfg.frames_per_second
+    gt = create_event_matrix(60, [2.0, 10.0], [4.0, 12.0], cfg,
+                             class_indices=[0, 1])
+    # Predictions: class 0 reproduced exactly, class 1 entirely missed plus a
+    # false alarm.
+    scores = np.zeros_like(gt)
+    scores[:, 0] = gt[:, 0]
+    scores[50:55, 1] = 1.0
+    per_class = event_metrics_per_class_from_matrices(scores, gt, fps)
+    assert len(per_class) == 2
+    assert per_class[0]["f1"] == 1.0 and per_class[0]["tp"] == 1
+    assert per_class[1]["tp"] == 0 and per_class[1]["fn"] == 1 and per_class[1]["fp"] == 1
+    assert per_class[1]["f1"] == 0.0
+
+    micro = event_metrics_from_matrices(scores, gt, fps)
+    assert micro["tp"] == 1 and micro["fp"] == 1 and micro["fn"] == 1
+
+    macro = macro_average_classes([per_class])
+    assert macro["f1"] == 0.5  # mean(1.0, 0.0)
+    assert len(macro["per_class"]) == 2
+    # Pooling across recordings sums counts per class before averaging.
+    macro2 = macro_average_classes([per_class, per_class])
+    assert macro2["per_class"][0]["tp"] == 2
+    assert macro2["f1"] == 0.5
+
+
+def test_segment_metrics_per_class():
+    import numpy as np
+
+    from sed_tpu.configs import AudioConfig
+    from sed_tpu.data.events import create_event_matrix
+    from sed_tpu.utils.event_metrics import (
+        segment_metrics_from_matrices,
+        segment_metrics_per_class_from_matrices,
+    )
+
+    cfg = AudioConfig(tau_sed_labels=("a", "b"))
+    fps = cfg.frames_per_second
+    gt = create_event_matrix(60, [2.0, 10.0], [4.0, 12.0], cfg,
+                             class_indices=[0, 1])
+    scores = np.zeros_like(gt)
+    scores[:, 0] = gt[:, 0]  # class 0 perfect, class 1 all missed
+    per_class = segment_metrics_per_class_from_matrices(scores, gt, fps)
+    assert per_class[0]["f1"] == 1.0 and per_class[0]["error_rate"] == 0.0
+    assert per_class[1]["tp"] == 0 and per_class[1]["error_rate"] == 1.0
+    # Per-class counts sum to the pooled micro counts.
+    micro = segment_metrics_from_matrices(scores, gt, fps)
+    assert sum(m["tp"] for m in per_class) == micro["tp"]
+    assert sum(m["fn"] for m in per_class) == micro["fn"]

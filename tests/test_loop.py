@@ -205,6 +205,11 @@ def test_metrics_jsonl_written_without_plots(tmp_path):
     assert {"segment_f1", "segment_error_rate"} <= set(rec)
     assert rec["segment_error_rate"] >= 0.0
     assert "event_segment" not in rec  # nested dict must not leak
+    # Class-wise view (sed_eval macro): per-class AP list + macro fields;
+    # with one class the macro AP equals the pooled AP record.
+    assert len(rec["AP_per_class"]) == 1
+    assert {"macro_AP", "event_macro_f1", "segment_macro_f1"} <= set(rec)
+    assert np.isfinite(rec["macro_AP"])
     assert not os.path.exists(os.path.join(str(tmp_path), "Training_loss.png"))
 
 

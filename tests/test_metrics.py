@@ -90,3 +90,45 @@ def test_f_score_formula():
     np.testing.assert_allclose(
         f_score(r, p, b), (1 + b**2) * r * p / (b**2 * r + p + 1e-9)
     )
+
+
+def test_calculate_metrics_per_class():
+    """Class-wise view (round 4): per-class results equal the pooled metric
+    applied to each column alone; asymmetric GT yields distinct numbers."""
+    from sed_tpu.utils.metrics import calculate_metrics, calculate_metrics_per_class
+
+    rng = np.random.default_rng(5)
+    n = 120
+    # Class 0: near-perfect scores; class 1: anti-correlated; class 2: no GT.
+    tgt = np.zeros((n, 3), np.float32)
+    tgt[10:30, 0] = 1
+    tgt[50:90, 1] = 1
+    out = np.empty((n, 3))
+    out[:, 0] = np.clip(tgt[:, 0] * 0.9 + 0.05 + 0.02 * rng.standard_normal(n), 0, 1)
+    out[:, 1] = np.clip((1 - tgt[:, 1]) * 0.9 + 0.02 * rng.standard_normal(n), 0, 1)
+    out[:, 2] = rng.random(n)
+
+    recalls, precisions, aps = calculate_metrics_per_class(out, tgt)
+    assert recalls.shape == (21, 3) and precisions.shape == (21, 3) and aps.shape == (3,)
+    for c in range(3):
+        r1, p1, ap1 = calculate_metrics(out[:, c:c + 1], tgt[:, c:c + 1])
+        np.testing.assert_array_equal(recalls[:, c], r1)
+        np.testing.assert_array_equal(precisions[:, c], p1)
+        assert aps[c] == ap1
+    # Distinct per-class numbers: the good class far above the inverted one.
+    assert aps[0] > 0.9 > aps[1]
+    # No-GT class: recall convention := 1 at every threshold.
+    np.testing.assert_array_equal(recalls[:, 2], np.ones(21))
+
+
+def test_calculate_metrics_per_class_single_class_matches_pooled():
+    from sed_tpu.utils.metrics import calculate_metrics, calculate_metrics_per_class
+
+    rng = np.random.default_rng(6)
+    out = rng.random((60, 1))
+    tgt = (rng.random((60, 1)) > 0.7).astype(np.float32)
+    r, p, ap = calculate_metrics(out, tgt)
+    rc, pc, apc = calculate_metrics_per_class(out, tgt)
+    np.testing.assert_array_equal(rc[:, 0], r)
+    np.testing.assert_array_equal(pc[:, 0], p)
+    assert apc[0] == ap
