@@ -132,17 +132,18 @@ def build_batches(train_f, train_e, steps: int, batch: int, seed: int):
 # torch (reference) side
 # ---------------------------------------------------------------------------
 
-def torch_train_and_eval(xs, ys, val_f, val_e, lr: float, log=print):
+def torch_train(xs, ys, lr: float, classes_num: int = None, log=print):
+    """Train the reference stack on precomputed batches; returns
+    (model, init_state_dict, final_loss)."""
     import torch
 
     if REFERENCE not in sys.path:
         sys.path.insert(0, REFERENCE)
     from models.spectogram_models import Cnn_AvgPooling  # reference module
     from utils.common import WeightedBCE  # reference loss
-    from utils.metric_utils import calculate_metrics, f_score  # reference metrics
 
     torch.manual_seed(0)
-    model = Cnn_AvgPooling(CFG.classes_num,
+    model = Cnn_AvgPooling(classes_num or CFG.classes_num,
                            model_config=[(32, 2), (64, 2), (128, 2), (128, 1)])
     criterion = WeightedBCE(recall_factor=5, multi_frame=True)
     opt = torch.optim.Adam(model.parameters(), lr=lr, betas=(0.9, 0.999),
@@ -164,18 +165,34 @@ def torch_train_and_eval(xs, ys, val_f, val_e, lr: float, log=print):
                 g["lr"] *= 0.997
         if (i + 1) % max(1, steps // 5) == 0:
             log(f"  torch step {i + 1}/{steps} loss={loss.item():.4f}")
-    final_loss = float(loss.item())
+    return model, init_sd, float(loss.item())
+
+
+def torch_scores(model, f):
+    """Sigmoid scores of one (frames, mel) validation recording."""
+    import torch
 
     model.eval()
-    aps, recs, precs = [], [], []
     with torch.no_grad():
-        for f, e in zip(val_f, val_e):
-            x = torch.from_numpy(f).unsqueeze(0).unsqueeze(0)
-            out = torch.sigmoid(model(x))[0].numpy()
-            ap, r, p = calculate_metrics(out, e)
-            aps.append(ap)
-            recs.append(r)
-            precs.append(p)
+        x = torch.from_numpy(f).unsqueeze(0).unsqueeze(0)
+        return torch.sigmoid(model(x))[0].numpy()
+
+
+def torch_train_and_eval(xs, ys, val_f, val_e, lr: float, log=print):
+    model, init_sd, final_loss = torch_train(xs, ys, lr, log=log)
+    from utils.metric_utils import calculate_metrics, f_score  # reference metrics (path set by torch_train)
+    aps, recs, precs = [], [], []
+    for f, e in zip(val_f, val_e):
+        # calculate_metrics returns (recalls, precisions, AP) — metric_utils
+        # .py:21.  A prior revision unpacked this as (ap, r, p), recording
+        # mean RECALL as "mean_ap" (both frameworks identically, so the
+        # trajectory-parity conclusion held, but the quantity was mislabeled
+        # — same defect ROADMAP #26 fixed in bench_qat.py).  Fixed round 4;
+        # AP_PARITY*.json regenerated.
+        r, p, ap = calculate_metrics(torch_scores(model, f), e)
+        aps.append(ap)
+        recs.append(r)
+        precs.append(p)
     avg_r, avg_p = np.mean(recs, axis=0), np.mean(precs, axis=0)
     f1 = float(np.max(f_score(avg_r, avg_p, precision_importance_factor=1)))
     return float(np.mean(aps)), f1, init_sd, final_loss
@@ -196,16 +213,17 @@ def torch_params_to_flax(init_sd, n_blocks: int):
 # sed_tpu (jax) side
 # ---------------------------------------------------------------------------
 
-def jax_train_and_eval(xs, ys, val_f, val_e, lr: float, torch_init_sd, log=print):
+def jax_train(xs, ys, lr: float, torch_init_sd, classes_num: int = None, log=print):
+    """Train the sed_tpu stack from the torch init on the same batches;
+    returns (model, state, final_loss)."""
     import jax
     import jax.numpy as jnp
 
     from sed_tpu.models.cnn import CnnAvgPooling, TRAIN_CHANNEL_AND_POOL
     from sed_tpu.train.optim import make_optimizer
-    from sed_tpu.train.state import init_state, make_train_step, make_eval_forward
-    from sed_tpu.utils.metrics import calculate_metrics, f_score
+    from sed_tpu.train.state import init_state, make_train_step
 
-    model = CnnAvgPooling(classes_num=CFG.classes_num,
+    model = CnnAvgPooling(classes_num=classes_num or CFG.classes_num,
                           model_config=TRAIN_CHANNEL_AND_POOL)
     tx = make_optimizer(lr)
     sample = jnp.zeros((1, CFG.train_crop_size, CFG.mel_bins, 1))
@@ -228,14 +246,30 @@ def jax_train_and_eval(xs, ys, val_f, val_e, lr: float, torch_init_sd, log=print
         state, loss = step_fn(state, x, y)
         if (i + 1) % max(1, steps // 5) == 0:
             log(f"  jax   step {i + 1}/{steps} loss={float(loss):.4f}")
-    final_loss = float(loss)
+    return model, state, float(loss)
+
+
+def jax_scores(model, state, f):
+    """Sigmoid scores of one (frames, mel) validation recording."""
+    import jax
+    import jax.numpy as jnp
+
+    from sed_tpu.train.state import make_eval_forward
 
     fwd = make_eval_forward(model)
+    x = jnp.asarray(f)[None, :, :, None]
+    return np.asarray(jax.nn.sigmoid(fwd(state.params, state.batch_stats, x)))[0]
+
+
+def jax_train_and_eval(xs, ys, val_f, val_e, lr: float, torch_init_sd, log=print):
+    from sed_tpu.utils.metrics import calculate_metrics, f_score
+
+    model, state, final_loss = jax_train(xs, ys, lr, torch_init_sd, log=log)
     aps, recs, precs = [], [], []
     for f, e in zip(val_f, val_e):
-        x = jnp.asarray(f)[None, :, :, None]
-        out = np.asarray(jax.nn.sigmoid(fwd(state.params, state.batch_stats, x)))[0]
-        ap, r, p = calculate_metrics(out, e)
+        # (recalls, precisions, AP) — see the unpack-order note in
+        # torch_train_and_eval.
+        r, p, ap = calculate_metrics(jax_scores(model, state, f), e)
         aps.append(ap)
         recs.append(r)
         precs.append(p)
@@ -331,6 +365,7 @@ def main():
     out_path = os.path.join(REPO, "benchmarks", args.out)
     with open(out_path, "w") as f:
         json.dump(result, f, indent=2)
+        f.write("\n")
     print(json.dumps({
         "metric": "frame_ap_delta_vs_reference",
         "value": result["ap_delta_points"],

@@ -165,6 +165,7 @@ def main():
              else "BATCH_SCALING_TURBO_INT8.json")
     with open(os.path.join(REPO, "benchmarks", fname), "w") as f:
         json.dump(out, f, indent=2)
+        f.write("\n")
     print(json.dumps({
         "metric": f"featurize+infer batch scaling ({tier}), 60s clips, "
                   "HBM-resident",

@@ -324,6 +324,7 @@ def main():
     out_path = os.path.join(HERE, "FAST_FEATURIZER.json")
     with open(out_path, "w") as f:
         json.dump(result, f, indent=1)
+        f.write("\n")
     log(f"wrote {out_path}")
     fast = result["tiers"]["bf16x3"]
     print(json.dumps({

@@ -140,6 +140,7 @@ def main():
 
     with open(os.path.join(REPO, "benchmarks", "FUSE_BENCH.json"), "w") as f:
         json.dump(results, f, indent=2)
+        f.write("\n")
     print(json.dumps({
         "metric": "fused single-kernel featurizer vs two-kernel roll (featurize-only)",
         "value": results.get("speedup_fuse_vs_roll_parity"),

@@ -225,6 +225,7 @@ def main():
     }
     with open(os.path.join(REPO, "benchmarks", "INT8_BENCH.json"), "w") as f:
         json.dump(out, f, indent=2)
+        f.write("\n")
     print(json.dumps({
         "metric": "int8 PTQ scoring speedup vs f32 (CnnAvgPooling, 16x60s)",
         "value": out["speedup_int8_vs_f32"],

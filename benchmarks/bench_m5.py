@@ -79,6 +79,7 @@ def main(batch: int = 256, iters: int = 20) -> None:
     }
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "M5_BENCH.json"), "w") as f:
         json.dump(result, f, indent=2)
+        f.write("\n")
     print(json.dumps(result))
 
 

@@ -189,6 +189,7 @@ def main():
     }
     with open(os.path.join(HERE, "QAT_BENCH.json"), "w") as f:
         json.dump(out, f, indent=1)
+        f.write("\n")
     log(f"wrote {os.path.join(HERE, 'QAT_BENCH.json')}")
     print(json.dumps({
         "metric": "int8 max sigmoid deviation (PTQ -> QAT)",

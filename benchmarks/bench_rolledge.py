@@ -127,6 +127,7 @@ def main():
 
     with open(os.path.join(REPO, "benchmarks", "ROLLEDGE_BENCH.json"), "w") as f:
         json.dump(results, f, indent=2)
+        f.write("\n")
     print(json.dumps({
         "metric": "edge-specialized framing vs production roll (featurize-only)",
         "value": results.get("speedup_rolledge_vs_roll"),

@@ -136,6 +136,7 @@ def main():
     }
     with open(os.path.join(HERE, "SERVE_SOCKET_BENCH.json"), "w") as f:
         json.dump(out, f, indent=1)
+        f.write("\n")
     print(json.dumps({
         "metric": "live socket serving, end-to-end",
         "value": round(rtf, 1),

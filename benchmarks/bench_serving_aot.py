@@ -142,6 +142,7 @@ def main():
 
     with open(os.path.join(REPO, "benchmarks", "SERVING_AOT.json"), "w") as f:
         json.dump(results, f, indent=2)
+        f.write("\n")
     print(json.dumps({
         "metric": "AOT serving cold start (load->first result, fresh process)",
         "value": results["f32"]["load_to_first_result_s"],

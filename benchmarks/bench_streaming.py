@@ -158,6 +158,7 @@ def main():
     }
     with open(os.path.join(REPO, "benchmarks", "STREAMING_BENCH.json"), "w") as f:
         json.dump(out, f, indent=2)
+        f.write("\n")
     print(json.dumps({
         "metric": "streaming per-1s-chunk wall cost (single stream)",
         "value": out["ms_per_chunk_steady"],

@@ -348,6 +348,7 @@ def main():
     with open(os.path.join(REPO, "benchmarks",
                            f"STREAMING_TICK{suffix}.json"), "w") as f:
         json.dump(out, f, indent=2)
+        f.write("\n")
     print(json.dumps({
         "metric": f"device-resident streaming tick ({B} streams, 1 s chunks)",
         "value": out["tick_device_ms"],

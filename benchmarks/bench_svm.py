@@ -68,6 +68,7 @@ def make_fixture(root: str, n_clips: int = 10, seconds: float = 12.0, seed: int 
         labels[path] = centers
     with open(os.path.join(root, "FilmClap", "paths_and_labels_fixed_Meron.txt"), "w") as f:
         json.dump(labels, f)
+        f.write("\n")
     return root
 
 
@@ -179,6 +180,7 @@ def main():
     result = run(log=lambda *a: print(*a, file=sys.stderr))
     with open(os.path.join(REPO, "benchmarks", "SVM_PARITY.json"), "w") as f:
         json.dump(result, f, indent=2)
+        f.write("\n")
     print(json.dumps({
         "metric": "svm_ap_delta_vs_reference_math",
         "value": result["ap_delta_points"],

@@ -108,6 +108,7 @@ def main(batch: int = 128, steps: int = 50) -> None:
     }
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "TRAIN_BENCH.json"), "w") as f:
         json.dump(result, f, indent=2)
+        f.write("\n")
     print(json.dumps(result))
 
 

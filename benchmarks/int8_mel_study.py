@@ -106,6 +106,7 @@ def main():
     result = run()
     with open(os.path.join(REPO, "benchmarks", "INT8_MEL.json"), "w") as f:
         json.dump(result, f, indent=2)
+        f.write("\n")
     print(json.dumps({
         "metric": "int8 mel-stage study (production tile mean dB error)",
         "value": result["per_tile_scaled_power_int8"][2048]["mean_db_err"],

@@ -129,6 +129,7 @@ def main():
     path = os.path.join(REPO, "benchmarks", "MOBILENET_PARITY.json")
     with open(path, "w") as f:
         json.dump(result, f, indent=2)
+        f.write("\n")
     print(json.dumps({
         "metric": "MobileNetV1 init-forward parity vs torch reference",
         "value": result["init_forward_max_score_diff"],

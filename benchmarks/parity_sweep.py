@@ -147,6 +147,10 @@ def main():
         and v["fuse_vs_oracle_db"] <= min(
             1e-3, max(1e-4, 3.0 * v["xla_vs_oracle_db"]))
         for v in res.values())
+    # Identical-math claim is BIT-exact: any fuse-vs-roll divergence (e.g. in
+    # silence bins, which the oracle mask excludes) is a composition
+    # miscompile and must fail the sweep (ADVICE r3).
+    per_sig_pass = per_sig_pass and fuse_vs_roll == 0.0
     out = {
         "device_kind": dev.device_kind,
         "seconds_per_signal": SECONDS,
@@ -158,6 +162,8 @@ def main():
                       "max(1e-4, 3 * xla_vs_oracle)) — the 1e-4 budget "
                       "applies where the XLA f32 reference itself meets it",
             "fast": "reported only, not gated (see note)",
+            "fuse": "fuse_vs_roll == 0.0 (bit-exact identical-math claim; "
+                    "gated in pass_parity)",
         },
         "per_signal": res,
         "worst_pallas_db": worst,
@@ -173,6 +179,7 @@ def main():
     }
     with open(os.path.join(REPO, "benchmarks", "PARITY_SWEEP.json"), "w") as f:
         json.dump(out, f, indent=2)
+        f.write("\n")
     print(json.dumps({
         "metric": "featurizer parity sweep worst-case vs float64 oracle",
         "value": worst,

@@ -147,6 +147,7 @@ def main():
     }
     with open(os.path.join(REPO, "benchmarks", "BWD_PROBE.json"), "w") as f:
         json.dump(out, f, indent=2)
+        f.write("\n")
     print(json.dumps({"metric": "conv-stack fwd+bwd depth-4", "unit": "ms",
                       "value": out["ms"]["depth-4 (conv+bn)"],
                       "detail": out["per_block_ms"], "ablations": out["ms"]}))

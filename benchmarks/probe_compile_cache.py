@@ -87,6 +87,7 @@ def main():
     with open(os.path.join(REPO, "benchmarks", "COMPILE_CACHE_PROBE.json"),
               "w") as f:
         json.dump(result, f, indent=2)
+        f.write("\n")
     print(json.dumps(result))
 
 

@@ -151,6 +151,7 @@ def main():
     }
     with open(os.path.join(REPO, "benchmarks", "FEATURIZER_PROFILE.json"), "w") as f:
         json.dump(out, f, indent=2)
+        f.write("\n")
     print(json.dumps({
         "metric": "featurizer full-path time (16x60s batch)",
         "value": round(1e3 * results["full (roll framing + fft + mel)"], 3),

@@ -231,6 +231,7 @@ def main():
     }
     with open(os.path.join(REPO, "benchmarks", "TRAIN_PROFILE.json"), "w") as f:
         json.dump(out, f, indent=2)
+        f.write("\n")
     print(json.dumps({
         "metric": "fused train step (batch 128, augment on)",
         "value": round(1e3 * step_t, 3),

@@ -110,6 +110,7 @@ def main():
     }
     with open(os.path.join(REPO, "benchmarks", "RESAMPLER_PARITY.json"), "w") as f:
         json.dump(out, f, indent=2)
+        f.write("\n")
     print(json.dumps({"metric": "resampler_worst_max_err",
                       "value": worst, "unit": "dBFS", "pass": out["pass"]}))
 

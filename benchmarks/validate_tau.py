@@ -35,6 +35,7 @@ import json
 import os
 import socket
 import sys
+from datetime import datetime, timezone
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
@@ -45,12 +46,15 @@ def log(msg: str) -> None:
 
 
 def network_available(host: str = "zenodo.org", port: int = 443,
-                      timeout: float = 5.0) -> bool:
+                      timeout: float = 5.0):
+    """Returns (ok, error_string) so the skip record can carry the
+    concrete failure mode (VERDICT r3 asked for a dated, machine-readable
+    record of the attempt)."""
     try:
         with socket.create_connection((host, port), timeout=timeout):
-            return True
-    except OSError:
-        return False
+            return True, None
+    except OSError as e:
+        return False, f"{type(e).__name__}: {e}"
 
 
 def build_arg_parser() -> argparse.ArgumentParser:
@@ -87,14 +91,19 @@ def run(args) -> dict:
             "torch_vs_jax_ap_delta_pts": 0.34,
         },
     }
+    plan["attempted_at_utc"] = datetime.now(timezone.utc).isoformat(
+        timespec="seconds")
     if args.dry_run:
         plan["skipped"] = "dry_run"
         return plan
-    if not network_available():
+    ok, err = network_available()
+    if not ok:
         log("zenodo.org unreachable: skipping real-TAU validation "
             "(this environment has no network). Re-run from a networked "
             "host to discharge it.")
         plan["skipped"] = "no_network"
+        plan["network_probe"] = {"host": "zenodo.org", "port": 443,
+                                 "error": err}
         return plan
 
     # --- 2+3: download/extract/preprocess (identical to the training CLI,
@@ -150,6 +159,7 @@ def main(argv=None) -> dict:
     result = run(args)
     with open(os.path.join(REPO, "benchmarks", "TAU_VALIDATION.json"), "w") as f:
         json.dump(result, f, indent=2)
+        f.write("\n")
     print(json.dumps(result))
     return result
 

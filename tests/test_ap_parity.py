@@ -43,3 +43,30 @@ def test_ap_parity_miniature():
     # AP sanity at miniature budget (the tight 0.5-pt claim lives in the
     # full-budget committed benchmark).
     assert result["ap_delta_points"] < 3.0, result
+
+
+@pytest.mark.slow
+def test_ap_parity_multiclass_miniature():
+    """Multiclass trajectory parity (miniature): 3-class class-indexed labels
+    through both frameworks from identical init/batches.  Sharp invariants
+    only (init logits, final loss); the tight per-class 0.5-pt AP claim lives
+    in benchmarks/AP_PARITY_MULTICLASS.json at full budget."""
+    import importlib.util
+
+    import numpy as np
+    import torch
+
+    torch.set_num_threads(1)
+    spec = importlib.util.spec_from_file_location(
+        "ap_parity_multiclass",
+        os.path.join(REPO, "benchmarks", "ap_parity_multiclass.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    result = mod.run(steps=120, batch=16, files=8, seconds=10.0, lr=1e-4,
+                     seed=0, log=lambda *a: None)
+    assert result["init_forward_max_logit_diff"] < 1e-4
+    assert result["final_loss_delta"] < 5e-3, result
+    assert len(result["torch_ap_per_class"]) == 3
+    assert np.all(np.isfinite(result["torch_ap_per_class"]))
+    # Loose AP sanity at miniature budget (21-threshold quantization noise).
+    assert result["max_ap_delta_points"] < 3.0, result
