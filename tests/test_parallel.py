@@ -326,6 +326,115 @@ print("OK", pid)
     assert b"OK" in outs[0][0] and b"OK" in outs[1][0]
 
 
+def test_multihost_full_train_step_two_process():
+    """The FUSED spectrogram train step across 2 processes x 4 virtual
+    devices == the single-device step (VERDICT r3 Weak #5: the multihost
+    path exercised by a real cross-process program, not just a psum).
+
+    Each worker initializes jax.distributed, builds the 8-device GLOBAL mesh,
+    places state/buffers via the pod-safe multihost helpers
+    (make_array_from_callback — device_put cannot target non-addressable
+    shardings), runs one fused step, and prints loss + param/batch-stat
+    checksums; both workers must agree with the in-process single-device
+    reference."""
+    import subprocess
+    import sys
+    import socket
+
+    # --- in-process single-device reference (same seeds as the worker) ----
+    buffers, total = _tiny_buffers()
+    model = CnnAvgPooling(classes_num=1, model_config=((8, 2), (16, 2)))
+    tx = make_optimizer(1e-3)
+    crop, mel = CFG.train_crop_size, CFG.mel_bins
+    batch = 16
+    sample = jnp.zeros((batch, crop, mel, 1), jnp.float32)
+    starts = jnp.asarray(
+        np.random.default_rng(1).integers(0, total - crop, size=batch, dtype=np.int32)
+    )
+    rng = jax.random.key(2)
+    state1 = init_state(model, jax.random.key(0), sample, tx)
+    step1 = make_spectrogram_train_step(model, tx, CFG, 5.0, "logMel", False)
+    state1, loss1 = step1(state1, buffers, starts, rng)
+    ref_loss = float(loss1)
+    ref_psum = sum(float(np.abs(np.asarray(l)).sum())
+                   for l in jax.tree.leaves(state1.params))
+    ref_bsum = sum(float(np.abs(np.asarray(l)).sum())
+                   for l in jax.tree.leaves(state1.batch_stats))
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    worker = r"""
+import sys
+pid = int(sys.argv[1])
+import jax
+jax.config.update("jax_platforms", "cpu")
+sys.path.insert(0, {repo!r})
+sys.path.insert(0, {tests!r})
+from sed_tpu.parallel.multihost import (initialize_multihost,
+                                        global_replicate, global_shard_batch)
+initialize_multihost(coordinator_address="127.0.0.1:{port}",
+                     num_processes=2, process_id=pid)
+assert len(jax.devices()) == 8, jax.devices()
+assert len(jax.local_devices()) == 4, jax.local_devices()
+
+import numpy as np
+import jax.numpy as jnp
+from jax.sharding import Mesh
+import test_parallel as tp
+
+buffers, total = tp._tiny_buffers()
+model = tp.CnnAvgPooling(classes_num=1, model_config=((8, 2), (16, 2)))
+tx = tp.make_optimizer(1e-3)
+crop, mel = tp.CFG.train_crop_size, tp.CFG.mel_bins
+batch = 16
+sample = jnp.zeros((batch, crop, mel, 1), jnp.float32)
+starts = np.random.default_rng(1).integers(0, total - crop, size=batch,
+                                           dtype=np.int32)
+rng = jax.random.key(2)
+state = tp.init_state(model, jax.random.key(0), sample, tx)
+
+mesh = Mesh(np.array(jax.devices()), ("data",))
+raw = tp.make_spectrogram_train_step(model, tx, tp.CFG, 5.0, "logMel", False,
+                                     jit=False)
+step = tp.shard_train_step(raw, mesh)
+state, loss = step(global_replicate(mesh, state),
+                   global_replicate(mesh, buffers),
+                   global_shard_batch(mesh, starts),
+                   global_replicate(mesh, rng))
+psum = sum(float(np.abs(np.asarray(l)).sum())
+           for l in jax.tree.leaves(state.params))
+bsum = sum(float(np.abs(np.asarray(l)).sum())
+           for l in jax.tree.leaves(state.batch_stats))
+print("RESULT", f"{{float(loss):.10e}}", f"{{psum:.10e}}", f"{{bsum:.10e}}")
+""".format(repo=repo, tests=os.path.join(repo, "tests"), port=port)
+
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    env["JAX_PLATFORMS"] = "cpu"
+    procs = [
+        subprocess.Popen([sys.executable, "-c", worker, str(pid)],
+                         stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env)
+        for pid in (0, 1)
+    ]
+    outs = [p.communicate(timeout=360) for p in procs]
+    results = []
+    for p, (out, err) in zip(procs, outs):
+        assert p.returncode == 0, (out.decode(), err.decode()[-2000:])
+        line = [l for l in out.decode().splitlines() if l.startswith("RESULT")]
+        assert line, out.decode()
+        results.append([float(v) for v in line[0].split()[1:]])
+
+    for loss, psum, bsum in results:
+        np.testing.assert_allclose(loss, ref_loss, rtol=1e-5)
+        np.testing.assert_allclose(psum, ref_psum, rtol=1e-5)
+        np.testing.assert_allclose(bsum, ref_bsum, rtol=1e-5)
+    # Both processes computed the identical global program.
+    np.testing.assert_allclose(results[0], results[1], rtol=1e-12)
+
+
 def test_bucketed_forward_exact_fuzz():
     """bucketed_forward_exact == raw whole-recording forward for fuzzed
     lengths, and compiles O(#buckets + stride) programs (VERDICT r1 #7)."""
