@@ -7,9 +7,16 @@ mel projection, dB) -> Cnn_AvgPooling forward -> sigmoid scores.
 Headline metric = steady-state rate with waveforms resident in HBM, which is
 this framework's operating mode (the device pipeline keeps packed data in HBM
 and streams only indices).  The end-to-end rate including host->device copies
-of int16 PCM is also measured and logged to stderr; in this harness the TPU is
-reached through a network relay (~30 MB/s), so that number reflects the
-tunnel, not the design.
+of PCM is also measured (int16 wire and the 1-byte µ-law uint8 wire tier) and
+logged to stderr; in this harness the TPU is reached through a network relay
+(~30-40 MB/s), so those numbers reflect the tunnel, not the design.
+
+AOT-FIRST (round-4, VERDICT r3 #7): the exact executables this bench times
+are serialized to benchmarks/aot/ after the first run (keyed by a content
+hash of the compiled sources + jax version + device kind + shapes); later
+runs deserialize them and skip XLA compilation entirely, so round-over-round
+numbers stop absorbing the relay's 600-800 s compile tax.  A stale key (any
+source change) falls back to the jit path and rewrites the artifact.
 
 North star (BASELINE.json): >= 100x real-time per chip; vs_baseline = value/100.
 Prints ONE JSON line on stdout; diagnostics go to stderr.
@@ -17,6 +24,7 @@ Prints ONE JSON line on stdout; diagnostics go to stderr.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import sys
@@ -24,63 +32,180 @@ import time
 
 import numpy as np
 
+REPO = os.path.dirname(os.path.abspath(__file__))
+
+# Sources whose content defines the compiled programs: any edit invalidates
+# the AOT artifact (a stale artifact would silently benchmark OLD code).
+_KEY_SOURCES = [
+    "sed_tpu/configs.py",
+    "sed_tpu/ops/stft.py",
+    "sed_tpu/ops/mel.py",
+    "sed_tpu/ops/featurizer.py",
+    "sed_tpu/ops/mulaw.py",
+    "sed_tpu/ops/pallas_featurizer.py",
+    "sed_tpu/models/cnn.py",
+    "sed_tpu/models/layers.py",
+]
+_SCHEMA = "bench-aot-v2"
+
 
 def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
+def _artifact_key(jax, batch: int, samples: int) -> str:
+    h = hashlib.sha256()
+    h.update(_SCHEMA.encode())
+    h.update(jax.__version__.encode())
+    h.update(jax.default_backend().encode())
+    h.update(jax.devices()[0].device_kind.encode())
+    h.update(f"{batch}x{samples}".encode())
+    for rel in _KEY_SOURCES:
+        with open(os.path.join(REPO, rel), "rb") as f:
+            h.update(f.read())
+    return h.hexdigest()
+
+
+def _artifact_path(jax, batch: int, clip_seconds: int) -> str:
+    kind = jax.devices()[0].device_kind.replace(" ", "_").replace("/", "_")
+    return os.path.join(
+        REPO, "benchmarks", "aot",
+        f"bench_headline_{jax.default_backend()}_{kind}_"
+        f"{batch}x{clip_seconds}s.pkl")
+
+
 def main() -> None:
     import jax
 
+    if os.environ.get("SED_BENCH_DEVICE") == "cpu":
+        # The sitecustomize pins the axon TPU platform at interpreter start;
+        # a plumbing smoke test must redirect via jax.config BEFORE any
+        # backend query (CLAUDE.md).
+        jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    import pickle
 
     import jax.numpy as jnp
 
     from sed_tpu.configs import DEFAULT_SPECTROGRAM as cfg
     from sed_tpu.models.cnn import CnnAvgPooling, TRAIN_CHANNEL_AND_POOL
     from sed_tpu.ops.featurizer import logmel_features_batch
+    from sed_tpu.ops.mulaw import mulaw_encode
 
     device = jax.devices()[0]
     log(f"device: {device}")
 
-    batch = 16
-    clip_seconds = 60
+    # Production geometry; the env overrides exist for CPU smoke tests of
+    # the bench plumbing itself (never for recorded numbers).
+    batch = int(os.environ.get("SED_BENCH_BATCH", "16"))
+    clip_seconds = int(os.environ.get("SED_BENCH_SECONDS", "60"))
     samples = cfg.working_sample_rate * clip_seconds
 
     model = CnnAvgPooling(classes_num=cfg.classes_num, model_config=TRAIN_CHANNEL_AND_POOL)
     frames = 1 + samples // cfg.hop_size
     init_x = jnp.zeros((batch, frames, cfg.mel_bins, 1), jnp.float32)
     variables = model.init(jax.random.key(0), init_x, train=False)
-    params, batch_stats = variables["params"], variables.get("batch_stats", {})
+    weights = {"params": variables["params"],
+               "batch_stats": variables.get("batch_stats", {})}
 
-    def make_pipeline_body(use_pallas):
-        def pipeline_body(waveforms_i16):  # (B, samples, 1) int16 -> (B, frames', classes)
-            # int16 means PCM16 on every featurizer path (de-quantized exactly).
-            feats = logmel_features_batch(waveforms_i16, cfg, use_pallas=use_pallas)
-            x = jnp.transpose(feats, (0, 2, 3, 1))               # NHWC
-            logits = model.apply({"params": params, "batch_stats": batch_stats}, x, train=False)
+    use_pallas = "full" if jax.default_backend() == "tpu" else False
+
+    def make_pipeline_fn(up):
+        def pipeline_fn(w, x):
+            # int16 means PCM16, uint8 means µ-law — decoded on-device by the
+            # featurizer's ingest conventions (ops/featurizer.py).
+            feats = logmel_features_batch(x, cfg, use_pallas=up)
+            xn = jnp.transpose(feats, (0, 2, 3, 1))               # NHWC
+            logits = model.apply(
+                {"params": w["params"], "batch_stats": w["batch_stats"]},
+                xn, train=False)
             return jax.nn.sigmoid(logits)
 
-        return pipeline_body
+        return pipeline_fn
 
-    # 'full' = the fused Pallas featurizer (window+rFFT+power kernel + folded
-    # mel kernel) — the fast path on TPU; False = pure-XLA reference path.
-    pipeline_body = make_pipeline_body("full" if jax.default_backend() == "tpu" else False)
-    pipeline = jax.jit(pipeline_body)
-    xla_pipeline_body = make_pipeline_body(False)
+    pipeline_fn = make_pipeline_fn(use_pallas)
+
+    def make_loop_fn(iters):
+        def loop_fn(w, x):
+            def body(i, carry):
+                xc, acc = carry
+                return (xc + jnp.int16(1), acc + pipeline_fn(w, xc).sum())
+
+            return jax.lax.fori_loop(0, iters, body, (x, jnp.float32(0.0)))[1]
+
+        return loop_fn
+
+    i16_spec = jax.ShapeDtypeStruct((batch, samples, 1), jnp.int16)
+    u8_spec = jax.ShapeDtypeStruct((batch, samples, 1), jnp.uint8)
+    programs = {
+        "single": (pipeline_fn, i16_spec),
+        "loop10": (make_loop_fn(10), i16_spec),
+        "loop30": (make_loop_fn(30), i16_spec),
+        "mulaw_single": (pipeline_fn, u8_spec),
+    }
+
+    # ---- AOT-first: load the serialized executables when fresh ----------
+    key = _artifact_key(jax, batch, samples)
+    art_path = _artifact_path(jax, batch, clip_seconds)
+    calls, aot_loaded = {}, False
+    if os.path.exists(art_path):
+        try:
+            t0 = time.time()
+            with open(art_path, "rb") as f:
+                art = pickle.load(f)
+            if art.get("key") == key:
+                from sed_tpu.export import load_aot_fn
+
+                calls = {n: load_aot_fn(b) for n, b in art["blobs"].items()}
+                aot_loaded = True
+                log(f"AOT-first: loaded {len(calls)} executables from "
+                    f"{os.path.relpath(art_path, REPO)} in "
+                    f"{time.time() - t0:.1f}s (no compilation this run)")
+            else:
+                log("AOT artifact is STALE (sources/shapes/jax changed) — "
+                    "recompiling and rewriting it")
+        except Exception as e:  # artifact corrupt / jax mismatch -> rebuild
+            log(f"AOT artifact load failed ({type(e).__name__}: {e}) — "
+                "falling back to the jit path")
+
+    build_s = None
+    if not aot_loaded:
+        from sed_tpu.export import aot_compile_fn, serialize_compiled
+
+        t0 = time.time()
+        blobs = {}
+        for name, (fn, spec) in programs.items():
+            compiled, leaves = aot_compile_fn(fn, weights, spec)
+            calls[name] = (lambda x, _c=compiled, _l=leaves: _c(x, *_l))
+            try:
+                blobs[name] = serialize_compiled(compiled, leaves, spec)
+            except Exception as e:
+                log(f"serialize({name}) failed: {type(e).__name__}: {e}")
+        build_s = time.time() - t0
+        log(f"compiled {len(programs)} programs in {build_s:.1f}s "
+            "(compilation is deferred to first execution on this backend)")
+        if len(blobs) == len(programs):
+            os.makedirs(os.path.dirname(art_path), exist_ok=True)
+            with open(art_path, "wb") as f:
+                pickle.dump({"format": _SCHEMA, "key": key, "blobs": blobs}, f)
+            log(f"AOT artifact written: {os.path.relpath(art_path, REPO)} "
+                f"({sum(len(b) for b in blobs.values()) / 1e6:.1f} MB) — "
+                "the next run skips compilation")
 
     rng = np.random.default_rng(0)
     host_batches = [
         (rng.standard_normal((batch, samples, 1)) * 8000).astype(np.int16) for _ in range(2)
     ]
 
-    log("compiling pipeline...")
+    log("first execution (AOT: session warm-up only; jit: deferred compile)...")
     t0 = time.time()
     staged = jax.device_put(host_batches[0])
-    out = pipeline(staged)
-    out.block_until_ready()
-    log(f"compile+first run: {time.time() - t0:.1f}s, output {out.shape}")
+    out = np.asarray(calls["single"](staged))
+    first_s = time.time() - t0
+    log(f"{'AOT load->' if aot_loaded else 'compile+'}first run: "
+        f"{first_s:.1f}s, output {out.shape}")
 
     # Headline: HBM-resident steady state under the PINNED protocol
     # (benchmarks/protocol.py): median of N two-point slopes between two
@@ -88,34 +213,18 @@ def main() -> None:
     # relay RPC floor; a fresh perturbed input + forced value fetch per
     # sample defeats the relay's result cache; min/max spread is reported so
     # round-over-round deltas are falsifiable.
-    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                    "benchmarks"))
+    sys.path.insert(0, os.path.join(REPO, "benchmarks"))
     from protocol import slope_stats
 
-    def make_loop_factory(body_fn):
-        def make_loop(iters):
-            @jax.jit
-            def loop(w):
-                def body(i, carry):
-                    w, acc = carry
-                    return (w + jnp.int16(1), acc + body_fn(w).sum())
-
-                return jax.lax.fori_loop(0, iters, body, (w, jnp.float32(0.0)))[1]
-
-            return loop
-        return make_loop
+    perturb_add = jax.jit(lambda x, d: x + d)
 
     def perturb(x, k):
-        xr = x + jnp.int16(101 + 7 * k)
+        xr = perturb_add(x, jnp.int16(101 + 7 * k))
         xr.block_until_ready()
         return xr
 
-    def slope_time(body_fn, n=5):
-        """Median-of-n seconds per pipeline application + spread."""
-        return slope_stats(make_loop_factory(body_fn), staged, perturb,
-                           iters_pair=(10, 30), n=n)
-
-    stats = slope_time(pipeline_body)
+    stats = slope_stats(lambda it: calls[f"loop{it}"], staged, perturb,
+                        iters_pair=(10, 30), n=5)
     per_call = stats["median"]
     compute_rate = batch * clip_seconds / per_call
     rate_lo = batch * clip_seconds / stats["max"]
@@ -126,32 +235,51 @@ def main() -> None:
 
     full_ab = os.environ.get("SED_BENCH_FULL", "") == "1"
 
-    # Fast serving tier via the public featurizer API ('fast' = bf16x3 FFT;
-    # measured record: benchmarks/FAST_FEATURIZER.json).
-    from sed_tpu.ops.featurizer import FEATURIZER_PRECISION_TIERS
-
-    def fast_body(waveforms_i16):
-        feats = logmel_features_batch(
-            waveforms_i16, cfg, use_pallas="full",
-            pallas_precision=FEATURIZER_PRECISION_TIERS["fast"])
-        x = jnp.transpose(feats, (0, 2, 3, 1))
-        logits = model.apply({"params": params, "batch_stats": batch_stats}, x, train=False)
-        return jax.nn.sigmoid(logits)
-
     if full_ab:
-        fast_rate = batch * clip_seconds / slope_time(fast_body)["median"]
+        # jit-path probes (NOT AOT — these track the live compile/session
+        # cost and the tier/XLA alternatives round over round).
+        from sed_tpu.ops.featurizer import FEATURIZER_PRECISION_TIERS
+
+        def fast_body(w16):
+            feats = logmel_features_batch(
+                w16, cfg, use_pallas="full",
+                pallas_precision=FEATURIZER_PRECISION_TIERS["fast"])
+            x = jnp.transpose(feats, (0, 2, 3, 1))
+            logits = model.apply(
+                {"params": weights["params"],
+                 "batch_stats": weights["batch_stats"]}, x, train=False)
+            return jax.nn.sigmoid(logits)
+
+        xla_body = (lambda w16: make_pipeline_fn(False)(weights, w16))
+
+        def jit_loop_factory(body_fn):
+            def make_loop(iters):
+                @jax.jit
+                def loop(w):
+                    def body(i, carry):
+                        wc, acc = carry
+                        return (wc + jnp.int16(1), acc + body_fn(wc).sum())
+
+                    return jax.lax.fori_loop(0, iters, body,
+                                             (w, jnp.float32(0.0)))[1]
+
+                return loop
+            return make_loop
+
+        fast_rate = batch * clip_seconds / slope_stats(
+            jit_loop_factory(fast_body), staged, perturb)["median"]
         log(f"fast tier (bf16x3 FFT): {fast_rate:.0f} audio-sec/sec")
-        # A/B: the pure-XLA featurizer path, same slope methodology.
-        xla_rate = batch * clip_seconds / slope_time(xla_pipeline_body)["median"]
+        xla_rate = batch * clip_seconds / slope_stats(
+            jit_loop_factory(xla_body), staged, perturb)["median"]
         log(f"XLA-featurizer path: {xla_rate:.0f} audio-sec/sec")
 
-    # End-to-end including int16 H2D: threaded double-buffer (a worker thread
+    # End-to-end including H2D: threaded double-buffer (a worker thread
     # streams the next batch while the device computes on the current one) —
     # hardware-measured best of {serial, async-pipelined, threaded} in this
     # harness.  The asymptote is the relay link itself: raw device_put of one
     # batch is measured alongside, and e2e is reported with its link
     # utilization (e2e is 100% transfer-bound here; compute is ~18 ms/batch
-    # against ~2.7 s/batch of transfer at ~34 MB/s).
+    # against seconds/batch of transfer).
     from concurrent.futures import ThreadPoolExecutor
 
     # Floor: median of 5 raw device_put timings of one batch, measured in the
@@ -168,21 +296,43 @@ def main() -> None:
     floor_rate = batch * clip_seconds / put_floor
     batch_bytes = host_batches[0].nbytes
 
-    ex = ThreadPoolExecutor(1)
-    n_e2e = 4
-    t0 = time.time()
-    fut = ex.submit(jax.device_put, host_batches[0])
-    pending = []
-    for i in range(n_e2e):
-        staged = fut.result()
-        fut = ex.submit(jax.device_put, host_batches[(i + 1) % 2])
-        pending.append(pipeline(staged))
-    for pnd in pending:
-        pnd.block_until_ready()
-    e2e_time = time.time() - t0
-    e2e_rate = batch * clip_seconds * n_e2e / e2e_time
-    ex.shutdown(wait=False)
+    def e2e_threaded(batches, call, n_e2e=4):
+        ex = ThreadPoolExecutor(1)
+        t0 = time.time()
+        fut = ex.submit(jax.device_put, batches[0])
+        pending = []
+        for i in range(n_e2e):
+            st = fut.result()
+            fut = ex.submit(jax.device_put, batches[(i + 1) % 2])
+            pending.append(call(st))
+        for pnd in pending:
+            pnd.block_until_ready()
+        dt = time.time() - t0
+        ex.shutdown(wait=False)
+        return batch * clip_seconds * n_e2e / dt, dt
+
+    e2e_rate, e2e_time = e2e_threaded(host_batches, calls["single"])
     link_utilization = e2e_rate / floor_rate
+
+    # --- µ-law uint8 wire tier (VERDICT r3 #4): half the bytes/sample ----
+    # Same audio, companded to 1-byte µ-law on the host; the artifact's
+    # mulaw_single program decodes on-device inside the featurizer pre-pass.
+    mulaw_batches = [mulaw_encode(hb) for hb in host_batches]
+    u8_staged = jax.device_put(mulaw_batches[0])
+    mulaw_scores = np.asarray(calls["mulaw_single"](u8_staged))
+    i16_scores = np.asarray(calls["single"](jax.device_put(host_batches[0])))
+    mulaw_dev = (float(np.abs(mulaw_scores - i16_scores).max())
+                 if mulaw_scores.size else 0.0)  # smoke geometries emit 0 frames
+    mu_put_times = []
+    for i in range(5):
+        t0 = time.time()
+        jax.device_put(mulaw_batches[i % 2]).block_until_ready()
+        mu_put_times.append(time.time() - t0)
+    mu_put_times.sort()
+    mu_floor = mu_put_times[len(mu_put_times) // 2]
+    mu_floor_rate = batch * clip_seconds / mu_floor
+    mu_e2e_rate, mu_e2e_time = e2e_threaded(mulaw_batches,
+                                            calls["mulaw_single"])
 
     log(f"HBM-resident: {compute_rate:.0f} audio-sec/sec "
         f"({compute_rate / clip_seconds:.1f} clips/s)")
@@ -192,14 +342,18 @@ def main() -> None:
         f"{batch_bytes / put_times[0] / 1e6:.1f} MB/s)")
     log(f"end-to-end (int16 H2D, threaded double-buffer): {e2e_rate:.0f} "
         f"audio-sec/sec = {100 * link_utilization:.0f}% of the link floor "
-        f"({n_e2e} batches x {batch_bytes / 1e6:.1f} MB in {e2e_time:.2f}s)")
+        f"({4} batches x {batch_bytes / 1e6:.1f} MB in {e2e_time:.2f}s)")
+    log(f"end-to-end (µ-law uint8 wire, same audio): {mu_e2e_rate:.0f} "
+        f"audio-sec/sec ({mu_e2e_rate / max(e2e_rate, 1e-9):.2f}x int16; "
+        f"{100 * mu_e2e_rate / mu_floor_rate:.0f}% of the uint8 link floor "
+        f"{mulaw_batches[0].nbytes / mu_floor / 1e6:.1f} MB/s; max sigmoid "
+        f"dev vs int16 {mulaw_dev:.2e})")
 
     # Serving cold start: the committed AOT artifact number (fresh-process
     # load->first-result, benchmarks/bench_serving_aot.py) — the operational
-    # answer to this run's compile+first-run time above.
+    # answer to this run's first-execution time above.
     serving_aot = None
-    aot_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                            "benchmarks", "SERVING_AOT.json")
+    aot_path = os.path.join(REPO, "benchmarks", "SERVING_AOT.json")
     if os.path.exists(aot_path):
         with open(aot_path) as f:
             d = json.load(f)
@@ -211,8 +365,7 @@ def main() -> None:
     # Max-throughput serving mode on record (turbo bf16x1 FFT + int8 CNN,
     # batch-swept): benchmarks/bench_batch_scaling.py SED_SCALE_TIER=turbo_int8.
     max_serving = None
-    ts_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "benchmarks", "BATCH_SCALING_TURBO_INT8.json")
+    ts_path = os.path.join(REPO, "benchmarks", "BATCH_SCALING_TURBO_INT8.json")
     if os.path.exists(ts_path):
         with open(ts_path) as f:
             d = json.load(f)
@@ -227,6 +380,11 @@ def main() -> None:
         "value": round(compute_rate, 1),
         "unit": "audio-sec/sec/chip",
         "vs_baseline": round(compute_rate / 100.0, 2),
+        "aot_first": {
+            "loaded_from_artifact": aot_loaded,
+            "first_execution_s": round(first_s, 1),
+            "programs_build_s": None if build_s is None else round(build_s, 1),
+        },
         "serving_aot_cold_start": serving_aot,
         "max_serving_mode_on_record": max_serving,
         "protocol": {
@@ -242,6 +400,14 @@ def main() -> None:
             "e2e_audio_s_per_s": round(e2e_rate, 1),
             "link_utilization": round(link_utilization, 3),
             "batch_bytes": batch_bytes,
+            "mulaw_uint8_wire": {
+                "e2e_audio_s_per_s": round(mu_e2e_rate, 1),
+                "speedup_vs_int16_e2e": round(mu_e2e_rate / max(e2e_rate, 1e-9), 3),
+                "floor_mb_s": round(mulaw_batches[0].nbytes / mu_floor / 1e6, 2),
+                "link_utilization": round(mu_e2e_rate / mu_floor_rate, 3),
+                "batch_bytes": int(mulaw_batches[0].nbytes),
+                "max_sigmoid_dev_vs_int16": mulaw_dev,
+            },
         },
     }))
 

@@ -90,19 +90,14 @@ def _partition_weights(weights):
     return arr_leaves, rebuild
 
 
-def aot_export_fn(fn, weights, input_spec, mesh=None, input_pspec=None) -> bytes:
-    """AOT-compile and serialize an arbitrary ``fn(weights, x) -> y``.
+def aot_compile_fn(fn, weights, input_spec, mesh=None, input_pspec=None):
+    """AOT-compile ``fn(weights, x) -> y``; returns ``(compiled, arr_leaves)``.
 
-    ``weights``: any pytree (arrays ship in the artifact as executable
-    arguments; non-array leaves are compiled in as static).  ``input_spec``:
-    a jax.ShapeDtypeStruct for ``x``.  Returns a pickled artifact loadable
-    by :func:`load_aot_pipeline` in a fresh process with no compilation.
-
-    ``mesh``: an optional jax.sharding.Mesh — the artifact is compiled as a
-    MULTI-DEVICE executable with ``x`` sharded by ``input_pspec`` (default:
-    batch over the mesh's first axis) and weights replicated; loading binds
-    the same device count and the XLA collectives ride inside the serialized
-    program, so sharded serving also skips compilation.
+    The compiled executable's call signature is ``compiled(x, *arr_leaves)``
+    (non-array weight leaves are compiled in as static).  Use
+    :func:`serialize_compiled` to ship it — callers that both MEASURE and
+    EXPORT a program (e.g. bench.py's AOT-first headline) compile once here
+    and serialize the very executable they timed.
     """
     arr_leaves, rebuild = _partition_weights(weights)
 
@@ -123,7 +118,13 @@ def aot_export_fn(fn, weights, input_spec, mesh=None, input_pspec=None) -> bytes
     else:
         jitted = jax.jit(flat_fn)
     compiled = jitted.lower(input_spec, *leaf_specs).compile()
+    return compiled, arr_leaves
 
+
+def serialize_compiled(compiled, arr_leaves, input_spec) -> bytes:
+    """Serialize an :func:`aot_compile_fn` executable + its weight leaves
+    into the pickled sed_tpu-aot-v1 artifact :func:`load_aot_pipeline` /
+    :func:`load_aot_fn` understand."""
     from jax.experimental import serialize_executable as se
 
     payload, _, _ = se.serialize(compiled)
@@ -138,6 +139,25 @@ def aot_export_fn(fn, weights, input_spec, mesh=None, input_pspec=None) -> bytes
         "n_devices": len(compiled._executable.xla_executable.local_devices()),
         "jax_version": jax.__version__,
     })
+
+
+def aot_export_fn(fn, weights, input_spec, mesh=None, input_pspec=None) -> bytes:
+    """AOT-compile and serialize an arbitrary ``fn(weights, x) -> y``.
+
+    ``weights``: any pytree (arrays ship in the artifact as executable
+    arguments; non-array leaves are compiled in as static).  ``input_spec``:
+    a jax.ShapeDtypeStruct for ``x``.  Returns a pickled artifact loadable
+    by :func:`load_aot_pipeline` in a fresh process with no compilation.
+
+    ``mesh``: an optional jax.sharding.Mesh — the artifact is compiled as a
+    MULTI-DEVICE executable with ``x`` sharded by ``input_pspec`` (default:
+    batch over the mesh's first axis) and weights replicated; loading binds
+    the same device count and the XLA collectives ride inside the serialized
+    program, so sharded serving also skips compilation.
+    """
+    compiled, arr_leaves = aot_compile_fn(fn, weights, input_spec,
+                                          mesh=mesh, input_pspec=input_pspec)
+    return serialize_compiled(compiled, arr_leaves, input_spec)
 
 
 def aot_export_pipeline(
@@ -224,19 +244,9 @@ def aot_export_m5_pipeline(
     return aot_export_fn(pipeline, weights, spec, mesh=mesh)
 
 
-def load_aot_pipeline(blob: bytes):
-    """Load an :func:`aot_export_pipeline` / :func:`aot_export_fn` artifact;
-    returns ``call(audio) -> scores`` running the pre-compiled executable
-    (no compilation happens — cold start is deserialize + weight upload).
-
-    The returned callable exposes the artifact metadata as attributes:
-    ``call.input_shape``, ``call.input_dtype``, ``call.device_kind``.
-
-    .. warning:: artifacts are pickle containers — loading one executes
-       code from the file.  Load TRUSTED artifacts only (ones you built);
-       for untrusted exchange use the StableHLO tier (:func:`export_scorer`
-       + :func:`load_scorer`), which deserializes data, not code.
-    """
+def _deserialize_aot(blob: bytes):
+    """Shared sed_tpu-aot-v1 deserialization: returns
+    ``(loaded_executable, device_leaves, meta_dict)``."""
     from jax.experimental import serialize_executable as se
 
     d = pickle.loads(blob)
@@ -257,6 +267,41 @@ def load_aot_pipeline(blob: bytes):
     loaded = se.deserialize_and_load(d["payload"], in_tree, out_tree,
                                      execution_devices=devs)
     leaves = [jnp.asarray(l) for l in d["leaves"]]
+    return loaded, leaves, d
+
+
+def load_aot_fn(blob: bytes):
+    """Load an AOT artifact as a RAW device-level callable: ``call(x) -> y``
+    with no host/numpy conversions on either side (x may already live on
+    device; the result is a jax array).  The measurement-path twin of
+    :func:`load_aot_pipeline` — bench code that times device work must not
+    pay a D2H/H2D round trip per call.  Same trust caveat (pickle)."""
+    loaded, leaves, d = _deserialize_aot(blob)
+
+    def call(x):
+        return loaded(x, *leaves)
+
+    call.input_shape = tuple(d["input_shape"])
+    call.input_dtype = d["input_dtype"]
+    call.device_kind = d.get("device_kind")
+    call.jax_version = d.get("jax_version")
+    return call
+
+
+def load_aot_pipeline(blob: bytes):
+    """Load an :func:`aot_export_pipeline` / :func:`aot_export_fn` artifact;
+    returns ``call(audio) -> scores`` running the pre-compiled executable
+    (no compilation happens — cold start is deserialize + weight upload).
+
+    The returned callable exposes the artifact metadata as attributes:
+    ``call.input_shape``, ``call.input_dtype``, ``call.device_kind``.
+
+    .. warning:: artifacts are pickle containers — loading one executes
+       code from the file.  Load TRUSTED artifacts only (ones you built);
+       for untrusted exchange use the StableHLO tier (:func:`export_scorer`
+       + :func:`load_scorer`), which deserializes data, not code.
+    """
+    loaded, leaves, d = _deserialize_aot(blob)
     shape, dtype = tuple(d["input_shape"]), d["input_dtype"]
 
     def call(audio):
@@ -276,6 +321,14 @@ def load_aot_pipeline(blob: bytes):
             elif np.issubdtype(np.dtype(dtype), np.floating) \
                     and np.issubdtype(audio.dtype, np.floating):
                 audio = audio.astype(dtype)  # e.g. float64 wav decode -> f32
+            elif np.dtype(dtype) == np.uint8 and (
+                    audio.dtype == np.int16
+                    or np.issubdtype(audio.dtype, np.floating)):
+                # uint8 means µ-law repo-wide: encode on the host (the lossy
+                # half-wire-bytes ingest tier, ops/mulaw.py).
+                from sed_tpu.ops.mulaw import mulaw_encode
+
+                audio = mulaw_encode(audio)
             else:
                 raise ValueError(
                     f"artifact expects {dtype} audio, got {audio.dtype}")

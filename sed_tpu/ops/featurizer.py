@@ -70,6 +70,22 @@ def resolve_featurizer_precision(tier):
         f"{sorted(FEATURIZER_PRECISION_TIERS)} or a raw bf16xN string")
 
 
+def ingest_to_f32(waveform: jnp.ndarray) -> jnp.ndarray:
+    """Repo-wide featurizer ingest conventions -> float32 waveform.
+
+    ``int16`` means PCM16 (de-quantized by 1/32768 — CLAUDE.md invariant);
+    ``uint8`` means µ-law companded bytes (the 1-byte/sample serving wire
+    format, ops/mulaw.py); floating inputs pass through as float32.
+    """
+    if waveform.dtype == jnp.int16:
+        return waveform.astype(jnp.float32) / 32768.0
+    if waveform.dtype == jnp.uint8:
+        from sed_tpu.ops.mulaw import mulaw_decode
+
+        return mulaw_decode(waveform)
+    return waveform.astype(jnp.float32)
+
+
 def resolve_pallas(use_pallas, cfg: SpectrogramConfig = DEFAULT_SPECTROGRAM):
     """'auto' -> the fully fused Pallas path on TPU, plain XLA elsewhere.
 
@@ -179,7 +195,9 @@ def logmel_features(
 
     int16 input means PCM16 on EVERY path: it is de-quantized by 1/32768
     (exactly — in-kernel via the pre-scaled window on the 'full' path, which
-    also keeps framing traffic at half width).
+    also keeps framing traffic at half width).  uint8 input means µ-law
+    companded bytes (the lossy 1-byte/sample wire format, ops/mulaw.py),
+    decoded on-device before featurization.
 
     ``use_pallas``: False = XLA ops throughout; True = Pallas kernel for the
     power->mel->log stage; 'full' = the fully fused Pallas featurizer
@@ -199,15 +217,11 @@ def logmel_features(
         # Framing happens INSIDE the kernel (row-granular HBM DMA + rolls) —
         # no (frames, n_fft) array ever exists in HBM.  1.18x the XLA-framing
         # path on v5e (benchmarks/README.md, round 2).
-        if chans_first.dtype == jnp.int16:
-            chans_first = chans_first.astype(jnp.float32) / 32768.0
-        else:
-            chans_first = chans_first.astype(jnp.float32)
-        return logmel_waveform_pallas(chans_first, cfg,
+        return logmel_waveform_pallas(ingest_to_f32(chans_first), cfg,
                                       precision=pallas_precision)
 
-    if chans_first.dtype == jnp.int16:
-        chans_first = chans_first.astype(jnp.float32) / 32768.0
+    if chans_first.dtype in (jnp.int16, jnp.uint8):
+        chans_first = ingest_to_f32(chans_first)
 
     def one_channel(y):
         re, im = stft_ops.stft_realimag(y, cfg, fft_impl)
@@ -225,8 +239,8 @@ def logmel_features_batch(
 ) -> jnp.ndarray:
     """Batched featurizer: (batch, samples, channels) -> (batch, channels, frames, mel).
 
-    int16 input means PCM16 (de-quantized by 1/32768) on every path; see
-    :func:`logmel_features`.
+    int16 input means PCM16 (de-quantized by 1/32768) and uint8 means µ-law
+    bytes on every path; see :func:`logmel_features`.
     """
     use_pallas = resolve_pallas(use_pallas, cfg)
     if use_pallas == "full":
@@ -235,11 +249,7 @@ def logmel_features_batch(
         from sed_tpu.ops.pallas_featurizer import logmel_waveform_pallas
 
         b, samples, c = waveforms.shape
-        chans_first = jnp.transpose(waveforms, (0, 2, 1))
-        if chans_first.dtype == jnp.int16:
-            chans_first = chans_first.astype(jnp.float32) / 32768.0
-        else:
-            chans_first = chans_first.astype(jnp.float32)
+        chans_first = ingest_to_f32(jnp.transpose(waveforms, (0, 2, 1)))
         mel = logmel_waveform_pallas(chans_first.reshape(b * c, samples), cfg,
                                      precision=pallas_precision)
         return mel.reshape(b, c, -1, cfg.mel_bins)
