@@ -12,6 +12,7 @@ Top-level API (lazily imported so ``import sed_tpu`` stays light):
   metrics:    calculate_metrics, f_score, event_based_metrics
   quantized:  quantize_cnn, quantized_scores, qat_init, qat_finetune,
               qat_export
+  wire codec: mulaw_encode, mulaw_decode (uint8 µ-law ingest tier)
 """
 
 __version__ = "0.1.0"
@@ -56,6 +57,8 @@ _EXPORTS = {
     "qat_init": "sed_tpu.models.qat",
     "qat_finetune": "sed_tpu.models.qat",
     "qat_export": "sed_tpu.models.qat",
+    "mulaw_encode": "sed_tpu.ops.mulaw",
+    "mulaw_decode": "sed_tpu.ops.mulaw",
 }
 
 

@@ -31,6 +31,12 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--chunk_seconds", type=float, default=1.0)
     p.add_argument("--tick_interval", type=float, default=0.05,
                    help="seconds between batched device ticks")
+    p.add_argument("--wire", type=str, default="pcm16",
+                   choices=["pcm16", "mulaw"],
+                   help="client audio encoding: int16 PCM (default) or "
+                        "1-byte/sample µ-law — half the network bytes per "
+                        "client at ~38 dB codec SQNR (lossy serving tier, "
+                        "ops/mulaw.py); clients must send the same encoding")
     p.add_argument("--halo", type=int, default=64)
     p.add_argument("--featurizer", type=str, default="auto")
     p.add_argument("--featurizer_precision", type=str, default="parity",
@@ -144,11 +150,11 @@ def main(argv=None):
             featurizer_precision=args.featurizer_precision, qparams=qparams)
         chunk = pool.chunk
     server = StreamServer(pool, host=args.host, port=args.port,
-                          tick_interval=args.tick_interval)
+                          tick_interval=args.tick_interval, wire=args.wire)
     server.start()
     print(json.dumps({"host": server.address[0], "port": server.address[1],
                       "slots": args.slots, "arch": args.arch,
-                      "chunk_samples": chunk}), flush=True)
+                      "chunk_samples": chunk, "wire": args.wire}), flush=True)
     try:
         if args.run_seconds > 0:
             time.sleep(args.run_seconds)

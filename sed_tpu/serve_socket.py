@@ -21,12 +21,20 @@ concatenated audio (the streaming invariant; pinned by
 tests/test_serve_socket.py against the offline scorer).
 
 Wire protocol (little-endian, symmetric framing):
-  client -> server   [u32 n_bytes][n_bytes of int16 PCM]   audio piece
+  client -> server   [u32 n_bytes][n_bytes of audio]       audio piece
                      [u32 0]                               end of stream
   server -> client   [u32 n_bytes][n_bytes of float32]     (frames*classes)
                      scores, frame-major; classes is fixed by the model
                      [u32 0]                               stream complete
   On join failure (pool full) the server sends [u32 0xFFFFFFFF] and closes.
+
+Audio encoding is a server-level ``wire`` mode (both sides must agree):
+'pcm16' (default) = int16 PCM; 'mulaw' = 1-byte/sample µ-law companded
+audio (ops/mulaw.py) — HALF the network bytes per client at the codec's
+~38 dB SQNR (a lossy serving tier, like int8 scoring; fidelity record in
+benchmarks/MULAW_INGEST.json).  µ-law frames are decoded on the reader
+thread (vectorized numpy) and fed to the pool as float32, so the device
+tick path is identical in both modes.
 
 Threading: per-connection reader threads only STAGE audio (host numpy); all
 device work happens on the single ticker thread, so JAX dispatch is never
@@ -80,11 +88,16 @@ class StreamServer:
     ``pool``: a configured :class:`sed_tpu.stream_pool.StreamPool`.
     ``tick_interval``: seconds between batched device ticks (clamped to
     >= 1 ms — the tick loop is timer-driven, not staged-gated).
+    ``wire``: client audio encoding — 'pcm16' int16 (default) or 'mulaw'
+    1-byte µ-law (see module docstring).
     """
 
     def __init__(self, pool, host: str = "127.0.0.1", port: int = 0,
-                 tick_interval: float = 0.05):
+                 tick_interval: float = 0.05, wire: str = "pcm16"):
+        if wire not in ("pcm16", "mulaw"):
+            raise ValueError(f"wire must be pcm16|mulaw, got {wire!r}")
         self.pool = pool
+        self.wire = wire
         self.tick_interval = max(float(tick_interval), 1e-3)
         self._lock = threading.Lock()          # guards pool host state
         self._conns: Dict[int, socket.socket] = {}   # slot -> client socket
@@ -169,10 +182,16 @@ class StreamServer:
             while True:
                 payload = _recv_frame(conn)
                 if payload:  # audio piece
-                    if len(payload) % 2:
-                        payload = None  # malformed int16 frame: treat as drop
-                        break
-                    pcm = np.frombuffer(payload, dtype="<i2")
+                    if self.wire == "mulaw":
+                        from sed_tpu.ops.mulaw import mulaw_decode_np
+
+                        pcm = mulaw_decode_np(
+                            np.frombuffer(payload, dtype=np.uint8))
+                    else:
+                        if len(payload) % 2:
+                            payload = None  # malformed int16 frame: drop
+                            break
+                        pcm = np.frombuffer(payload, dtype="<i2")
                     with self._lock:
                         self.pool.feed(slot, pcm)
                     continue
@@ -224,17 +243,31 @@ class StreamServer:
 
 
 class StreamClient:
-    """Minimal blocking client for :class:`StreamServer`'s wire protocol."""
+    """Minimal blocking client for :class:`StreamServer`'s wire protocol.
 
-    def __init__(self, host: str, port: int, classes_num: int = 1):
+    ``wire`` must match the server's mode: 'pcm16' sends int16 samples;
+    'mulaw' companded 1-byte µ-law (``send`` encodes int16/float input)."""
+
+    def __init__(self, host: str, port: int, classes_num: int = 1,
+                 wire: str = "pcm16"):
+        if wire not in ("pcm16", "mulaw"):
+            raise ValueError(f"wire must be pcm16|mulaw, got {wire!r}")
         self.classes = int(classes_num)
+        self.wire = wire
         self._sock = socket.create_connection((host, port))
         self._buf: list = []
 
     def send(self, pcm: np.ndarray) -> None:
-        """Send int16 PCM samples (any length)."""
-        pcm = np.ascontiguousarray(np.asarray(pcm), dtype="<i2")
-        _send_frame(self._sock, pcm.tobytes())
+        """Send audio samples (any length): int16 PCM, or — in 'mulaw'
+        wire mode — int16/float input companded to 1 byte/sample here."""
+        if self.wire == "mulaw":
+            from sed_tpu.ops.mulaw import mulaw_encode
+
+            payload = mulaw_encode(np.asarray(pcm)).tobytes()
+        else:
+            payload = np.ascontiguousarray(
+                np.asarray(pcm), dtype="<i2").tobytes()
+        _send_frame(self._sock, payload)
 
     def poll(self) -> Optional[np.ndarray]:
         """Blocking read of one score frame -> (frames, classes), or None

@@ -84,6 +84,46 @@ def test_server_streams_match_offline(model_state):
         server.stop()
 
 
+def test_server_mulaw_wire_matches_offline(model_state):
+    """'mulaw' wire mode: 1-byte/sample client frames; scores over the
+    connection equal offline scoring of the µ-law-decoded audio (streaming
+    invariant — the codec is the ONLY difference vs pcm16), and stay within
+    the codec fidelity band of exact-PCM offline scores."""
+    from sed_tpu.ops.mulaw import mulaw_decode_np, mulaw_encode
+
+    model, state = model_state
+    pool = StreamPool(model, state.params, state.batch_stats, CFG, slots=2,
+                      chunk_samples=CHUNK, halo=64, total_stride=8, bucket=64)
+    server = StreamServer(pool, tick_interval=0.01, wire="mulaw")
+    server.start()
+    try:
+        rng = np.random.default_rng(7)
+        pcm = (3000 * rng.standard_normal(3 * CHUNK + 513)).astype(np.int16)
+        c = StreamClient(*server.address, classes_num=CFG.classes_num,
+                         wire="mulaw")
+        pos, piece = 0, 7000
+        while pos < len(pcm):
+            c.send(pcm[pos: pos + piece])  # client companded to 1 B/sample
+            pos += piece
+        got = c.finish()
+
+        decoded = mulaw_decode_np(mulaw_encode(pcm))
+        ref = _offline(model, state, decoded)
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(got, ref, atol=1e-5)
+        # Codec-level deviation vs the exact PCM16 pipeline is bounded (the
+        # hardware fidelity record is benchmarks/MULAW_INGEST.json).
+        exact = _offline(model, state, pcm.astype(np.float32) / 32768.0)
+        assert float(np.abs(got - exact).max()) < 0.05
+    finally:
+        server.stop()
+
+    with pytest.raises(ValueError, match="wire"):
+        StreamServer(pool, wire="opus")
+    with pytest.raises(ValueError, match="wire"):
+        StreamClient("127.0.0.1", 1, wire="opus")
+
+
 def test_server_refuses_when_full(model_state):
     model, state = model_state
     pool = StreamPool(model, state.params, state.batch_stats, CFG, slots=1,
