@@ -9,14 +9,21 @@
 //                    normalized exactly like soundfile (int16/2^15, ...).
 //   * sed_resample:  polyphase windowed-sinc (Kaiser) resampler.
 //   * sed_mixdown:   interleaved -> mono mean (the audio_channels==1 policy).
+//   * sed_load_multichannel_batch: the full per-file acquisition pipeline
+//                    (decode -> channel policy -> per-channel resample) for a
+//                    LIST of files across a std::thread pool — the native
+//                    data-loader front end (reference analog: torch
+//                    DataLoader worker processes doing soundfile+librosa).
 //
 // Build: make -C native    (g++ -O3 -shared -fPIC)
 
+#include <atomic>
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
 #include <cmath>
+#include <thread>
 #include <vector>
 
 extern "C" {
@@ -209,6 +216,127 @@ int sed_resample(const float* in, int64_t n, int32_t up, int32_t down,
     out[m] = (float)acc;
   }
   return 0;
+}
+
+// ---------------------------------------------------------------------------
+// Threaded batch loader: decode -> channel policy -> resample, per file
+// ---------------------------------------------------------------------------
+
+typedef struct {
+  float* data;         // interleaved (frames, channels), malloc'd; sed_free
+  int64_t frames;      // samples per channel AFTER resampling
+  int32_t channels;    // channels AFTER the channel policy
+  int32_t sample_rate; // target_fs (or the file's own rate if no resample)
+  int32_t rc;          // 0 ok; sed_read_wav/sed_resample error code otherwise
+} SedAudioOut;
+
+static int64_t gcd64(int64_t a, int64_t b) {
+  while (b) { int64_t t = a % b; a = b; b = t; }
+  return a;
+}
+
+// One file through the acquisition pipeline of sed_tpu/io/audio.py
+// read_multichannel_audio (reference: dataset/dataset_utils.py:63-86):
+//   decode; channel policy (fewer channels than requested -> repeat the mean
+//   channel; audio_channels==1 -> mono mean; more -> truncate); per-channel
+//   polyphase resample to target_fs when the rates differ.
+static void load_one(const char* path, int32_t audio_channels,
+                     int32_t target_fs, double beta,
+                     int32_t half_zero_crossings, SedAudioOut* out) {
+  out->data = nullptr;
+  out->frames = 0;
+  out->channels = 0;
+  out->sample_rate = 0;
+  SedWav wav;
+  int rc = sed_read_wav(path, &wav);
+  if (rc != 0) { out->rc = rc; return; }
+
+  // Channel policy into a planar scratch buffer (channel-major) so the
+  // per-channel resampler reads contiguous rows.
+  int32_t out_ch;
+  std::vector<float> planar;
+  if (wav.channels < audio_channels) {
+    out_ch = audio_channels;
+    planar.resize((size_t)out_ch * (size_t)wav.frames);
+    sed_mixdown(wav.data, wav.frames, wav.channels, planar.data());
+    for (int32_t c = 1; c < out_ch; c++)
+      memcpy(planar.data() + (size_t)c * wav.frames, planar.data(),
+             sizeof(float) * (size_t)wav.frames);
+  } else if (audio_channels == 1) {
+    out_ch = 1;
+    planar.resize((size_t)wav.frames);
+    sed_mixdown(wav.data, wav.frames, wav.channels, planar.data());
+  } else {
+    out_ch = audio_channels;  // truncate (or keep all when equal)
+    planar.resize((size_t)out_ch * (size_t)wav.frames);
+    for (int32_t c = 0; c < out_ch; c++)
+      for (int64_t i = 0; i < wav.frames; i++)
+        planar[(size_t)c * wav.frames + i] = wav.data[i * wav.channels + c];
+  }
+  free(wav.data);
+
+  int64_t frames = wav.frames;
+  int32_t rate = wav.sample_rate;
+  if (target_fs > 0 && rate != target_fs) {
+    int64_t g = gcd64(target_fs, rate);
+    int32_t up = (int32_t)(target_fs / g), down = (int32_t)(rate / g);
+    int64_t out_len = sed_resample_len(frames, up, down);
+    std::vector<float> res((size_t)out_ch * (size_t)out_len);
+    for (int32_t c = 0; c < out_ch; c++) {
+      rc = sed_resample(planar.data() + (size_t)c * frames, frames, up, down,
+                        beta, half_zero_crossings,
+                        res.data() + (size_t)c * out_len);
+      if (rc != 0) { out->rc = rc; return; }
+    }
+    planar.swap(res);
+    frames = out_len;
+    rate = target_fs;
+  }
+
+  float* inter = (float*)malloc(sizeof(float) * (size_t)out_ch * (size_t)frames);
+  if (!inter) { out->rc = -7; return; }
+  for (int64_t i = 0; i < frames; i++)
+    for (int32_t c = 0; c < out_ch; c++)
+      inter[i * out_ch + c] = planar[(size_t)c * frames + i];
+  out->data = inter;
+  out->frames = frames;
+  out->channels = out_ch;
+  out->sample_rate = rate;
+  out->rc = 0;
+}
+
+// Load n_files files concurrently on n_threads std::threads (work-stealing
+// over an atomic index).  Every entry of `outs` is written; per-file failures
+// land in outs[i].rc without aborting the batch.  Returns the count of
+// failed files (0 = all good).  Call sed_free on each outs[i].data.
+int sed_load_multichannel_batch(const char** paths, int32_t n_files,
+                                int32_t audio_channels, int32_t target_fs,
+                                double beta, int32_t half_zero_crossings,
+                                int32_t n_threads, SedAudioOut* outs) {
+  if (n_files <= 0) return 0;
+  if (n_threads < 1) n_threads = 1;
+  if (n_threads > n_files) n_threads = n_files;
+  std::atomic<int32_t> next(0);
+  auto worker = [&]() {
+    for (;;) {
+      int32_t i = next.fetch_add(1);
+      if (i >= n_files) return;
+      load_one(paths[i], audio_channels, target_fs, beta,
+               half_zero_crossings, &outs[i]);
+    }
+  };
+  if (n_threads == 1) {
+    worker();
+  } else {
+    std::vector<std::thread> pool;
+    pool.reserve((size_t)n_threads);
+    for (int32_t t = 0; t < n_threads; t++) pool.emplace_back(worker);
+    for (auto& th : pool) th.join();
+  }
+  int failed = 0;
+  for (int32_t i = 0; i < n_files; i++)
+    if (outs[i].rc != 0) failed++;
+  return failed;
 }
 
 }  // extern "C"

@@ -32,6 +32,13 @@ def build_arg_parser() -> argparse.ArgumentParser:
     parser.add_argument("--preprocess_mode", type=str, default="logMel",
                         help="logMel or Complex; relevant only for Spectogram features")
     parser.add_argument("--force_preprocess", action="store_true", default=False)
+    parser.add_argument("--preprocess_workers", type=int, default=0,
+                        help="decode/resample files N at a time on the native "
+                             "C++ thread pool, pipelined ahead of the device "
+                             "featurizer (0 = sequential; byte-identical "
+                             "output for sources already at the working "
+                             "rate — resampled sources use the native "
+                             "Kaiser resampler, PARITY.md divergence #4)")
     # Train
     parser.add_argument("--outputs_root", type=str, default="training_dir")
     parser.add_argument("--ckpt", type=str, default="")
@@ -95,11 +102,13 @@ def get_spectrogram_dataset_and_model(args):
         features_dir, mean_std_file = preprocess_tau_sed_data(
             args.dataset_dir, fold_name="eval", preprocess_mode=args.preprocess_mode,
             force_preprocess=args.force_preprocess, cfg=cfg,
+            workers=args.preprocess_workers,
         )
     elif args.dataset_name.lower() == "filmclap":
         features_dir, mean_std_file = preprocess_film_clap_data(
             args.dataset_dir, preprocessed_mode=args.preprocess_mode,
             force_preprocess=args.force_preprocess, cfg=cfg,
+            workers=args.preprocess_workers,
         )
     else:
         raise ValueError(
@@ -154,6 +163,7 @@ def get_waveform_dataset_and_model(args):
         val_descriptor=parse_val_descriptor(args.val_descriptor),
         cfg=cfg,
         seed=args.seed,
+        workers=args.preprocess_workers,
     )
     import jax.numpy as jnp
 

@@ -34,6 +34,19 @@ def calculate_scalar_of_tensor(x: np.ndarray):
     return np.mean(x, axis=axis), np.std(x, axis=axis)
 
 
+def featurize_waveform(
+    waveform: np.ndarray,
+    cfg: SpectrogramConfig = DEFAULT_SPECTROGRAM,
+    preprocess_mode: str = "logMel",
+    fft_impl: str = "auto",
+) -> np.ndarray:
+    """(samples, channels) float waveform -> (channels, frames, bins/mels)."""
+    waveform = waveform.astype(np.float32)
+    if preprocess_mode == "logMel":
+        return np.asarray(logmel_features(waveform, cfg, fft_impl))
+    return multichannel_stft_host(waveform, cfg, fft_impl).astype(np.complex64)
+
+
 def featurize_file(
     audio_path: str,
     cfg: SpectrogramConfig = DEFAULT_SPECTROGRAM,
@@ -42,10 +55,34 @@ def featurize_file(
 ) -> np.ndarray:
     """Read one file and compute (channels, frames, bins/mels) features."""
     waveform = read_multichannel_audio(audio_path, target_fs=cfg.working_sample_rate, cfg=cfg)
-    waveform = waveform.astype(np.float32)
-    if preprocess_mode == "logMel":
-        return np.asarray(logmel_features(waveform, cfg, fft_impl))
-    return multichannel_stft_host(waveform, cfg, fft_impl).astype(np.complex64)
+    return featurize_waveform(waveform, cfg, preprocess_mode, fft_impl)
+
+
+def _waveform_producer(paths, cfg, workers, out_queue):
+    """Producer thread: decode+resample files in small native batches, ahead
+    of the featurize/pickle consumer.  Items are (index, waveform | None,
+    error) in order; a None waveform carries the per-file exception so the
+    consumer can fail at the same point the sequential path would."""
+    from sed_tpu.io.audio import read_multichannel_audio_batch
+
+    group = max(2, workers)
+    for base in range(0, len(paths), group):
+        chunk = paths[base: base + group]
+        try:
+            waves = read_multichannel_audio_batch(
+                chunk, target_fs=cfg.working_sample_rate, cfg=cfg,
+                workers=workers)
+            for j, w in enumerate(waves):
+                out_queue.put((base + j, w, None))
+        except Exception as e:  # fall back to per-file for exact attribution
+            for j, p in enumerate(chunk):
+                try:
+                    w = read_multichannel_audio_batch(
+                        [p], target_fs=cfg.working_sample_rate, cfg=cfg)[0]
+                    out_queue.put((base + j, w, None))
+                except Exception as e2:
+                    out_queue.put((base + j, None, e2))
+            del e
 
 
 def preprocess_data(
@@ -56,16 +93,58 @@ def preprocess_data(
     cfg: SpectrogramConfig = DEFAULT_SPECTROGRAM,
     fft_impl: str = "auto",
     plot_sample: bool = True,
+    workers: int = 0,
 ) -> None:
+    """Featurize + pickle every labeled file, then global mean/std.
+
+    ``workers > 0`` runs the acquisition stage (WAV decode + channel policy
+    + resample) as a pipelined producer: files are loaded ``workers`` at a
+    time on the native C++ thread pool (GIL-free) while the consumer runs
+    the device featurizer and pickles — on a TPU host the decode of file
+    i+1 overlaps the device dispatch of file i.  Sources already at the
+    working rate (TAU is 48 kHz) produce byte-identical pickles and
+    mean/std (pinned by tests/test_data.py); sources that need resampling
+    go through the native Kaiser resampler instead of the scipy one — the
+    measured-equivalent pair of PARITY.md divergence #4 (both <= -140 dBFS
+    of the float64 oracle), NOT bit-equal.
+    Reference analog: the serial loop in dataset/spectogram/preprocess.py:
+    60-86 (its DataLoader workers parallelize training crops, not this).
+    """
     print("Preprocessing collected data")
     os.makedirs(output_dir, exist_ok=True)
 
     from sed_tpu.io.labels import event_class_indices
 
+    items = list(audio_path_and_labels)
+    wave_iter = None
+    if workers > 0 and len(items) > 1:
+        import queue
+        import threading
+
+        q: "queue.Queue" = queue.Queue(maxsize=2 * max(2, workers))
+        t = threading.Thread(
+            target=_waveform_producer,
+            args=([it[0] for it in items], cfg, workers, q), daemon=True)
+        t.start()
+
+        def _ordered():
+            for i in range(len(items)):
+                idx, w, err = q.get()
+                assert idx == i  # producer emits in order
+                if err is not None:
+                    raise err
+                yield w
+        wave_iter = _ordered()
+
     all_features = []
-    for item in audio_path_and_labels:
+    for item in items:
         audio_path, start_times, end_times, audio_name = item
-        feature = featurize_file(audio_path, cfg, preprocess_mode, fft_impl)
+        if wave_iter is not None:
+            feature = featurize_waveform(next(wave_iter), cfg,
+                                         preprocess_mode, fft_impl)
+        else:
+            feature = featurize_file(audio_path, cfg, preprocess_mode,
+                                     fft_impl)
         all_features.append(feature)
         output_path = os.path.join(
             output_dir, audio_name + f"_{preprocess_mode}_features_and_labels.pkl"

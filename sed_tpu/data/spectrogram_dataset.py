@@ -251,6 +251,7 @@ def preprocess_tau_sed_data(
     force_preprocess: bool = False,
     fold_name: str = "eval",
     cfg: SpectrogramConfig = DEFAULT_SPECTROGRAM,
+    workers: int = 0,
 ):
     """Download/extract/preprocess TAU-SED; returns (features_dir, mean_std_file).
 
@@ -272,7 +273,8 @@ def preprocess_tau_sed_data(
         os.makedirs(processed_dir, exist_ok=True)
         preprocess_data(paths_and_labels, output_dir=features_dir,
                         output_mean_std_file=mean_std_file,
-                        preprocess_mode=preprocess_mode, cfg=cfg)
+                        preprocess_mode=preprocess_mode, cfg=cfg,
+                        workers=workers)
     else:
         print("Using existing mel features")
     return features_dir, mean_std_file
@@ -283,6 +285,7 @@ def preprocess_film_clap_data(
     preprocessed_mode: str,
     force_preprocess: bool = False,
     cfg: SpectrogramConfig = DEFAULT_SPECTROGRAM,
+    workers: int = 0,
 ):
     """FilmClap orchestration (reference: spectograms_dataset.py:243-261)."""
     film_clap_dir = os.path.join(data_dir, "FilmClap")
@@ -298,7 +301,8 @@ def preprocess_film_clap_data(
         paths_and_labels = get_film_clap_paths_and_labels(film_clap_dir, time_margin=cfg.time_margin)
         preprocess_data(paths_and_labels, output_dir=features_dir,
                         output_mean_std_file=mean_std_file,
-                        preprocess_mode=preprocessed_mode, cfg=cfg)
+                        preprocess_mode=preprocessed_mode, cfg=cfg,
+                        workers=workers)
     else:
         print("Using existing mel features")
     return features_dir, mean_std_file

@@ -33,6 +33,7 @@ class WaveformDataset:
         augment_data: bool = False,
         cfg: WaveformConfig = DEFAULT_WAVEFORM,
         seed: Optional[int] = None,
+        workers: int = 0,
     ):
         self.cfg = cfg
         self.balance_classes = balance_classes
@@ -62,13 +63,29 @@ class WaveformDataset:
                 )
             return cls if multiclass else None
 
+        def _load_all(items):
+            # workers>0: decode+resample on the native C++ thread pool
+            # (io/audio.py read_multichannel_audio_batch; identical at the
+            # working rate; resampled sources cross the scipy/native
+            # resampler pair — PARITY.md divergence #4)
+            if workers > 0 and len(items) > 1:
+                from sed_tpu.io.audio import read_multichannel_audio_batch
+
+                return read_multichannel_audio_batch(
+                    [it[0] for it in items],
+                    target_fs=cfg.working_sample_rate, cfg=cfg,
+                    workers=workers)
+            return [read_multichannel_audio(
+                it[0], target_fs=cfg.working_sample_rate, cfg=cfg)
+                for it in items]
+
         waveforms: List[np.ndarray] = []
         start_labels: List[np.ndarray] = []
         start_indices: List[np.ndarray] = []
         frame_index = 0
-        for item in train_items:
+        train_waves = _load_all(train_items)
+        for item, waveform in zip(train_items, train_waves):
             audio_path, start_times, end_times, _name = item
-            waveform = read_multichannel_audio(audio_path, target_fs=cfg.working_sample_rate, cfg=cfg)
             waveform = waveform.T.astype(np.float32)  # (channels, samples)
             waveforms.append(waveform)
             # Crops must not straddle two recordings (waveform_dataset.py:71-74).
@@ -121,9 +138,9 @@ class WaveformDataset:
 
         # Validation: hop-strided frames + coverage labels (waveform_dataset.py:89-98).
         self.val_samples_sets, self.val_label_sets, self.val_file_names = [], [], []
-        for item in val_items:
+        val_waves = _load_all(val_items)
+        for item, waveform in zip(val_items, val_waves):
             audio_path, start_times, end_times, audio_name = item
-            waveform = read_multichannel_audio(audio_path, target_fs=cfg.working_sample_rate, cfg=cfg)
             waveform = waveform.T.astype(np.float32)
             frames, labels = frame_coverage_labels(waveform, start_times, end_times, cfg,
                                                    class_indices=_classes(item))

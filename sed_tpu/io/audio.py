@@ -136,3 +136,47 @@ def read_multichannel_audio(
             axis=1,
         )
     return audio
+
+
+def read_multichannel_audio_batch(
+    audio_paths,
+    target_fs: int | None = None,
+    cfg: AudioConfig = DEFAULT_AUDIO,
+    workers: int = 0,
+) -> list:
+    """Batch acquisition: many files -> list of float32 (samples, channels).
+
+    ``workers <= 1`` loads sequentially through
+    :func:`read_multichannel_audio` (identical math to the per-file path).
+    ``workers > 1`` runs decode+policy+resample concurrently — on the native
+    C++ thread pool when the shared library is built (fully GIL-free;
+    native/sed_native.cpp sed_load_multichannel_batch), otherwise a
+    ThreadPoolExecutor over the Python path.  The native resampler is the
+    same Kaiser design as the scipy path, both measured <= -140 dBFS vs a
+    float64 oracle (benchmarks/RESAMPLER_PARITY.json; divergence #4 in
+    PARITY.md), so mixing paths never crosses the parity budget; at equal
+    rates (TAU is already 48 kHz) native and Python agree to float32
+    rounding.  Output is float32 — what every downstream featurizer
+    consumes (the per-file reader returns float64 only to mirror
+    soundfile.read defaults).
+    """
+    audio_paths = list(audio_paths)
+    if workers > 1 and len(audio_paths) > 1:
+        try:
+            from sed_tpu.io.native import (load_multichannel_batch_native,
+                                           native_available)
+
+            if native_available():
+                return load_multichannel_batch_native(
+                    audio_paths, cfg.audio_channels, target_fs,
+                    threads=workers)
+        except ImportError:
+            pass
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=workers) as ex:
+            return [w.astype(np.float32) for w in ex.map(
+                lambda p: read_multichannel_audio(p, target_fs, cfg),
+                audio_paths)]
+    return [read_multichannel_audio(p, target_fs, cfg).astype(np.float32)
+            for p in audio_paths]

@@ -33,6 +33,16 @@ class _SedWav(ctypes.Structure):
     ]
 
 
+class _SedAudioOut(ctypes.Structure):
+    _fields_ = [
+        ("data", ctypes.POINTER(ctypes.c_float)),
+        ("frames", ctypes.c_int64),
+        ("channels", ctypes.c_int32),
+        ("sample_rate", ctypes.c_int32),
+        ("rc", ctypes.c_int32),
+    ]
+
+
 def _build() -> bool:
     try:
         subprocess.run(
@@ -71,6 +81,12 @@ def _load():
             ctypes.POINTER(ctypes.c_float),
         ]
         lib.sed_resample.restype = ctypes.c_int
+        lib.sed_load_multichannel_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_double, ctypes.c_int32, ctypes.c_int32,
+            ctypes.POINTER(_SedAudioOut),
+        ]
+        lib.sed_load_multichannel_batch.restype = ctypes.c_int
         _lib = lib
         return _lib
 
@@ -95,6 +111,57 @@ def read_wav_native(path: str):
         lib.sed_free(wav.data)
     data = arr.reshape(wav.frames, wav.channels).astype(np.float64)
     return data, int(wav.sample_rate)
+
+
+def load_multichannel_batch_native(
+    paths, audio_channels: int, target_fs: int | None,
+    threads: int = 4,
+    beta: float = 14.769656459379492,
+    half_zero_crossings: int = 64,
+):
+    """Load many files through the full acquisition pipeline on C++ threads.
+
+    Per file: WAV decode -> channel policy (repeat-mean / mono-mean /
+    truncate, io/audio.py read_multichannel_audio semantics; reference:
+    dataset/dataset_utils.py:63-86) -> per-channel polyphase resample to
+    ``target_fs``.  Work is distributed over ``threads`` std::threads
+    entirely outside the GIL, so decode overlaps Python/device work.
+
+    Returns a list of float32 (frames, channels) arrays in input order.
+    Raises ValueError naming the first failed file (the rest of the batch
+    still loads — no partial leaks).
+    """
+    lib = _load()
+    if lib is None:
+        raise ImportError("native library unavailable")
+    paths = list(paths)
+    n = len(paths)
+    if n == 0:
+        return []
+    c_paths = (ctypes.c_char_p * n)(*[os.fsencode(p) for p in paths])
+    outs = (_SedAudioOut * n)()
+    lib.sed_load_multichannel_batch(
+        c_paths, n, int(audio_channels), int(target_fs or 0),
+        float(beta), int(half_zero_crossings), int(threads), outs)
+    arrays, first_err = [], None
+    for i in range(n):
+        o = outs[i]
+        if o.rc != 0 or not o.data:
+            if first_err is None:
+                first_err = (paths[i], o.rc)
+            arrays.append(None)
+            continue
+        try:
+            total = o.frames * o.channels
+            arr = np.ctypeslib.as_array(o.data, shape=(total,)).copy()
+        finally:
+            lib.sed_free(o.data)
+        arrays.append(arr.reshape(o.frames, o.channels))
+    if first_err is not None:
+        raise ValueError(
+            f"native batch load failed for {first_err[0]!r} "
+            f"(code {first_err[1]})")
+    return arrays
 
 
 def resample_native(x: np.ndarray, up: int, down: int,

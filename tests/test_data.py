@@ -94,6 +94,53 @@ def test_preprocess_pickle_format(preprocessed_logmel):
     assert stats["std"].shape == (CFG.mel_bins,)
 
 
+def test_preprocess_pipelined_workers_identical(synthetic_corpus,
+                                                preprocessed_logmel,
+                                                tmp_path):
+    """workers>0 (native-threaded acquisition pipelined ahead of the
+    featurizer) produces byte-identical pickles and mean/std to the
+    sequential path."""
+    seq_dir, seq_ms = preprocessed_logmel
+    features_dir = str(tmp_path / "logMel-features")
+    mean_std = str(tmp_path / "mean_std.pkl")
+    preprocess_data(synthetic_corpus, features_dir, mean_std,
+                    preprocess_mode="logMel", cfg=CFG, plot_sample=False,
+                    workers=3)
+    files = sorted(os.listdir(features_dir))
+    assert files == sorted(os.listdir(seq_dir))
+    for name in files:
+        with open(os.path.join(features_dir, name), "rb") as f:
+            a = f.read()
+        with open(os.path.join(seq_dir, name), "rb") as f:
+            b = f.read()
+        assert a == b, f"pipelined pickle differs: {name}"
+    with open(mean_std, "rb") as f:
+        a = pickle.load(f)
+    with open(seq_ms, "rb") as f:
+        b = pickle.load(f)
+    np.testing.assert_array_equal(a["mean"], b["mean"])
+    np.testing.assert_array_equal(a["std"], b["std"])
+
+
+def test_waveform_dataset_workers_identical(synthetic_corpus):
+    """WaveformDataset(workers=3) builds the same packed buffers, labels,
+    and val sets as the sequential loader."""
+    a = WaveformDataset(synthetic_corpus, val_descriptor="clip_5",
+                        cfg=WCFG, seed=0)
+    b = WaveformDataset(synthetic_corpus, val_descriptor="clip_5",
+                        cfg=WCFG, seed=0, workers=3)
+    np.testing.assert_array_equal(a.long_waveform, b.long_waveform)
+    np.testing.assert_array_equal(a.all_start_indices_labels,
+                                  b.all_start_indices_labels)
+    np.testing.assert_array_equal(a.possible_start_indices,
+                                  b.possible_start_indices)
+    assert a.val_file_names == b.val_file_names
+    for x, y in zip(a.val_samples_sets, b.val_samples_sets):
+        np.testing.assert_array_equal(x, y)
+    for x, y in zip(a.val_label_sets, b.val_label_sets):
+        np.testing.assert_array_equal(x, y)
+
+
 def test_spectrogram_dataset_logmel(preprocessed_logmel):
     features_dir, mean_std = preprocessed_logmel
     ds = SpectrogramDataset(features_dir, mean_std, val_descriptor="clip_5",

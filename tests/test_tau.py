@@ -204,7 +204,8 @@ def test_validate_tau_offline_gate(tmp_path, monkeypatch, capsys):
     assert res["data_dir"].startswith(str(tmp_path))
 
     # offline: the network probe fails -> graceful skip, exit-0 semantics
-    monkeypatch.setattr(mod, "network_available", lambda *a, **k: False)
+    monkeypatch.setattr(mod, "network_available",
+                        lambda *a, **k: (False, "ConnectionError: stubbed"))
     res = mod.run(mod.build_arg_parser().parse_args(
         ["--dataset_dir", str(tmp_path)]))
     assert res["skipped"] == "no_network"
