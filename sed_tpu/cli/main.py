@@ -28,6 +28,13 @@ def build_arg_parser() -> argparse.ArgumentParser:
     parser.add_argument("--dataset_dir", type=str, default="../data", help="Directory of dataset.")
     parser.add_argument("--dataset_name", type=str, default="FilmClap", help="FilmClap or TAU")
     parser.add_argument("--train_features", type=str, default="Waveform", help="Spectogram or Waveform")
+    parser.add_argument("--model", type=str, default="CnnAvgPooling",
+                        choices=["CnnAvgPooling", "MobileNetV1"],
+                        help="spectrogram model family (the reference trains "
+                             "only Cnn_AvgPooling, main.py:35-36 — MobileNetV1 "
+                             "training is a sed_tpu capability: the head "
+                             "emits logits so WeightedBCE applies correctly; "
+                             "checkpoints load into infer --arch MobileNetV1)")
     # Spectrogram-only arguments
     parser.add_argument("--preprocess_mode", type=str, default="logMel",
                         help="logMel or Complex; relevant only for Spectogram features")
@@ -128,9 +135,18 @@ def get_spectrogram_dataset_and_model(args):
     import jax.numpy as jnp
 
     dtype = jnp.bfloat16 if getattr(args, "bf16", False) else jnp.float32
-    model = CnnAvgPooling(classes_num=cfg.classes_num,
-                          model_config=TRAIN_CHANNEL_AND_POOL, dtype=dtype)
-    descriptor = f"{args.preprocess_mode}-{cfg.cfg_descriptor}"
+    arch = getattr(args, "model", "CnnAvgPooling")
+    if arch == "MobileNetV1":
+        if getattr(args, "bf16", False):
+            raise ValueError("--bf16 is implemented for CnnAvgPooling only")
+        from sed_tpu.models.cnn import MobileNetV1
+
+        model = MobileNetV1(classes_num=cfg.classes_num, emit="logits")
+        descriptor = f"MobileNetV1-{args.preprocess_mode}-{cfg.cfg_descriptor}"
+    else:
+        model = CnnAvgPooling(classes_num=cfg.classes_num,
+                              model_config=TRAIN_CHANNEL_AND_POOL, dtype=dtype)
+        descriptor = f"{args.preprocess_mode}-{cfg.cfg_descriptor}"
     return dataset, model, cfg, descriptor, "spectogram"
 
 
@@ -187,6 +203,9 @@ def main(argv=None):
     if args.train_features.lower() == "spectogram":
         dataset, model, cfg, descriptor, mode = get_spectrogram_dataset_and_model(args)
     elif args.train_features.lower() == "waveform":
+        if getattr(args, "model", "CnnAvgPooling") != "CnnAvgPooling":
+            raise ValueError("--model selects the spectrogram family; "
+                             "waveform training uses M5")
         dataset, model, cfg, descriptor, mode = get_waveform_dataset_and_model(args)
     else:
         raise ValueError(

@@ -140,9 +140,19 @@ class MobileNetV1(nn.Module):
     path.  The reference forward's stray ``x.transpose(0, 1)``
     (spectogram_models.py:105) is dropped: input here is standard NHWC
     (batch, frames, mel_bins, channels).
+
+    ``emit='logits'`` skips the final sigmoid so the network composes with
+    the logits-expecting WeightedBCE (utils/common.py:29) — the reference
+    never trains MobileNetV1, and training it as-committed would push
+    sigmoid outputs through BCE-with-logits (a double sigmoid).  The param
+    tree is identical either way (sigmoid is parameter-free), so checkpoints
+    trained with ``emit='logits'`` load into the default scores-emitting
+    module unchanged (``cli/infer.py --arch MobileNetV1``).  Documented in
+    PARITY.md "Known divergences".
     """
 
     classes_num: int
+    emit: str = "scores"  # 'scores' (reference parity) | 'logits' (trainable)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -151,5 +161,7 @@ class MobileNetV1(nn.Module):
             x = blocks[kind](out_channels, stride)(x, train=train)
         x = jnp.mean(x, axis=2)  # (batch, frames', 1024)
         x = nn.relu(nn.Dense(1024, kernel_init=kaiming_uniform)(x))
-        x = nn.sigmoid(nn.Dense(self.classes_num, kernel_init=kaiming_uniform)(x))
+        x = nn.Dense(self.classes_num, kernel_init=kaiming_uniform)(x)
+        if self.emit == "scores":
+            x = nn.sigmoid(x)  # reference forward (spectogram_models.py:117)
         return interpolate(x, 2 ** 3)  # self.num_pools = 3 (spectogram_models.py:77)

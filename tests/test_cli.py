@@ -228,6 +228,67 @@ def test_train_cli_bf16_fast_mode(film_clap_root, tmp_path):
     assert np.isfinite(rec["train_loss"]) and np.isfinite(rec["AP"])
 
 
+def test_train_cli_mobilenet(film_clap_root, tmp_path):
+    """--model MobileNetV1 (sed_tpu capability — the reference keeps
+    MobileNet commented out of its CLI, main.py:36): trains on the logits
+    head, checkpoints, and the checkpoint loads straight into
+    ``infer --arch MobileNetV1`` (identical param tree, sigmoid applied in
+    the serving forward)."""
+    from sed_tpu.cli.main import main
+
+    outputs_root = str(tmp_path / "training_mobilenet")
+    main([
+        "--dataset_dir", film_clap_root,
+        "--dataset_name", "FilmClap",
+        "--train_features", "Spectogram",
+        "--model", "MobileNetV1",
+        "--preprocess_mode", "logMel",
+        "--outputs_root", outputs_root,
+        "--val_descriptor", "clip_3",
+        "--batch_size", "2",
+        "--num_train_steps", "2",
+        "--log_freq", "2",
+        "--device", "cpu",
+    ])
+    run_dirs = os.listdir(outputs_root)
+    assert len(run_dirs) == 1 and "MobileNetV1" in run_dirs[0]
+    run_dir = os.path.join(outputs_root, run_dirs[0])
+    with open(os.path.join(run_dir, "metrics.jsonl")) as f:
+        rec = json.loads(f.readline())
+    assert np.isfinite(rec["train_loss"]) and np.isfinite(rec["AP"])
+
+    from sed_tpu.cli.infer import main as infer_main
+
+    wav = [k for k in json.load(open(os.path.join(
+        film_clap_root, "FilmClap", "paths_and_labels_fixed_Meron.txt"))).keys()][0]
+    out_dir = str(tmp_path / "inference_mobilenet")
+    infer_main([
+        wav,
+        "--ckpt", os.path.join(run_dir, "checkpoints", "iteration_2.ckpt"),
+        "--arch", "MobileNetV1",
+        "--outputs_dir", out_dir,
+        "--device", "cpu",
+        "--no_plot",
+    ])
+    base = os.path.splitext(os.path.basename(wav))[0]
+    scores = np.load(os.path.join(out_dir, f"{base}_scores.npy"))
+    assert ((scores >= 0) & (scores <= 1)).all()
+
+
+def test_train_cli_model_flag_waveform_rejected(film_clap_root, tmp_path):
+    from sed_tpu.cli.main import main
+
+    with pytest.raises(ValueError, match="spectrogram family"):
+        main([
+            "--dataset_dir", film_clap_root,
+            "--dataset_name", "FilmClap",
+            "--train_features", "Waveform",
+            "--model", "MobileNetV1",
+            "--outputs_root", str(tmp_path / "x"),
+            "--device", "cpu",
+        ])
+
+
 def test_steps_per_call_train_cli(film_clap_root, tmp_path):
     """--steps_per_call K: the dispatch-amortization path (lax.scan over K
     fused steps, train/loop.py) reachable from the user surface; composes

@@ -107,6 +107,28 @@ def test_mobilenet_shapes():
     assert count_params(variables["params"]) == 3988225 == 3988353 - 128
 
 
+def test_mobilenet_logits_emit_matches_scores():
+    """emit='logits' must be the sigmoid-free view of the SAME network: the
+    param tree is unchanged and sigmoid(interpolate(logits)) equals the
+    reference-parity scores forward exactly (interpolate is frame repetition,
+    which commutes with the elementwise sigmoid)."""
+    import jax.nn
+
+    scores_model = MobileNetV1(classes_num=2)
+    logits_model = MobileNetV1(classes_num=2, emit="logits")
+    x = jnp.asarray(np.random.default_rng(3).standard_normal((2, 30, 64, 1)),
+                    dtype=jnp.float32)
+    variables = scores_model.init(jax.random.key(1), x, train=False)
+    # Identical parameter trees (sigmoid is parameter-free) — a checkpoint
+    # trained with emit='logits' loads into the default module unchanged.
+    logits_vars = logits_model.init(jax.random.key(1), x, train=False)
+    assert jax.tree.structure(variables) == jax.tree.structure(logits_vars)
+    scores = scores_model.apply(variables, x, train=False)
+    logits = logits_model.apply(variables, x, train=False)
+    np.testing.assert_array_equal(np.asarray(jax.nn.sigmoid(logits)),
+                                  np.asarray(scores))
+
+
 @pytest.mark.slow
 def test_mobilenet_torch_init_forward_parity():
     """C16 numerical oracle: the reference torch MobileNetV1's state_dict
