@@ -38,6 +38,15 @@ def build_arg_parser() -> argparse.ArgumentParser:
     b = sub.add_parser("build", help="compile + serialize the serving graph")
     b.add_argument("--ckpt", type=str, required=True)
     b.add_argument("--out", type=str, required=True)
+    b.add_argument("--arch", type=str, default="CnnAvgPooling",
+                   choices=["CnnAvgPooling", "MobileNetV1", "M5"],
+                   help="checkpoint's model family.  MobileNetV1 serves "
+                        "through the same featurize pipeline (its forward "
+                        "emits sigmoid scores); M5 artifacts hop-split the "
+                        "PCM into 31680-sample frames and score each "
+                        "(waveform family — featurizer flags do not apply). "
+                        "The arch is recorded in the artifact; 'run' adapts "
+                        "automatically")
     b.add_argument("--batch", type=int, default=16)
     b.add_argument("--seconds", type=int, default=60,
                    help="audio length the artifact is compiled for")
@@ -120,16 +129,82 @@ def _featurize_files(paths, cfg, samples):
     return out, lengths
 
 
+def _build_m5(args) -> bytes:
+    """AOT artifact for the waveform family: (batch, samples, 1) int16 PCM
+    -> hop-strided 31680-sample frames -> per-frame M5 sigmoid scores."""
+    import jax.numpy as jnp
+
+    from sed_tpu.cli.infer import load_model_and_state
+    from sed_tpu.configs import WaveformConfig
+    from sed_tpu.export import (aot_export_m5_pipeline, m5_quantized_serving,
+                                m5_serving)
+
+    cfg = WaveformConfig(tau_sed_labels=tuple(args.tau_labels.split(",")))
+    model, state = load_model_and_state(args.ckpt, cfg, arch="M5")
+    samples = cfg.working_sample_rate * args.seconds
+    if args.quantize == "int8":
+        from sed_tpu.data.events import frame_coverage_labels
+        from sed_tpu.models.quantize import quantize_m5
+
+        if args.calib_wav:
+            pcm, _ = _featurize_files(args.calib_wav, cfg, samples)
+            wav = pcm[:, :, 0].astype(np.float32) / 32768.0
+        else:
+            rng = np.random.default_rng(0)
+            wav = (rng.standard_normal((2, samples)) * 0.12).astype(np.float32)
+            log("int8 calibration on synthetic noise (pass --calib_wav for "
+                "representative audio)")
+        wins = np.concatenate([
+            frame_coverage_labels(w[None], [], [], cfg)[0] for w in wav])
+        calib = [np.transpose(wins, (0, 2, 1))[:: max(1, len(wins) // 256)]]
+        q = quantize_m5(model, state.params, state.batch_stats, calib)
+        score_fn, weights = m5_quantized_serving(q)
+    else:
+        score_fn, weights = m5_serving(model, state.params, state.batch_stats)
+    return aot_export_m5_pipeline(score_fn, weights, args.batch, samples, cfg,
+                                  meta={"arch": "M5"})
+
+
 def cmd_build(args) -> None:
     from sed_tpu.configs import SpectrogramConfig
 
-    cfg = SpectrogramConfig(tau_sed_labels=tuple(args.tau_labels.split(",")))
-    from sed_tpu.export import (aot_export_pipeline, cnn_serving,
-                                quantized_serving)
-
     if args.qat_steps > 0 and args.quantize != "int8":
         raise SystemExit("--qat_steps requires --quantize int8")
-    model, state = _load_state(args.ckpt, cfg)
+    if args.arch == "M5":
+        if args.qat_steps > 0:
+            raise SystemExit("--qat_steps is CnnAvgPooling-only (models/qat.py)")
+        if args.num_devices > 1:
+            raise SystemExit("--num_devices: the sharded artifact path is "
+                             "built for the spectrogram families")
+        t0 = time.time()
+        blob = _build_m5(args)
+        build_s = time.time() - t0
+        with open(args.out, "wb") as f:
+            f.write(blob)
+        log(f"built {args.out}: {len(blob) / 1e6:.1f} MB in {build_s:.1f}s")
+        print(json.dumps({"artifact": args.out, "bytes": len(blob),
+                          "build_seconds": round(build_s, 1),
+                          "arch": "M5", "batch": args.batch,
+                          "seconds": args.seconds,
+                          "quantize": args.quantize}))
+        return
+
+    cfg = SpectrogramConfig(tau_sed_labels=tuple(args.tau_labels.split(",")))
+    from sed_tpu.export import (aot_export_pipeline, cnn_serving,
+                                mobilenet_quantized_serving,
+                                quantized_serving)
+
+    if args.arch == "MobileNetV1" and args.qat_steps > 0:
+        raise SystemExit("--qat_steps is CnnAvgPooling-only (models/qat.py)")
+    from sed_tpu.cli.infer import load_model_and_state
+
+    model, state = load_model_and_state(args.ckpt, cfg, arch=args.arch)
+    if args.arch == "MobileNetV1":
+        # cnn_serving applies the serving sigmoid itself; give it the
+        # logits-emitting view of the same params (models/cnn.py).
+        from sed_tpu.models.cnn import MobileNetV1
+
+        model = MobileNetV1(classes_num=cfg.classes_num, emit="logits")
     samples = cfg.working_sample_rate * args.seconds
     mean = std = None
     if args.mean_std_file:
@@ -172,9 +247,16 @@ def cmd_build(args) -> None:
             q = qat_export(trainable, static)
             log(f"QAT: {args.qat_steps} distill steps on the calibration "
                 "audio before int8 export")
+        elif args.arch == "MobileNetV1":
+            from sed_tpu.models.quantize import quantize_mobilenet
+
+            q = quantize_mobilenet(model, state.params, state.batch_stats,
+                                   calib)
         else:
             q = quantize_cnn(model, state.params, state.batch_stats, calib)
-        score_fn, weights = quantized_serving(q, mean, std)
+        score_fn, weights = (mobilenet_quantized_serving(q, mean, std)
+                             if args.arch == "MobileNetV1"
+                             else quantized_serving(q, mean, std))
     else:
         score_fn, weights = cnn_serving(model, state.params,
                                         state.batch_stats, mean, std)
@@ -200,7 +282,8 @@ def cmd_build(args) -> None:
     t0 = time.time()
     blob = aot_export_pipeline(score_fn, weights, args.batch, samples, cfg,
                                use_pallas=use_pallas, mesh=mesh,
-                               featurizer_precision=args.featurizer_precision)
+                               featurizer_precision=args.featurizer_precision,
+                               meta={"arch": args.arch})
     build_s = time.time() - t0
     with open(args.out, "wb") as f:
         f.write(blob)
@@ -208,6 +291,7 @@ def cmd_build(args) -> None:
         f"(compile paid once here, never at load)")
     print(json.dumps({"artifact": args.out, "bytes": len(blob),
                       "build_seconds": round(build_s, 1),
+                      "arch": args.arch,
                       "batch": args.batch, "seconds": args.seconds,
                       "quantize": args.quantize,
                       "qat_steps": args.qat_steps,
@@ -216,16 +300,20 @@ def cmd_build(args) -> None:
 
 
 def cmd_run(args) -> None:
-    from sed_tpu.configs import SpectrogramConfig
+    from sed_tpu.configs import SpectrogramConfig, WaveformConfig
     from sed_tpu.export import load_aot_pipeline
-
-    cfg = SpectrogramConfig(tau_sed_labels=tuple(args.tau_labels.split(",")))
 
     t_load0 = time.time()
     with open(args.artifact, "rb") as f:
         call = load_aot_pipeline(f.read())  # trusted artifacts only (pickle)
     t_loaded = time.time()
     batch, samples, _ = call.input_shape
+    # Artifacts record their model family (build --arch); older ones are
+    # spectrogram-family by construction.
+    arch = call.meta.get("arch", "CnnAvgPooling")
+    labels = tuple(args.tau_labels.split(","))
+    cfg = (WaveformConfig(tau_sed_labels=labels) if arch == "M5"
+           else SpectrogramConfig(tau_sed_labels=labels))
 
     os.makedirs(args.outputs_dir, exist_ok=True)
     first_result_s = None
@@ -238,10 +326,15 @@ def cmd_run(args) -> None:
             first_result_s = time.time() - t_load0
         for i, path in enumerate(group):
             # Trim the frames scored over the zero-padded tail back to the
-            # file's real length (frames = 1 + n // hop, the featurizer's
-            # centered-STFT frame count for n samples).
-            n_frames = min(scores.shape[1],
-                           1 + int(lengths[i]) // cfg.hop_size)
+            # file's real length.  Spectrogram families: the featurizer's
+            # centered-STFT count, 1 + n // hop.  M5: the hop-split window
+            # count, (n - frame) // hop + 1 (aot_export_m5_pipeline).
+            if arch == "M5":
+                n_real = ((int(lengths[i]) - cfg.frame_size) // cfg.hop_size
+                          + 1 if int(lengths[i]) >= cfg.frame_size else 0)
+            else:
+                n_real = 1 + int(lengths[i]) // cfg.hop_size
+            n_frames = min(scores.shape[1], n_real)
             s = scores[i, :n_frames]
             base = os.path.splitext(os.path.basename(path))[0]
             np.save(os.path.join(args.outputs_dir, f"{base}_scores.npy"), s)
@@ -255,7 +348,9 @@ def cmd_run(args) -> None:
                                      merge_gap=args.event_merge_gap)
                 events_to_csv(evs, cfg.tau_sed_labels, os.path.join(
                     args.outputs_dir, f"{base}_events.csv"))
-            log(f"{path}: frames={s.shape[0]}, max score={s.max():.3f}")
+            log(f"{path}: frames={s.shape[0]}, max score="
+                f"{s.max():.3f}" if s.size else
+                f"{path}: shorter than one frame — 0 scores")
     print(json.dumps({
         "artifact_load_seconds": round(t_loaded - t_load0, 2),
         "load_to_first_result_seconds": round(first_result_s, 2),

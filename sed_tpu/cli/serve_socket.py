@@ -49,10 +49,12 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         "activation scales (no input files exist at server "
                         "start, so calibration audio must be supplied)")
     p.add_argument("--arch", type=str, default="CnnAvgPooling",
-                   choices=["CnnAvgPooling", "M5"],
-                   help="model family: CnnAvgPooling streams over the "
-                        "spectrogram HBM-ring pool; M5 streams hop-strided "
-                        "waveform frames (scored the moment each completes)")
+                   choices=["CnnAvgPooling", "MobileNetV1", "M5"],
+                   help="model family: the spectrogram families "
+                        "(CnnAvgPooling, MobileNetV1) stream over the "
+                        "HBM-ring pool (MobileNetV1 float-only); M5 streams "
+                        "hop-strided waveform frames (scored the moment "
+                        "each completes)")
     p.add_argument("--mean_std_file", type=str, default="")
     p.add_argument("--device", default="tpu", type=str)
     p.add_argument("--tau_labels", type=str, default="doorslam")
@@ -85,6 +87,22 @@ def main(argv=None):
             d = pickle.load(f)
         mean, std = d["mean"], d["std"]
     model, state = load_model_and_state(args.ckpt, cfg, arch=args.arch)
+    if args.arch == "MobileNetV1":
+        if args.quantize == "int8":
+            raise SystemExit("--quantize int8 streaming is implemented for "
+                             "CnnAvgPooling and M5; MobileNetV1 int8 serving "
+                             "is the batched path (infer/serve --quantize)")
+        # The streaming stack applies the serving sigmoid itself — use the
+        # logits-emitting view of the same params (models/cnn.py).
+        from sed_tpu.models.cnn import (MobileNetV1,
+                                        mobilenet_receptive_field)
+
+        model = MobileNetV1(classes_num=cfg.classes_num, emit="logits")
+        rf_halo = 8 * (-(-((mobilenet_receptive_field() + 1) // 2) // 8))
+        if args.halo < rf_halo:
+            print(f"halo {args.halo} < MobileNetV1 receptive-field "
+                  f"requirement {rf_halo}; using {rf_halo}", file=sys.stderr)
+            args.halo = rf_halo
     qparams = None
     if args.quantize == "int8":
         if not args.calib_wav:

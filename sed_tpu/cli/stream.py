@@ -73,10 +73,12 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    help="comma-separated event classes — must match the "
                         "checkpoint's training config")
     p.add_argument("--arch", type=str, default="CnnAvgPooling",
-                   choices=["CnnAvgPooling", "M5"],
-                   help="model family: CnnAvgPooling streams over the "
-                        "spectrogram HBM-ring pool; M5 streams hop-strided "
-                        "waveform frames")
+                   choices=["CnnAvgPooling", "MobileNetV1", "M5"],
+                   help="model family: the spectrogram families "
+                        "(CnnAvgPooling, MobileNetV1) stream over the "
+                        "HBM-ring pool (MobileNetV1 is float-only: its int8 "
+                        "path is batch serving, infer/serve); M5 streams "
+                        "hop-strided waveform frames")
     return p
 
 
@@ -106,6 +108,22 @@ def main(argv=None):
         mean, std = d["mean"], d["std"]
 
     model, state = load_model_and_state(args.ckpt, cfg, arch=args.arch)
+    if args.arch == "MobileNetV1":
+        if args.quantize == "int8":
+            raise SystemExit("--quantize int8 streaming is implemented for "
+                             "CnnAvgPooling and M5; MobileNetV1 int8 serving "
+                             "is the batched path (infer/serve --quantize)")
+        # The streaming stack applies the serving sigmoid itself — use the
+        # logits-emitting view of the same params (models/cnn.py).
+        from sed_tpu.models.cnn import (MobileNetV1,
+                                        mobilenet_receptive_field)
+
+        model = MobileNetV1(classes_num=cfg.classes_num, emit="logits")
+        rf_halo = 8 * (-(-((mobilenet_receptive_field() + 1) // 2) // 8))
+        if args.halo < rf_halo:
+            log(f"halo {args.halo} < MobileNetV1 receptive-field requirement "
+                f"{rf_halo}; using {rf_halo}")
+            args.halo = rf_halo
     os.makedirs(args.outputs_dir, exist_ok=True)
 
     # File queue: (path, mono float32 waveform).  Reading up front keeps the

@@ -121,10 +121,12 @@ def aot_compile_fn(fn, weights, input_spec, mesh=None, input_pspec=None):
     return compiled, arr_leaves
 
 
-def serialize_compiled(compiled, arr_leaves, input_spec) -> bytes:
+def serialize_compiled(compiled, arr_leaves, input_spec, meta=None) -> bytes:
     """Serialize an :func:`aot_compile_fn` executable + its weight leaves
     into the pickled sed_tpu-aot-v1 artifact :func:`load_aot_pipeline` /
-    :func:`load_aot_fn` understand."""
+    :func:`load_aot_fn` understand.  ``meta``: optional JSON-style dict of
+    caller metadata (e.g. ``{"arch": "M5"}``), surfaced as ``call.meta``
+    at load time."""
     from jax.experimental import serialize_executable as se
 
     payload, _, _ = se.serialize(compiled)
@@ -138,10 +140,12 @@ def serialize_compiled(compiled, arr_leaves, input_spec) -> bytes:
         "device_kind": jax.devices()[0].device_kind,
         "n_devices": len(compiled._executable.xla_executable.local_devices()),
         "jax_version": jax.__version__,
+        "meta": dict(meta or {}),
     })
 
 
-def aot_export_fn(fn, weights, input_spec, mesh=None, input_pspec=None) -> bytes:
+def aot_export_fn(fn, weights, input_spec, mesh=None, input_pspec=None,
+                  meta=None) -> bytes:
     """AOT-compile and serialize an arbitrary ``fn(weights, x) -> y``.
 
     ``weights``: any pytree (arrays ship in the artifact as executable
@@ -157,7 +161,7 @@ def aot_export_fn(fn, weights, input_spec, mesh=None, input_pspec=None) -> bytes
     """
     compiled, arr_leaves = aot_compile_fn(fn, weights, input_spec,
                                           mesh=mesh, input_pspec=input_pspec)
-    return serialize_compiled(compiled, arr_leaves, input_spec)
+    return serialize_compiled(compiled, arr_leaves, input_spec, meta=meta)
 
 
 def aot_export_pipeline(
@@ -170,6 +174,7 @@ def aot_export_pipeline(
     use_pallas="auto",
     mesh=None,
     featurizer_precision=None,
+    meta=None,
 ) -> bytes:
     """AOT-compile and serialize the FULL serving graph.
 
@@ -200,7 +205,7 @@ def aot_export_pipeline(
         return score_fn(w, feats)
 
     spec = jax.ShapeDtypeStruct((batch, samples, 1), pcm_dtype)
-    return aot_export_fn(pipeline, weights, spec, mesh=mesh)
+    return aot_export_fn(pipeline, weights, spec, mesh=mesh, meta=meta)
 
 
 def aot_export_m5_pipeline(
@@ -211,6 +216,7 @@ def aot_export_m5_pipeline(
     cfg=None,
     pcm_dtype=jnp.int16,
     mesh=None,
+    meta=None,
 ) -> bytes:
     """AOT-compile the waveform-family serving graph: (batch, samples, 1)
     PCM -> hop-strided frame windows (the offline validation split geometry,
@@ -241,7 +247,7 @@ def aot_export_m5_pipeline(
         return sc.reshape(batch, n, -1)
 
     spec = jax.ShapeDtypeStruct((batch, samples, 1), pcm_dtype)
-    return aot_export_fn(pipeline, weights, spec, mesh=mesh)
+    return aot_export_fn(pipeline, weights, spec, mesh=mesh, meta=meta)
 
 
 def _deserialize_aot(blob: bytes):
@@ -337,6 +343,7 @@ def load_aot_pipeline(blob: bytes):
     call.input_shape = shape
     call.input_dtype = dtype
     call.device_kind = d.get("device_kind")
+    call.meta = d.get("meta", {})
     return call
 
 
@@ -383,6 +390,35 @@ def quantized_serving(qparams, mean=None, std=None):
     def score(w, feats):
         x = jnp.transpose(_apply_norm(w, feats), (0, 2, 3, 1))
         return quantized_scores(w["q"], x)
+
+    return score, weights
+
+
+def mobilenet_quantized_serving(qparams, mean=None, std=None):
+    """(score_fn, weights) for the int8 MobileNetV1 head: feats ->
+    normalize -> NHWC -> quantized MobileNet (emits sigmoid confidences
+    itself, matching the reference forward — spectogram_models.py:117)."""
+    from sed_tpu.models.quantize import quantized_mobilenet_forward
+
+    weights = {"q": qparams, **_norm_weights(mean, std)}
+
+    def score(w, feats):
+        x = jnp.transpose(_apply_norm(w, feats), (0, 2, 3, 1))
+        return quantized_mobilenet_forward(w["q"], x)
+
+    return score, weights
+
+
+def m5_quantized_serving(qparams):
+    """(score_fn, weights) for the int8 M5 waveform head: (batch,
+    frame_size, channels) windows -> sigmoid scores (quantize_m5's
+    forward emits logits)."""
+    from sed_tpu.models.quantize import quantized_m5_forward
+
+    weights = {"q": qparams}
+
+    def score(w, x):
+        return jax.nn.sigmoid(quantized_m5_forward(w["q"], x))
 
     return score, weights
 

@@ -151,16 +151,21 @@ class BatchedStreamingDetector:
         int8 MXU forward instead of the float model (lossy serving mode,
         same fidelity contract as the offline int8 path)."""
         assert halo % total_stride == 0
+        rf = None
         if hasattr(model, "model_config"):
             from sed_tpu.parallel.time_shard import receptive_field
 
             rf = receptive_field(model.model_config)
-            if halo < (rf + 1) // 2:
-                raise ValueError(
-                    f"halo={halo} frames is smaller than half the model's "
-                    f"receptive field ({rf} frames); emitted scores would be "
-                    f"corrupted — use halo >= {total_stride * (-(-((rf + 1) // 2) // total_stride))}"
-                )
+        elif type(model).__name__ == "MobileNetV1":
+            from sed_tpu.models.cnn import mobilenet_receptive_field
+
+            rf = mobilenet_receptive_field()
+        if rf is not None and halo < (rf + 1) // 2:
+            raise ValueError(
+                f"halo={halo} frames is smaller than half the model's "
+                f"receptive field ({rf} frames); emitted scores would be "
+                f"corrupted — use halo >= {total_stride * (-(-((rf + 1) // 2) // total_stride))}"
+            )
         self.model = model
         self.params = params
         self.batch_stats = batch_stats

@@ -446,6 +446,94 @@ def test_serve_cli_build_and_run(film_clap_root, tmp_path):
                                    atol=1e-5)
 
 
+def test_serve_cli_arch_m5_and_mobilenet(film_clap_root, tmp_path):
+    """serve build/run --arch for the other two families (sed_tpu
+    capability: AOT serving across the whole model family).  The artifact
+    records its arch; 'run' adapts frame semantics (M5 hop-split windows vs
+    the spectrogram STFT frame count) without any run-side flag."""
+    from sed_tpu.cli.infer import main as infer_main
+    from sed_tpu.cli.main import main as train_main
+    from sed_tpu.cli.serve import main as serve_main
+    from scipy.io import wavfile as _wavfile
+
+    sr = CFG.working_sample_rate
+    # A 3 s clip matching the artifacts' compiled length: no crop, and the
+    # infer CLI's windowed path sees it as one window -> exact comparison.
+    clip3 = str(tmp_path / "clip3s.wav")
+    rng = np.random.default_rng(11)
+    _wavfile.write(clip3, sr, (0.05 * rng.standard_normal(3 * sr)
+                               ).astype(np.float32))
+
+    # --- M5 ---------------------------------------------------------------
+    outputs_m5 = str(tmp_path / "training_m5")
+    train_main([
+        "--dataset_dir", film_clap_root, "--dataset_name", "FilmClap",
+        "--train_features", "Waveform", "--outputs_root", outputs_m5,
+        "--val_descriptor", "clip_3", "--batch_size", "4",
+        "--num_train_steps", "2", "--log_freq", "2", "--device", "cpu",
+    ])
+    run_m5 = os.path.join(outputs_m5, os.listdir(outputs_m5)[0])
+    ckpt_m5 = os.path.join(run_m5, "checkpoints", "iteration_2.ckpt")
+
+    art_m5 = str(tmp_path / "serving_m5.aot")
+    serve_main(["build", "--ckpt", ckpt_m5, "--arch", "M5", "--out", art_m5,
+                "--batch", "2", "--seconds", "3"])
+    out_m5 = str(tmp_path / "serve_out_m5")
+    serve_main(["run", "--artifact", art_m5, "--outputs_dir", out_m5, clip3])
+    s_m5 = np.load(os.path.join(out_m5, "clip3s_scores.npy"))
+    # 3 s = 144000 samples -> (144000 - 31680) // 15840 + 1 = 8 hop frames.
+    assert s_m5.shape == (8, CFG.classes_num)
+
+    inf_m5 = str(tmp_path / "infer_m5")
+    infer_main([clip3, "--ckpt", ckpt_m5, "--arch", "M5",
+                "--outputs_dir", inf_m5, "--device", "cpu", "--no_plot"])
+    ref_m5 = np.load(os.path.join(inf_m5, "clip3s_scores.npy"))
+    np.testing.assert_allclose(s_m5, ref_m5[: len(s_m5)], atol=2e-5)
+
+    # int8 M5 artifact: same shape, near the f32 artifact's scores.
+    art_m5q = str(tmp_path / "serving_m5_int8.aot")
+    serve_main(["build", "--ckpt", ckpt_m5, "--arch", "M5", "--out", art_m5q,
+                "--batch", "2", "--seconds", "3",
+                "--quantize", "int8", "--calib_wav", clip3])
+    out_m5q = str(tmp_path / "serve_out_m5_int8")
+    serve_main(["run", "--artifact", art_m5q, "--outputs_dir", out_m5q, clip3])
+    dev = np.abs(np.load(os.path.join(out_m5q, "clip3s_scores.npy")) - s_m5).max()
+    assert dev < 0.05, dev
+
+    # --- MobileNetV1 -------------------------------------------------------
+    outputs_mn = str(tmp_path / "training_mn")
+    train_main([
+        "--dataset_dir", film_clap_root, "--dataset_name", "FilmClap",
+        "--train_features", "Spectogram", "--model", "MobileNetV1",
+        "--preprocess_mode", "logMel", "--outputs_root", outputs_mn,
+        "--val_descriptor", "clip_3", "--batch_size", "2",
+        "--num_train_steps", "2", "--log_freq", "2", "--device", "cpu",
+    ])
+    run_mn = os.path.join(outputs_mn, os.listdir(outputs_mn)[0])
+    ckpt_mn = os.path.join(run_mn, "checkpoints", "iteration_2.ckpt")
+
+    art_mn = str(tmp_path / "serving_mn.aot")
+    serve_main(["build", "--ckpt", ckpt_mn, "--arch", "MobileNetV1",
+                "--out", art_mn, "--batch", "2", "--seconds", "3",
+                "--use_pallas", "off"])
+    out_mn = str(tmp_path / "serve_out_mn")
+    serve_main(["run", "--artifact", art_mn, "--outputs_dir", out_mn, clip3])
+    s_mn = np.load(os.path.join(out_mn, "clip3s_scores.npy"))
+    assert ((s_mn >= 0) & (s_mn <= 1)).all() and s_mn.shape[1] == CFG.classes_num
+
+    inf_mn = str(tmp_path / "infer_mn")
+    infer_main([clip3, "--ckpt", ckpt_mn, "--arch", "MobileNetV1",
+                "--outputs_dir", inf_mn, "--device", "cpu", "--no_plot"])
+    ref_mn = np.load(os.path.join(inf_mn, "clip3s_scores.npy"))
+    n = min(len(s_mn), len(ref_mn))
+    np.testing.assert_allclose(s_mn[:n], ref_mn[:n], atol=2e-5)
+
+    # --qat_steps stays CnnAvgPooling-only.
+    with pytest.raises(SystemExit):
+        serve_main(["build", "--ckpt", ckpt_mn, "--arch", "MobileNetV1",
+                    "--out", art_mn, "--quantize", "int8", "--qat_steps", "2"])
+
+
 def test_stream_cli_matches_offline_infer(film_clap_root, tmp_path):
     """Streaming CLI (StreamPool lifecycle with staggered joins and slot
     queueing) produces the same per-file scores as offline infer.py."""
@@ -804,6 +892,58 @@ def test_infer_cli_arch_mobilenet(tmp_path):
                 "--device", "cpu", "--outputs_dir", out_b, "--no_plot"])
     got_b = np.load(os.path.join(out_b, "mb_clip_scores.npy"))
     np.testing.assert_allclose(got_b, ref, atol=1e-5)
+
+
+def test_stream_cli_arch_mobilenet_matches_infer(tmp_path):
+    """stream --arch MobileNetV1 (spectrogram HBM-ring pool with the
+    logits-emitting view of the checkpoint) produces the same per-file
+    scores as infer --arch MobileNetV1.  The CLI auto-raises the halo to
+    MobileNet's receptive-field requirement (rf 88 frames -> halo 48)."""
+    import jax
+    import jax.numpy as jnp
+
+    from sed_tpu.cli.infer import main as infer_main
+    from sed_tpu.cli.stream import main as stream_main
+    from sed_tpu.models.cnn import MobileNetV1
+    from sed_tpu.train.checkpoint import save_checkpoint
+    from sed_tpu.train.optim import make_optimizer
+    from sed_tpu.train.state import init_state
+
+    sr = CFG.working_sample_rate
+    rng = np.random.default_rng(9)
+    paths = []
+    for i, secs in enumerate((5.0, 3.2)):
+        p = str(tmp_path / f"mns_{i}.wav")
+        wavfile.write(p, sr, (0.1 * rng.standard_normal(
+            int(secs * sr))).astype(np.float32))
+        paths.append(p)
+
+    model = MobileNetV1(classes_num=CFG.classes_num)
+    state = init_state(model, jax.random.key(0),
+                       jnp.zeros((1, CFG.train_crop_size, CFG.mel_bins, 1)),
+                       make_optimizer(1e-4))
+    ckpt = save_checkpoint(state, str(tmp_path / "mnsrun"), 1)
+
+    s_dir = str(tmp_path / "mns_stream")
+    stream_main(paths + ["--ckpt", ckpt, "--arch", "MobileNetV1",
+                         "--device", "cpu", "--outputs_dir", s_dir,
+                         "--chunk_seconds", "1.0"])
+    i_dir = str(tmp_path / "mns_infer")
+    infer_main(paths + ["--ckpt", ckpt, "--arch", "MobileNetV1",
+                        "--device", "cpu", "--outputs_dir", i_dir,
+                        "--no_plot"])
+    for p in paths:
+        base = os.path.splitext(os.path.basename(p))[0]
+        got = np.load(os.path.join(s_dir, f"{base}_scores.npy"))
+        ref = np.load(os.path.join(i_dir, f"{base}_scores.npy"))
+        assert got.shape == ref.shape, base
+        np.testing.assert_allclose(got, ref, atol=1e-5, err_msg=base)
+
+    # int8 streaming stays gated for this family.
+    with pytest.raises(SystemExit):
+        stream_main(paths + ["--ckpt", ckpt, "--arch", "MobileNetV1",
+                             "--device", "cpu", "--outputs_dir", s_dir,
+                             "--quantize", "int8"])
 
 
 def test_stream_cli_arch_m5_matches_infer(tmp_path):
