@@ -194,6 +194,13 @@ def main():
         },
         "bf16_speedup": round(full / results["depth-5 bf16"], 3),
         "conv1_patches_vs_conv": round(results["depth-1"] / results["depth-1 patches"], 3),
+        "caveat": "per-stage attribution by truncated-stack differencing is "
+                  "SUB-ADDITIVE: XLA pipelines work across fori_loop "
+                  "iterations and each truncated stack materializes a "
+                  "different-size HBM output, so stage deltas can exceed "
+                  "the per-stage roofline (or go slightly negative in the "
+                  "cheap tail stages).  depth-1 vs depth-5 wall time and "
+                  "the full-model MFU are the load-bearing numbers.",
     }
     with open(os.path.join(REPO, "benchmarks", "M5_ROOFLINE.json"), "w") as f:
         json.dump(out, f, indent=2)
