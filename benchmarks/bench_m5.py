@@ -65,6 +65,41 @@ def main(batch: int = 256, iters: int = 20) -> None:
           f"(hop-strided; median of {stats['n']}, spread "
           f"[{batch / stats['max']:.0f}, {batch / stats['min']:.0f}] frames/s)",
           file=sys.stderr)
+
+    # bf16 compute tier (library surface: M5(dtype=jnp.bfloat16), params stay
+    # f32) — M5 is dtype-sensitive (M5_ROOFLINE.json: the k=79 conv1
+    # dominates), unlike the 2-D CNN.  Same protocol, same weights, plus the
+    # score deviation vs the f32 forward on one batch.
+    bf16_model = M5(classes_num=cfg.classes_num, dtype=jnp.bfloat16)
+
+    def make_bf16_loop(k_iters):
+        @jax.jit
+        def loop(x0):
+            def body(i, carry):
+                xv, acc = carry
+                out = bf16_model.apply(
+                    {"params": params, "batch_stats": batch_stats},
+                    xv, train=False)
+                return (xv + 1e-6, acc + out.sum())
+
+            return jax.lax.fori_loop(0, k_iters, body, (x0, jnp.float32(0)))[1]
+
+        return loop
+
+    print("compiling M5 bf16...", file=sys.stderr, flush=True)
+    bf16_stats = slope_stats(make_bf16_loop, x, perturb,
+                             iters_pair=(iters, 3 * iters), n=5)
+    f32_scores = jax.nn.sigmoid(model.apply(
+        {"params": params, "batch_stats": batch_stats}, x, train=False))
+    bf16_scores = jax.nn.sigmoid(bf16_model.apply(
+        {"params": params, "batch_stats": batch_stats}, x, train=False))
+    bf16_dev = float(np.abs(np.asarray(bf16_scores)
+                            - np.asarray(f32_scores)).max())
+    bf16_audio = (batch / bf16_stats["median"]) * cfg.hop_size / cfg.working_sample_rate
+    print(f"bf16 tier: {batch / bf16_stats['median']:.0f} frames/sec "
+          f"({per_call / bf16_stats['median']:.2f}x f32), max sigmoid dev "
+          f"{bf16_dev:.2e}", file=sys.stderr)
+
     result = {
         "metric": "M5 waveform inference (31680-sample frames)",
         "value": round(audio_sec, 1),
@@ -75,6 +110,15 @@ def main(batch: int = 256, iters: int = 20) -> None:
             "discarded": stats["discarded"],
             "frames_per_sec_spread": [round(batch / stats["max"], 1),
                                       round(batch / stats["min"], 1)],
+        },
+        "bf16_tier": {
+            "audio_s_per_s": round(bf16_audio, 1),
+            "speedup_vs_f32": round(per_call / bf16_stats["median"], 3),
+            "frames_per_sec_spread": [round(batch / bf16_stats["max"], 1),
+                                      round(batch / bf16_stats["min"], 1)],
+            "max_sigmoid_dev_vs_f32": bf16_dev,
+            "note": "library surface M5(dtype=jnp.bfloat16); int8 PTQ "
+                    "(1.9x) remains the shipped fast path",
         },
     }
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "M5_BENCH.json"), "w") as f:

@@ -490,6 +490,15 @@ def test_serve_cli_arch_m5_and_mobilenet(film_clap_root, tmp_path):
     ref_m5 = np.load(os.path.join(inf_m5, "clip3s_scores.npy"))
     np.testing.assert_allclose(s_m5, ref_m5[: len(s_m5)], atol=2e-5)
 
+    # A file shorter than one 31680-sample frame: trimmed to 0 scores
+    # (not the zero-padded tail), no crash.
+    tiny = str(tmp_path / "tiny.wav")
+    _wavfile.write(tiny, sr, (0.05 * rng.standard_normal(sr // 2)
+                              ).astype(np.float32))
+    out_tiny = str(tmp_path / "serve_out_m5_tiny")
+    serve_main(["run", "--artifact", art_m5, "--outputs_dir", out_tiny, tiny])
+    assert np.load(os.path.join(out_tiny, "tiny_scores.npy")).shape[0] == 0
+
     # int8 M5 artifact: same shape, near the f32 artifact's scores.
     art_m5q = str(tmp_path / "serving_m5_int8.aot")
     serve_main(["build", "--ckpt", ckpt_m5, "--arch", "M5", "--out", art_m5q,
