@@ -13,7 +13,8 @@ batch-offline); this extends the serving story.
 
 Run: python benchmarks/bench_serve_socket.py          (TPU; CPU works)
 Env: SED_SOCK_STREAMS (default 16), SED_SOCK_SECONDS per stream (default 60),
-     SED_SOCK_ARCH cnn|m5 (default cnn).
+     SED_SOCK_ARCH cnn|m5 (default cnn), SED_SOCK_WIRE pcm16|mulaw
+     (default pcm16; mulaw halves the socket bytes per client).
 Writes benchmarks/SERVE_SOCKET_BENCH.json and prints one JSON line.
 """
 
@@ -48,9 +49,10 @@ def main():
     n_streams = int(os.environ.get("SED_SOCK_STREAMS", "16"))
     seconds = float(os.environ.get("SED_SOCK_SECONDS", "60"))
     arch = os.environ.get("SED_SOCK_ARCH", "cnn")
+    wire = os.environ.get("SED_SOCK_WIRE", "pcm16")
     dev = jax.devices()[0]
     log(f"device: {dev} ({dev.device_kind}); {n_streams} streams x "
-        f"{seconds:.0f}s, arch={arch}")
+        f"{seconds:.0f}s, arch={arch}, wire={wire}")
 
     if arch == "m5":
         from sed_tpu.models.m5 import M5
@@ -78,8 +80,6 @@ def main():
                           slots=n_streams,
                           chunk_samples=cfg.working_sample_rate)
 
-    server = StreamServer(pool, tick_interval=0.005)
-    server.start()
     sr = cfg.working_sample_rate
     piece = sr  # 1 s pieces
     n_pieces = int(seconds)
@@ -89,12 +89,37 @@ def main():
     # anyway (different slots/phases).
     base = (3000 * rng.standard_normal(piece + n_streams)).astype(np.int16)
 
+    # Warmup BEFORE the server starts: drive the pool directly with
+    # wire-typed chunks so the startup push AND the admitted device tick
+    # (whose input dtype follows the wire: int16 or uint8 µ-law) compile
+    # now, not mid-measurement.  A socket warmup can't guarantee this: a
+    # flooding client finishes during the first (compiling) tick and
+    # leave() then drains it host-side without ever compiling the tick.
+    if wire == "mulaw":
+        from sed_tpu.ops.mulaw import mulaw_encode
+
+        warm_piece = mulaw_encode(base[:piece])
+    else:
+        warm_piece = base[:piece]
+    t_warm = time.perf_counter()
+    ws = pool.join()
+    for _ in range(4):
+        pool.feed(ws, warm_piece)
+        pool.tick()
+    pool.leave(ws)
+    log(f"warmup (direct pool, wire={wire}): "
+        f"{time.perf_counter() - t_warm:.1f}s")
+
+    server = StreamServer(pool, tick_interval=0.005, wire=wire)
+    server.start()
+
     frames_got = [0] * n_streams
     errors = []
 
     def run(i):
         try:
-            c = StreamClient(*server.address, classes_num=cfg.classes_num)
+            c = StreamClient(*server.address, classes_num=cfg.classes_num,
+                             wire=wire)
             for _ in range(n_pieces):
                 c.send(base[i: i + piece])
             tail = c.finish()
@@ -102,12 +127,12 @@ def main():
         except Exception as e:  # noqa: BLE001 — report, don't hang the bench
             errors.append((i, repr(e)))
 
-    # Warmup: one short stream compiles the tick programs.
-    w = StreamClient(*server.address, classes_num=cfg.classes_num)
-    for _ in range(8):
+    # One short socket round-trip exercises the framing path end to end.
+    w = StreamClient(*server.address, classes_num=cfg.classes_num, wire=wire)
+    for _ in range(2):
         w.send(base[:piece])
     w.finish()
-    log("warmup done")
+    log("socket warmup done")
 
     t0 = time.perf_counter()
     threads = [threading.Thread(target=run, args=(i,))
@@ -127,6 +152,7 @@ def main():
         "bench": "serve_socket_end_to_end",
         "device_kind": dev.device_kind,
         "arch": arch,
+        "wire": wire,
         "streams": n_streams,
         "seconds_per_stream": n_pieces,
         "wall_seconds": round(wall, 2),
@@ -134,7 +160,8 @@ def main():
         "min_frames_per_stream": int(min(frames_got)),
         "client_errors": len(errors),
     }
-    with open(os.path.join(HERE, "SERVE_SOCKET_BENCH.json"), "w") as f:
+    suffix = "" if wire == "pcm16" else f"_{wire.upper()}"
+    with open(os.path.join(HERE, f"SERVE_SOCKET_BENCH{suffix}.json"), "w") as f:
         json.dump(out, f, indent=1)
         f.write("\n")
     print(json.dumps({

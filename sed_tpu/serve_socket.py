@@ -183,10 +183,13 @@ class StreamServer:
                 payload = _recv_frame(conn)
                 if payload:  # audio piece
                     if self.wire == "mulaw":
-                        from sed_tpu.ops.mulaw import mulaw_decode_np
-
-                        pcm = mulaw_decode_np(
-                            np.frombuffer(payload, dtype=np.uint8))
+                        # Raw µ-law bytes go straight to the pool: the
+                        # repo-wide uint8 ingest convention means the
+                        # spectrogram pool ships 1 byte/sample to the
+                        # device and decodes IN the featurizer tick
+                        # (ops/mulaw.mulaw_decode) — no host decode, no
+                        # float32 tick recompile, half the H2D bytes.
+                        pcm = np.frombuffer(payload, dtype=np.uint8)
                     else:
                         if len(payload) % 2:
                             payload = None  # malformed int16 frame: drop

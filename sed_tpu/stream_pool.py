@@ -46,7 +46,7 @@ import numpy as np
 
 from sed_tpu.configs import SpectrogramConfig, DEFAULT_SPECTROGRAM
 from sed_tpu.ops import stft as stft_ops
-from sed_tpu.ops.featurizer import realimag_to_log_mel
+from sed_tpu.ops.featurizer import ingest_to_f32, realimag_to_log_mel
 from sed_tpu.streaming import BatchedStreamingDetector, tick_schedule
 
 
@@ -152,10 +152,12 @@ class StreamPool:
             that skipped this tick (sparse push) keeps its row bit-identical
             — its other scalars are zero, which the masked mel write and
             emit_n=0 already make a no-op."""
-            if chunk.dtype == jnp.int16:
-                newc = chunk.astype(jnp.float32) / 32768.0
-            else:
-                newc = chunk.astype(jnp.float32)
+            # Repo-wide ingest conventions (ops/featurizer.ingest_to_f32):
+            # int16 = PCM16 (1/32768), uint8 = µ-law (decoded ON DEVICE —
+            # the 1-byte/sample wire tier halves the per-tick H2D bytes),
+            # float passes through.  Inactive rows' decoded junk is masked
+            # by ``active`` below, so zero-filled uint8 rows are harmless.
+            newc = ingest_to_f32(chunk)
             buf = jnp.where(active[:, None],
                             jnp.concatenate([buf[:, C:], newc], axis=1), buf)
 
@@ -310,11 +312,16 @@ class StreamPool:
 
     @staticmethod
     def _f32(a: np.ndarray) -> np.ndarray:
-        """int16 PCM -> de-quantized float32 (the ONE PCM16 rule, CLAUDE.md);
-        float passes through as float32."""
+        """Host twin of ops/featurizer.ingest_to_f32: int16 PCM is
+        de-quantized by 1/32768 (the ONE PCM16 rule, CLAUDE.md), uint8 is
+        µ-law-decoded (ops/mulaw.py), float passes through as float32."""
         a = np.asarray(a)
         if a.dtype == np.int16:
             return a.astype(np.float32) / 32768.0
+        if a.dtype == np.uint8:
+            from sed_tpu.ops.mulaw import mulaw_decode_np
+
+            return mulaw_decode_np(a)
         return a.astype(np.float32)
 
     def _drain(self, h: BatchedStreamingDetector, rem) -> np.ndarray:
@@ -328,7 +335,8 @@ class StreamPool:
     # -- variable-size input: host staging over the fixed-chunk tick ---------
 
     def feed(self, b: int, samples: np.ndarray) -> None:
-        """Stage ANY number of samples (int16 PCM or float32, 1-D) for slot
+        """Stage ANY number of samples (int16 PCM, uint8 µ-law, or float32,
+        1-D — the repo-wide ingest dtype conventions) for slot
         ``b``.  No device work happens here — :meth:`tick` scores every slot
         that has accumulated a full chunk, and :meth:`leave` drains a partial
         remainder exactly — so callers push audio as it arrives (sockets,
@@ -384,7 +392,8 @@ class StreamPool:
                              self.halo)
 
     def push(self, chunks: Dict[int, np.ndarray]) -> Dict[int, np.ndarray]:
-        """Feed one ``(chunk_samples,)`` int16-PCM or float32 chunk for ANY
+        """Feed one ``(chunk_samples,)`` chunk — int16 PCM, uint8 µ-law, or
+        float32 (ingest conventions, ops/featurizer.ingest_to_f32) — for ANY
         subset of the joined streams; returns ``{slot: (frames, classes)}``
         newly finalized scores for the slots that pushed.
 
@@ -420,9 +429,7 @@ class StreamPool:
             if b not in arrs:
                 continue  # sparse tick: pending stream idles host-side too
             ck = arrs[b]
-            f32 = (ck.astype(np.float32) / 32768.0 if ck.dtype == np.int16
-                   else ck.astype(np.float32))
-            out[b] = self._pending[b].push(f32[None])[0]
+            out[b] = self._pending[b].push(self._f32(ck)[None])[0]
             h = self._pending[b]
             if h._buf_start + h._samples.shape[1] >= self._switch_after:
                 to_admit.append(b)
@@ -451,20 +458,21 @@ class StreamPool:
             # active=False skips the sample-ring shift); slices and writes
             # touch only their own row, so junk cannot leak across slots.
 
-            # int16 PCM rides the wire when every ticking chunk is int16
-            # (the per-tick upload is then B*chunk*2 bytes, de-quantized on
-            # device); any float chunk falls back to a float32 batch.
-            all_i16 = all(arrs[b].dtype == np.int16 for b in ticking)
-            dt = np.int16 if all_i16 else np.float32
+            # The narrowest uniform wire dtype rides the link: int16 PCM
+            # (B*chunk*2 bytes, de-quantized on device) when every ticking
+            # chunk is int16; uint8 µ-law (B*chunk*1 bytes, expanded on
+            # device — ops/mulaw.py) when every chunk is uint8; any mix
+            # falls back to a host-decoded float32 batch.  Idle rows stay
+            # zero-filled — their decode is masked by ``active`` in step.
+            dts = {arrs[b].dtype for b in ticking}
+            uniform = dts.pop() if len(dts) == 1 else None
+            dt = (uniform if uniform in (np.dtype(np.int16),
+                                         np.dtype(np.uint8))
+                  else np.float32)
             chunk_batch = np.zeros((B, self.chunk), dt)
             for b in ticking:
                 ck = arrs[b]
-                if all_i16:
-                    chunk_batch[b] = ck
-                else:
-                    chunk_batch[b] = (ck.astype(np.float32) / 32768.0
-                                      if ck.dtype == np.int16
-                                      else ck.astype(np.float32))
+                chunk_batch[b] = ck if ck.dtype == dt else self._f32(ck)
 
             self._buf, self._mel, dev_out = self._step(
                 self._buf, self._mel, self._put(chunk_batch),

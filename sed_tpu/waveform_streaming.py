@@ -83,11 +83,16 @@ class BatchedWaveformStreamingDetector:
         return 0 if total < self._frame else (total - self._frame) // self._hop + 1
 
     def push(self, chunk: np.ndarray) -> np.ndarray:
-        """(batch, samples) float32 — or int16 PCM, de-quantized by 1/32768
-        (the ONE PCM16 rule) — any sample count, same for every row."""
+        """(batch, samples) float32 — or int16 PCM (de-quantized by 1/32768,
+        the ONE PCM16 rule) or uint8 µ-law (decoded host-side here; the M5
+        device path is float32) — any sample count, same for every row."""
         chunk = np.asarray(chunk)
         if chunk.dtype == np.int16:
             chunk = chunk.astype(np.float32) / 32768.0
+        elif chunk.dtype == np.uint8:
+            from sed_tpu.ops.mulaw import mulaw_decode_np
+
+            chunk = mulaw_decode_np(chunk)
         chunk = chunk.astype(np.float32).reshape(self.batch, -1)
         self._buf = np.concatenate([self._buf, chunk], axis=1)
         self._total += chunk.shape[1]
@@ -177,6 +182,10 @@ class WaveformStreamPool:
             raise ValueError(f"samples must be 1-D, got shape {arr.shape}")
         if arr.dtype == np.int16:
             arr = arr.astype(np.float32) / 32768.0
+        elif arr.dtype == np.uint8:
+            from sed_tpu.ops.mulaw import mulaw_decode_np
+
+            arr = mulaw_decode_np(arr)
         self._staged[b].append(arr.astype(np.float32))
 
     def tick(self) -> dict:

@@ -192,6 +192,47 @@ def test_server_m5_pool_matches_offline_split():
         server.stop()
 
 
+def test_server_m5_pool_mulaw_wire():
+    """wire='mulaw' over the waveform family: the M5 pool receives raw
+    uint8 µ-law (the repo-wide ingest convention) and host-decodes it;
+    scores equal offline scoring of the decoded audio."""
+    from sed_tpu.configs import WaveformConfig
+    from sed_tpu.data.events import frame_coverage_labels
+    from sed_tpu.models.m5 import M5
+    from sed_tpu.ops.mulaw import mulaw_decode_np, mulaw_encode
+    from sed_tpu.train.state import make_eval_forward
+    from sed_tpu.waveform_streaming import WaveformStreamPool
+
+    wcfg = WaveformConfig(working_sample_rate=8000, time_margin=0.33)
+    model = M5(classes_num=1)
+    tx = make_optimizer(1e-3)
+    state = init_state(model, jax.random.key(0),
+                       jnp.zeros((1, wcfg.frame_size, 1)), tx)
+    pool = WaveformStreamPool(model, state.params, state.batch_stats, wcfg,
+                              slots=2)
+    server = StreamServer(pool, tick_interval=0.01, wire="mulaw")
+    server.start()
+    try:
+        rng = np.random.default_rng(9)
+        pcm = (3000 * rng.standard_normal(3 * wcfg.frame_size + 777)
+               ).astype(np.int16)
+        c = StreamClient(*server.address, classes_num=1, wire="mulaw")
+        for i in range(0, len(pcm), 4321):
+            c.send(pcm[i: i + 4321])
+        got = c.finish()
+
+        decoded = mulaw_decode_np(mulaw_encode(pcm))
+        frames, _ = frame_coverage_labels(decoded[None], [], [], wcfg)
+        fwd = make_eval_forward(model)
+        ref = np.asarray(jax.nn.sigmoid(fwd(
+            state.params, state.batch_stats,
+            jnp.asarray(np.transpose(frames, (0, 2, 1))))))
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(got, ref, atol=1e-6)
+    finally:
+        server.stop()
+
+
 def test_server_reclaims_slot_when_client_vanishes(model_state):
     """A client killed mid-stream (no end marker) must not leak its slot:
     the reader's drain path runs on the disconnect and a new connection can

@@ -220,6 +220,72 @@ def test_pool_int16_chunks_match_float():
     np.testing.assert_allclose(run(list(i16)), run(list(f32)), atol=1e-5)
 
 
+def test_pool_mulaw_uint8_chunks_match_host_decode():
+    """uint8 µ-law chunks ride the tick wire at 1 byte/sample and are
+    decoded ON DEVICE (ops/featurizer.ingest_to_f32 inside the tick step);
+    scores must equal feeding the host-decoded float32 of the same bytes
+    (the codec is applied exactly once either way).  Also exercises the
+    mixed-dtype tick: one uint8 + one int16 slot in the SAME push falls
+    back to a host-decoded float32 batch with identical per-slot scores."""
+    from sed_tpu.ops.mulaw import mulaw_decode_np, mulaw_encode
+
+    rng = np.random.default_rng(5)
+    model, state = _model_state()
+    n = 8
+    audio = (0.1 * rng.standard_normal((n, CHUNK))).astype(np.float32)
+    u8 = mulaw_encode(audio)
+    dec = mulaw_decode_np(u8)
+    i16_audio = (0.05 * rng.standard_normal((n, CHUNK)))
+    i16 = (i16_audio * 32768.0).astype(np.int16)
+
+    def run_single(chunks_list):
+        pool = StreamPool(model, state.params, state.batch_stats, CFG,
+                          slots=1, chunk_samples=CHUNK, halo=64,
+                          total_stride=8, bucket=64)
+        s = pool.join()
+        outs = [pool.push({s: c})[s] for c in chunks_list]
+        outs.append(pool.leave(s))
+        return np.concatenate([o for o in outs if o.shape[0]], axis=0)
+
+    got_u8 = run_single(list(u8))
+    got_f32 = run_single(list(dec))
+    np.testing.assert_allclose(got_u8, got_f32, atol=1e-5)
+
+    # Mixed-dtype push: uint8 + int16 slots in one tick (f32 fallback).
+    pool = StreamPool(model, state.params, state.batch_stats, CFG, slots=2,
+                      chunk_samples=CHUNK, halo=64, total_stride=8, bucket=64)
+    a, b = pool.join(), pool.join()
+    outs_a, outs_b = [], []
+    for t in range(n):
+        out = pool.push({a: u8[t], b: i16[t]})
+        outs_a.append(out[a])
+        outs_b.append(out[b])
+    outs_a.append(pool.leave(a))
+    outs_b.append(pool.leave(b))
+    mixed_a = np.concatenate([o for o in outs_a if o.shape[0]], axis=0)
+    mixed_b = np.concatenate([o for o in outs_b if o.shape[0]], axis=0)
+    np.testing.assert_allclose(mixed_a, got_f32, atol=1e-5)
+    ref_b = run_single(list(i16.astype(np.float32) / 32768.0))
+    np.testing.assert_allclose(mixed_b, ref_b, atol=1e-5)
+
+    # feed()/tick() staging accepts uint8 too (uneven piece sizes).
+    pool2 = StreamPool(model, state.params, state.batch_stats, CFG, slots=1,
+                       chunk_samples=CHUNK, halo=64, total_stride=8,
+                       bucket=64)
+    s = pool2.join()
+    flat = u8.reshape(-1)
+    outs, pos, piece = [], 0, CHUNK // 3 + 17
+    while pos < flat.size:
+        pool2.feed(s, flat[pos: pos + piece])
+        pos += piece
+        o = pool2.tick()
+        if s in o:
+            outs.append(o[s])
+    outs.append(pool2.leave(s))
+    staged = np.concatenate([o for o in outs if o.shape[0]], axis=0)
+    np.testing.assert_allclose(staged, got_f32, atol=1e-5)
+
+
 def test_pool_validation():
     model, state = _model_state()
     pool = StreamPool(model, state.params, state.batch_stats, CFG, slots=1,
