@@ -67,11 +67,17 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         help="model family the checkpoint was trained with "
                              "(M5 = waveform path: one score per hop-strided "
                              "31680-sample frame)")
+    parser.add_argument("--bf16", action="store_true", default=False,
+                        help="compute the model forward in bfloat16 (params "
+                             "stay f32) — a lossy serving tier: measured "
+                             "1.66x for M5 at <=6.4e-3 sigmoid deviation "
+                             "(benchmarks/M5_BENCH.json bf16_tier); not the "
+                             "parity path")
     return parser
 
 
 def load_model_and_state(ckpt_path: str, cfg, batch_hint: int = 1,
-                         arch: str = "CnnAvgPooling"):
+                         arch: str = "CnnAvgPooling", bf16: bool = False):
     import jax
     import jax.numpy as jnp
 
@@ -79,21 +85,26 @@ def load_model_and_state(ckpt_path: str, cfg, batch_hint: int = 1,
     from sed_tpu.train.optim import make_optimizer
     from sed_tpu.train.state import init_state
 
+    dtype = jnp.bfloat16 if bf16 else jnp.float32
     if arch == "CnnAvgPooling":
         from sed_tpu.models.cnn import CnnAvgPooling, TRAIN_CHANNEL_AND_POOL
 
         model = CnnAvgPooling(classes_num=cfg.classes_num,
-                              model_config=TRAIN_CHANNEL_AND_POOL)
+                              model_config=TRAIN_CHANNEL_AND_POOL,
+                              dtype=dtype)
         sample = jnp.zeros((batch_hint, cfg.train_crop_size, cfg.mel_bins, 1))
     elif arch == "MobileNetV1":
         from sed_tpu.models.cnn import MobileNetV1
 
+        if bf16:
+            raise ValueError(
+                "--bf16 is implemented for CnnAvgPooling and M5 only")
         model = MobileNetV1(classes_num=cfg.classes_num)
         sample = jnp.zeros((batch_hint, cfg.train_crop_size, cfg.mel_bins, 1))
     elif arch == "M5":
         from sed_tpu.models.m5 import M5
 
-        model = M5(classes_num=cfg.classes_num)
+        model = M5(classes_num=cfg.classes_num, dtype=dtype)
         sample = jnp.zeros((batch_hint, cfg.frame_size, 1))
     else:
         raise ValueError(f"unknown arch {arch!r}")
@@ -268,7 +279,11 @@ def main(argv=None):
             d = pickle.load(f)
         mean, std = d["mean"], d["std"]
 
-    model, state = load_model_and_state(args.ckpt, cfg, arch=args.arch)
+    if args.bf16 and args.quantize:
+        raise SystemExit("--bf16 and --quantize are mutually exclusive "
+                         "serving tiers (int8 replaces the float forward)")
+    model, state = load_model_and_state(args.ckpt, cfg, arch=args.arch,
+                                        bf16=args.bf16)
     os.makedirs(args.outputs_dir, exist_ok=True)
 
     batch_scores = None

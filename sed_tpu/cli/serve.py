@@ -80,6 +80,12 @@ def build_arg_parser() -> argparse.ArgumentParser:
     b.add_argument("--tau_labels", type=str, default="doorslam",
                    help="comma-separated event classes — must match the "
                         "checkpoint's training config")
+    b.add_argument("--bf16", action="store_true", default=False,
+                   help="bake a bfloat16 model forward into the artifact "
+                        "(params stay f32) — lossy serving tier, measured "
+                        "1.66x for M5 at <=6.4e-3 sigmoid deviation "
+                        "(benchmarks/M5_BENCH.json); CnnAvgPooling/M5 only; "
+                        "mutually exclusive with --quantize")
 
     r = sub.add_parser("run", help="load an artifact and score audio files")
     r.add_argument("audio_files", type=str, nargs="+")
@@ -140,7 +146,8 @@ def _build_m5(args) -> bytes:
                                 m5_serving)
 
     cfg = WaveformConfig(tau_sed_labels=tuple(args.tau_labels.split(",")))
-    model, state = load_model_and_state(args.ckpt, cfg, arch="M5")
+    model, state = load_model_and_state(args.ckpt, cfg, arch="M5",
+                                        bf16=args.bf16)
     samples = cfg.working_sample_rate * args.seconds
     if args.quantize == "int8":
         from sed_tpu.data.events import frame_coverage_labels
@@ -161,8 +168,14 @@ def _build_m5(args) -> bytes:
         score_fn, weights = m5_quantized_serving(q)
     else:
         score_fn, weights = m5_serving(model, state.params, state.batch_stats)
+    meta = {"arch": "M5"}
+    if args.bf16:
+        # Informational only: the compiled program already bakes the bf16
+        # compute in.  Older artifacts without the field load unchanged
+        # (the sed_tpu-aot-v1 meta contract, CLAUDE.md).
+        meta["dtype"] = "bfloat16"
     return aot_export_m5_pipeline(score_fn, weights, args.batch, samples, cfg,
-                                  meta={"arch": "M5"})
+                                  meta=meta)
 
 
 def cmd_build(args) -> None:
@@ -170,6 +183,9 @@ def cmd_build(args) -> None:
 
     if args.qat_steps > 0 and args.quantize != "int8":
         raise SystemExit("--qat_steps requires --quantize int8")
+    if args.bf16 and args.quantize:
+        raise SystemExit("--bf16 and --quantize are mutually exclusive "
+                         "serving tiers (int8 replaces the float forward)")
     if args.arch == "M5":
         if args.qat_steps > 0:
             raise SystemExit("--qat_steps is CnnAvgPooling-only (models/qat.py)")
@@ -198,7 +214,8 @@ def cmd_build(args) -> None:
         raise SystemExit("--qat_steps is CnnAvgPooling-only (models/qat.py)")
     from sed_tpu.cli.infer import load_model_and_state
 
-    model, state = load_model_and_state(args.ckpt, cfg, arch=args.arch)
+    model, state = load_model_and_state(args.ckpt, cfg, arch=args.arch,
+                                        bf16=args.bf16)
     if args.arch == "MobileNetV1":
         # cnn_serving applies the serving sigmoid itself; give it the
         # logits-emitting view of the same params (models/cnn.py).
@@ -280,10 +297,13 @@ def cmd_build(args) -> None:
         mesh = create_mesh(args.num_devices)
 
     t0 = time.time()
+    meta = {"arch": args.arch}
+    if args.bf16:
+        meta["dtype"] = "bfloat16"  # informational; compute is baked in
     blob = aot_export_pipeline(score_fn, weights, args.batch, samples, cfg,
                                use_pallas=use_pallas, mesh=mesh,
                                featurizer_precision=args.featurizer_precision,
-                               meta={"arch": args.arch})
+                               meta=meta)
     build_s = time.time() - t0
     with open(args.out, "wb") as f:
         f.write(blob)

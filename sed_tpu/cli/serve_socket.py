@@ -55,6 +55,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         "HBM-ring pool (MobileNetV1 float-only); M5 streams "
                         "hop-strided waveform frames (scored the moment "
                         "each completes)")
+    p.add_argument("--bf16", action="store_true", default=False,
+                   help="bfloat16 model forward (params stay f32) — lossy "
+                        "serving tier, measured 1.66x for M5 at <=6.4e-3 "
+                        "sigmoid deviation (benchmarks/M5_BENCH.json); "
+                        "CnnAvgPooling/M5 only")
     p.add_argument("--mean_std_file", type=str, default="")
     p.add_argument("--device", default="tpu", type=str)
     p.add_argument("--tau_labels", type=str, default="doorslam")
@@ -86,7 +91,11 @@ def main(argv=None):
         with open(args.mean_std_file, "rb") as f:
             d = pickle.load(f)
         mean, std = d["mean"], d["std"]
-    model, state = load_model_and_state(args.ckpt, cfg, arch=args.arch)
+    if args.bf16 and args.quantize:
+        raise SystemExit("--bf16 and --quantize are mutually exclusive "
+                         "serving tiers (int8 replaces the float forward)")
+    model, state = load_model_and_state(args.ckpt, cfg, arch=args.arch,
+                                        bf16=args.bf16)
     if args.arch == "MobileNetV1":
         if args.quantize == "int8":
             raise SystemExit("--quantize int8 streaming is implemented for "

@@ -79,6 +79,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         "HBM-ring pool (MobileNetV1 is float-only: its int8 "
                         "path is batch serving, infer/serve); M5 streams "
                         "hop-strided waveform frames")
+    p.add_argument("--bf16", action="store_true", default=False,
+                   help="bfloat16 model forward (params stay f32) — lossy "
+                        "serving tier, measured 1.66x for M5 at <=6.4e-3 "
+                        "sigmoid deviation (benchmarks/M5_BENCH.json); "
+                        "CnnAvgPooling/M5 only")
     return p
 
 
@@ -107,7 +112,11 @@ def main(argv=None):
             d = pickle.load(f)
         mean, std = d["mean"], d["std"]
 
-    model, state = load_model_and_state(args.ckpt, cfg, arch=args.arch)
+    if args.bf16 and args.quantize:
+        raise SystemExit("--bf16 and --quantize are mutually exclusive "
+                         "serving tiers (int8 replaces the float forward)")
+    model, state = load_model_and_state(args.ckpt, cfg, arch=args.arch,
+                                        bf16=args.bf16)
     if args.arch == "MobileNetV1":
         if args.quantize == "int8":
             raise SystemExit("--quantize int8 streaming is implemented for "

@@ -499,6 +499,26 @@ def test_serve_cli_arch_m5_and_mobilenet(film_clap_root, tmp_path):
     serve_main(["run", "--artifact", art_m5, "--outputs_dir", out_tiny, tiny])
     assert np.load(os.path.join(out_tiny, "tiny_scores.npy")).shape[0] == 0
 
+    # bf16 M5 artifact (the measured 1.66x serving tier): same shape,
+    # within the recorded fidelity band, and really not the f32 program;
+    # meta records dtype (informational — compute is baked into the blob).
+    art_m5b = str(tmp_path / "serving_m5_bf16.aot")
+    serve_main(["build", "--ckpt", ckpt_m5, "--arch", "M5", "--out", art_m5b,
+                "--batch", "2", "--seconds", "3", "--bf16"])
+    out_m5b = str(tmp_path / "serve_out_m5_bf16")
+    serve_main(["run", "--artifact", art_m5b, "--outputs_dir", out_m5b,
+                clip3])
+    s_m5b = np.load(os.path.join(out_m5b, "clip3s_scores.npy"))
+    assert s_m5b.shape == s_m5.shape
+    assert float(np.abs(s_m5b - s_m5).max()) < 0.05
+    assert not np.allclose(s_m5b, s_m5, atol=1e-9)
+    from sed_tpu.export import load_aot_pipeline
+    with open(art_m5b, "rb") as f:
+        assert load_aot_pipeline(f.read()).meta["dtype"] == "bfloat16"
+    with pytest.raises(SystemExit, match="mutually exclusive"):
+        serve_main(["build", "--ckpt", ckpt_m5, "--arch", "M5",
+                    "--out", art_m5b, "--bf16", "--quantize", "int8"])
+
     # int8 M5 artifact: same shape, near the f32 artifact's scores.
     art_m5q = str(tmp_path / "serving_m5_int8.aot")
     serve_main(["build", "--ckpt", ckpt_m5, "--arch", "M5", "--out", art_m5q,
@@ -853,6 +873,22 @@ def test_infer_cli_arch_m5(tmp_path):
         jnp.asarray(np.transpose(frames, (0, 2, 1))), train=False)))
     np.testing.assert_allclose(got, ref, atol=1e-6)
     assert os.path.exists(os.path.join(out_dir, "m5_clip_events.csv"))
+
+    # --bf16: the lossy serving tier (M5 measured 1.66x on hardware,
+    # benchmarks/M5_BENCH.json) — scores within the recorded fidelity
+    # band of the f32 forward, params untouched.
+    bf_dir = str(tmp_path / "m5_bf16_out")
+    infer_main([wav_path, "--ckpt", ckpt, "--arch", "M5", "--device", "cpu",
+                "--outputs_dir", bf_dir, "--bf16"])
+    got_bf = np.load(os.path.join(bf_dir, "m5_clip_scores.npy"))
+    assert got_bf.shape == ref.shape
+    assert float(np.abs(got_bf - ref).max()) < 0.05
+    assert not np.allclose(got_bf, ref, atol=1e-9)  # really ran in bf16
+
+    with pytest.raises(SystemExit, match="mutually exclusive"):
+        infer_main([wav_path, "--ckpt", ckpt, "--arch", "M5",
+                    "--device", "cpu", "--outputs_dir", bf_dir,
+                    "--bf16", "--quantize", "int8"])
 
 
 def test_infer_cli_arch_mobilenet(tmp_path):
