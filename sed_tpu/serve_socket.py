@@ -45,6 +45,7 @@ from __future__ import annotations
 
 import socket
 import struct
+import sys
 import threading
 from typing import Dict, Optional
 
@@ -212,6 +213,16 @@ class StreamServer:
                     if "too short" not in str(e):
                         raise  # ring/schedule invariant violation: surface it
                     tail = None  # stream too short to featurize at all
+                except Exception as e:  # noqa: BLE001 — backend/transfer
+                    # fault during the drain (e.g. a transient accelerator
+                    # RPC error).  The pool freed the slot before scoring,
+                    # so nothing leaks; drop the tail, close the connection
+                    # (the client sees a connection error, not silence),
+                    # and keep serving the other slots.
+                    print(f"serve_socket: drain failed for slot {slot}: "
+                          f"{e!r}", file=sys.stderr, flush=True)
+                    payload = None
+                    tail = None
                 if payload is not None:  # orderly end: tail + completion
                     try:
                         if tail is not None and tail.shape[0]:

@@ -233,6 +233,45 @@ def test_server_m5_pool_mulaw_wire():
         server.stop()
 
 
+def test_server_survives_backend_fault_during_drain(model_state):
+    """A transient backend fault while draining one stream's tail (e.g. an
+    accelerator RPC error) must not take the server down: the faulting
+    client sees a connection error, the slot is freed, and the NEXT
+    connection serves normally."""
+    model, state = model_state
+    pool = StreamPool(model, state.params, state.batch_stats, CFG, slots=1,
+                      chunk_samples=CHUNK, halo=64, total_stride=8, bucket=64)
+    orig_leave = pool.leave
+    fail_once = [True]
+
+    def flaky_leave(b):
+        if fail_once[0]:
+            fail_once[0] = False
+            orig_leave(b)  # free the slot the way a mid-drain fault does
+            raise RuntimeError("transient backend fault (simulated)")
+        return orig_leave(b)
+
+    pool.leave = flaky_leave
+    server = StreamServer(pool, tick_interval=0.01)
+    server.start()
+    try:
+        rng = np.random.default_rng(11)
+        pcm = (3000 * rng.standard_normal(4 * CHUNK + 500)).astype(np.int16)
+        c = StreamClient(*server.address, classes_num=CFG.classes_num)
+        c.send(pcm)
+        with pytest.raises(ConnectionError):
+            c.finish()
+
+        # Slot freed; a fresh connection scores end to end.
+        c2 = StreamClient(*server.address, classes_num=CFG.classes_num)
+        c2.send(pcm)
+        got = c2.finish()
+        ref = _offline(model, state, pcm.astype(np.float32) / 32768.0)
+        np.testing.assert_allclose(got, ref, atol=1e-5)
+    finally:
+        server.stop()
+
+
 def test_server_reclaims_slot_when_client_vanishes(model_state):
     """A client killed mid-stream (no end marker) must not leak its slot:
     the reader's drain path runs on the disconnect and a new connection can
