@@ -82,10 +82,12 @@ class BatchedWaveformStreamingDetector:
     def _ready(self, total: int) -> int:
         return 0 if total < self._frame else (total - self._frame) // self._hop + 1
 
-    def push(self, chunk: np.ndarray) -> np.ndarray:
-        """(batch, samples) float32 — or int16 PCM (de-quantized by 1/32768,
-        the ONE PCM16 rule) or uint8 µ-law (decoded host-side here; the M5
-        device path is float32) — any sample count, same for every row."""
+    def extract_ready(self, chunk: np.ndarray) -> np.ndarray:
+        """Consume ``chunk`` into the rolling buffer and return the newly
+        completed hop-strided frames, (batch, k, frame) float32, WITHOUT
+        scoring them.  The pool's batched tick uses this to gather every
+        slot's frames into one device dispatch; :meth:`push` is this plus
+        the bucketed scoring."""
         chunk = np.asarray(chunk)
         if chunk.dtype == np.int16:
             chunk = chunk.astype(np.float32) / 32768.0
@@ -99,12 +101,25 @@ class BatchedWaveformStreamingDetector:
 
         k = self._ready(self._total) - self._emitted
         if k <= 0:
-            return np.zeros((self.batch, 0, self._classes()), np.float32)
-        # Hop-strided frame VIEWS (no giant index array) ...
+            return np.zeros((self.batch, 0, self._frame), np.float32)
+        # Hop-strided frame VIEWS (no giant index array); the views keep the
+        # pre-trim buffer alive, so trimming below cannot corrupt them.
         win = np.lib.stride_tricks.sliding_window_view(
             self._buf, self._frame, axis=1)
         frames = win[:, :: self._hop][:, :k]            # (batch, k, frame)
-        # ... scored in FIXED bucket-sized chunks: one compiled shape no
+        self._emitted += k
+        self._buf = self._buf[:, k * self._hop:]       # drop consumed hops
+        return frames
+
+    def push(self, chunk: np.ndarray) -> np.ndarray:
+        """(batch, samples) float32 — or int16 PCM (de-quantized by 1/32768,
+        the ONE PCM16 rule) or uint8 µ-law (decoded host-side here; the M5
+        device path is float32) — any sample count, same for every row."""
+        frames = self.extract_ready(chunk)
+        k = frames.shape[1]
+        if k == 0:
+            return np.zeros((self.batch, 0, self._classes()), np.float32)
+        # Scored in FIXED bucket-sized chunks: one compiled shape no
         # matter how large a push (a whole drained file) is.
         fb = self._bucket
         outs = []
@@ -119,8 +134,6 @@ class BatchedWaveformStreamingDetector:
             outs.append(np.asarray(self._score(flat))
                         .reshape(self.batch, fb, -1))
         scores = np.concatenate(outs, axis=1)[:, :k]
-        self._emitted += k
-        self._buf = self._buf[:, k * self._hop:]       # drop consumed hops
         return scores
 
     def _classes(self) -> int:
@@ -147,9 +160,15 @@ class WaveformStreamPool:
     the TCP server serves either family unchanged).
 
     M5 frames are independent and any staged audio can be consumed at every
-    tick (no fixed chunk), so each slot is simply its own
-    :class:`WaveformStreamingDetector`; slots are bounded to keep the
-    join/refuse contract of the spectrogram pool.
+    tick (no fixed chunk), so each slot keeps its own rolling buffer
+    (:class:`WaveformStreamingDetector`), but :meth:`tick` scores EVERY
+    slot's newly completed frames in shared fixed-shape device dispatches —
+    one batched MXU forward per ``frame_bucket`` frames across the whole
+    pool, instead of one dispatch per slot (B dispatches/tick is
+    dispatch-latency-bound on any host).  The block shape equals the
+    per-slot path's, so both share ONE compiled program and scores are
+    identical.  Slots are bounded to keep the join/refuse contract of the
+    spectrogram pool.
     """
 
     def __init__(self, model, params, batch_stats,
@@ -157,9 +176,11 @@ class WaveformStreamPool:
                  frame_bucket: int = 8, qparams=None):
         self.cfg = cfg
         self.slots = int(slots)
+        self._bucket = int(frame_bucket)
         # ONE jitted scorer for the whole pool: joins must not recompile
         # (a per-slot @jax.jit closure would retrace on every connection).
         shared = make_m5_score_fn(model, params, batch_stats, qparams)
+        self._score = shared
         self._make = lambda: WaveformStreamingDetector(
             model, params, batch_stats, cfg, frame_bucket=frame_bucket,
             score_fn=shared)
@@ -189,15 +210,37 @@ class WaveformStreamPool:
         self._staged[b].append(arr.astype(np.float32))
 
     def tick(self) -> dict:
-        """Score every completed frame of every slot's staged audio."""
-        out = {}
+        """Score every completed frame of every slot's staged audio — all
+        slots batched into shared ``frame_bucket``-row device dispatches
+        (frames are independent rows to M5, so cross-slot batching is
+        exact)."""
+        per = []  # (slot, (k_b, frame) frames) in slot order
         for b, pieces in self._staged.items():
             if not pieces:
                 continue
-            scores = self._dets[b].push(np.concatenate(pieces))
+            frames = self._dets[b].extract_ready(
+                np.concatenate(pieces)[None])
             self._staged[b] = []
-            if scores.shape[0]:
-                out[b] = scores
+            if frames.shape[1]:
+                per.append((b, frames[0]))
+        if not per:
+            return {}
+        allf = np.concatenate([f for _, f in per], axis=0)  # (N, frame)
+        n, fb = allf.shape[0], self._bucket
+        outs = []
+        for j in range(0, n, fb):
+            blk = allf[j: j + fb]
+            if blk.shape[0] != fb:  # pad the tail block only
+                blk = np.concatenate(
+                    [blk, np.zeros((fb - blk.shape[0], blk.shape[1]),
+                                   np.float32)], axis=0)
+            outs.append(np.asarray(self._score(
+                jnp.asarray(np.ascontiguousarray(blk)))))
+        scores = np.concatenate(outs, axis=0)[:n]
+        out, pos = {}, 0
+        for b, f in per:
+            out[b] = scores[pos: pos + f.shape[0]]
+            pos += f.shape[0]
         return out
 
     def leave(self, b: int) -> np.ndarray:

@@ -144,3 +144,62 @@ def _offline_scores_cfg(model, state, wav, cfg):
     logits = np.asarray(fwd(state.params, state.batch_stats,
                             jnp.asarray(np.transpose(frames, (0, 2, 1)))))
     return 1.0 / (1.0 + np.exp(-logits))
+
+
+def test_waveform_pool_batched_tick_matches_per_slot(m5_state):
+    """The pool tick scores ALL slots' completed frames in shared
+    fixed-shape dispatches (cross-slot batching — frames are independent
+    rows to M5): per-slot scores equal fresh single-stream detectors on the
+    same audio, and the tick issues FEWER device dispatches than the
+    per-slot path would."""
+    from sed_tpu.waveform_streaming import WaveformStreamPool
+
+    model, state = m5_state
+    pool = WaveformStreamPool(model, state.params, state.batch_stats, WCFG,
+                              slots=4, frame_bucket=8)
+    calls = [0]
+    orig = pool._score
+
+    def spy(x):
+        calls[0] += 1
+        return orig(x)
+
+    pool._score = spy
+
+    rng = np.random.default_rng(3)
+    lens = [5 * WCFG.frame_size + 123, 3 * WCFG.frame_size,
+            4 * WCFG.frame_size + 7777]
+    wavs = [(0.1 * rng.standard_normal(n)).astype(np.float32) for n in lens]
+    slots = [pool.join() for _ in wavs]
+    got = {s: [] for s in slots}
+
+    # Feed uneven pieces over several ticks (all slots advance together).
+    pos = [0] * len(wavs)
+    while any(p < len(w) for p, w in zip(pos, wavs)):
+        for i, s in enumerate(slots):
+            step = 6000 + 1000 * i
+            if pos[i] < len(wavs[i]):
+                pool.feed(s, wavs[i][pos[i]: pos[i] + step])
+                pos[i] += step
+        for s, sc in pool.tick().items():
+            got[s].append(sc)
+    for i, s in enumerate(slots):
+        tail = pool.leave(s)
+        if tail.shape[0]:
+            got[s].append(tail)
+
+    batched_calls = calls[0]
+    for i, s in enumerate(slots):
+        ref = _offline_scores(model, state, wavs[i])
+        have = np.concatenate(got[s], axis=0)
+        assert have.shape == ref.shape, (i, have.shape, ref.shape)
+        np.testing.assert_allclose(have, ref, atol=1e-6, err_msg=str(i))
+
+    # Dispatch economy: a per-slot pool would pay >= one dispatch per slot
+    # per advancing tick; the batched tick pays ceil(total_frames/bucket)
+    # per round.  With 3 slots x ~1 frame/tick and bucket 8 the batched
+    # count must be well under the per-slot count.
+    total_frames = sum(_offline_scores(model, state, w).shape[0]
+                       for w in wavs)
+    assert batched_calls <= -(-total_frames // 8) + len(wavs) + 2, \
+        (batched_calls, total_frames)
