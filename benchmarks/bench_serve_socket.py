@@ -14,7 +14,9 @@ batch-offline); this extends the serving story.
 Run: python benchmarks/bench_serve_socket.py          (TPU; CPU works)
 Env: SED_SOCK_STREAMS (default 16), SED_SOCK_SECONDS per stream (default 60),
      SED_SOCK_ARCH cnn|m5 (default cnn), SED_SOCK_WIRE pcm16|mulaw
-     (default pcm16; mulaw halves the socket bytes per client).
+     (default pcm16; mulaw halves the socket bytes per client),
+     SED_SOCK_FRAME_BUCKET (m5 only, default 64: rows per batched tick
+     dispatch across the pool).
 Writes benchmarks/SERVE_SOCKET_BENCH.json and prints one JSON line.
 """
 
@@ -63,8 +65,9 @@ def main():
         state = init_state(model, jax.random.key(0),
                            jnp.zeros((1, cfg.frame_size, 1)),
                            make_optimizer(1e-4))
+        fb = int(os.environ.get("SED_SOCK_FRAME_BUCKET", "64"))
         pool = WaveformStreamPool(model, state.params, state.batch_stats,
-                                  cfg, slots=n_streams)
+                                  cfg, slots=n_streams, frame_bucket=fb)
     else:
         from sed_tpu.models.cnn import CnnAvgPooling, TRAIN_CHANNEL_AND_POOL
         from sed_tpu.stream_pool import StreamPool
@@ -160,7 +163,8 @@ def main():
         "min_frames_per_stream": int(min(frames_got)),
         "client_errors": len(errors),
     }
-    suffix = "" if wire == "pcm16" else f"_{wire.upper()}"
+    suffix = ("" if arch == "cnn" else f"_{arch.upper()}") + \
+             ("" if wire == "pcm16" else f"_{wire.upper()}")
     with open(os.path.join(HERE, f"SERVE_SOCKET_BENCH{suffix}.json"), "w") as f:
         json.dump(out, f, indent=1)
         f.write("\n")
