@@ -130,6 +130,38 @@ def main():
         except Exception as e:  # noqa: BLE001 — report, don't hang the bench
             errors.append((i, repr(e)))
 
+    # SED_SOCK_PROFILE=1: time where the wall goes (tick rounds vs joins vs
+    # drains) — accumulators around the pool methods the server drives.
+    prof = os.environ.get("SED_SOCK_PROFILE") == "1"
+    prof_acc = {"tick_s": 0.0, "ticks": 0, "ticks_scoring": 0,
+                "leave_s": 0.0, "leaves": 0, "feed_s": 0.0, "feeds": 0}
+    if prof:
+        _t, _l, _f = pool.tick, pool.leave, pool.feed
+
+        def tick_timed():
+            t = time.perf_counter()
+            o = _t()
+            prof_acc["tick_s"] += time.perf_counter() - t
+            prof_acc["ticks"] += 1
+            prof_acc["ticks_scoring"] += bool(o)
+            return o
+
+        def leave_timed(b):
+            t = time.perf_counter()
+            o = _l(b)
+            prof_acc["leave_s"] += time.perf_counter() - t
+            prof_acc["leaves"] += 1
+            return o
+
+        def feed_timed(b, s):
+            t = time.perf_counter()
+            o = _f(b, s)
+            prof_acc["feed_s"] += time.perf_counter() - t
+            prof_acc["feeds"] += 1
+            return o
+
+        pool.tick, pool.leave, pool.feed = tick_timed, leave_timed, feed_timed
+
     # One short socket round-trip exercises the framing path end to end.
     w = StreamClient(*server.address, classes_num=cfg.classes_num, wire=wire)
     for _ in range(2):
@@ -151,6 +183,9 @@ def main():
     audio_total = n_streams * n_pieces  # seconds of audio pushed
     rtf = audio_total / wall
 
+    if prof:
+        log(f"profile: {json.dumps({k: round(v, 2) if isinstance(v, float) else v for k, v in prof_acc.items()})}")
+
     out = {
         "bench": "serve_socket_end_to_end",
         "device_kind": dev.device_kind,
@@ -163,6 +198,9 @@ def main():
         "min_frames_per_stream": int(min(frames_got)),
         "client_errors": len(errors),
     }
+    if prof:
+        out["profile"] = {k: (round(v, 2) if isinstance(v, float) else v)
+                          for k, v in prof_acc.items()}
     suffix = ("" if arch == "cnn" else f"_{arch.upper()}") + \
              ("" if wire == "pcm16" else f"_{wire.upper()}")
     with open(os.path.join(HERE, f"SERVE_SOCKET_BENCH{suffix}.json"), "w") as f:
