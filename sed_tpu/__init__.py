@@ -39,6 +39,7 @@ _EXPORTS = {
     "batch_predict_files": "sed_tpu.inference",
     "StreamingDetector": "sed_tpu.streaming",
     "BatchedStreamingDetector": "sed_tpu.streaming",
+    "make_stream_fns": "sed_tpu.streaming",
     "DeviceStreamingDetector": "sed_tpu.device_streaming",
     "StreamPool": "sed_tpu.stream_pool",
     "StreamServer": "sed_tpu.serve_socket",

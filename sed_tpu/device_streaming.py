@@ -134,6 +134,10 @@ class DeviceStreamingDetector:
             model, params, batch_stats, cfg, batch=batch, halo=halo,
             total_stride=total_stride, bucket=bucket, mean=mean, std=std,
             qparams=qparams)
+        # Keep the startup detector's jitted (featurize, forward) pair so the
+        # flush-time migration back to host (from_state below) reuses its
+        # trace cache instead of re-compiling (streaming.make_stream_fns).
+        self._stream_fns = (self._host._featurize, self._host._forward)
         self._switch_after = cfg.nfft + hop  # total samples, then migrate
         self._device_mode = False
 
@@ -283,7 +287,7 @@ class DeviceStreamingDetector:
             buf_start=lo, n_frames=self._n_frames,
             frames_mel=mel[:, : self._n_frames - self._mel_start],
             mel_start=self._mel_start, emitted=self._emitted,
-            qparams=self._qparams)
+            qparams=self._qparams, stream_fns=self._stream_fns)
 
     # -- public API ----------------------------------------------------------
 

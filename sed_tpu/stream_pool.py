@@ -47,7 +47,8 @@ import numpy as np
 from sed_tpu.configs import SpectrogramConfig, DEFAULT_SPECTROGRAM
 from sed_tpu.ops import stft as stft_ops
 from sed_tpu.ops.featurizer import ingest_to_f32, realimag_to_log_mel
-from sed_tpu.streaming import BatchedStreamingDetector, tick_schedule
+from sed_tpu.streaming import (BatchedStreamingDetector, make_stream_fns,
+                               tick_schedule)
 
 
 class StreamPool:
@@ -112,6 +113,15 @@ class StreamPool:
         #   pending   — joined, running host-side startup (self._pending[b])
         #   admitted  — state lives in the device ring rows
         self._qparams = qparams
+        # ONE shared (featurize, forward) jit pair for every per-stream
+        # host detector this pool ever constructs (join startup, leave
+        # drain): without it each lifecycle event re-traced identical
+        # programs (~29 s/leave on the TPU relay — see
+        # streaming.make_stream_fns).  Building the closures is lazy/free;
+        # nothing compiles until a stream actually pushes.
+        self._stream_fns = make_stream_fns(
+            model, params, batch_stats, cfg, mean=self.mean, std=self.std,
+            qparams=qparams)
         self._pending: Dict[int, BatchedStreamingDetector] = {}
         self._admitted: Dict[int, dict] = {}   # slot -> schedule counters
         self._staged: Dict[int, np.ndarray] = {}  # slot -> un-pushed samples
@@ -253,7 +263,7 @@ class StreamPool:
                     self._model, self._params, self._batch_stats, self.cfg,
                     batch=1, halo=self.halo, total_stride=self.stride,
                     bucket=self._m, mean=self.mean, std=self.std,
-                    qparams=self._qparams)
+                    qparams=self._qparams, stream_fns=self._stream_fns)
                 return b
         raise RuntimeError(f"all {self.slots} slots are occupied")
 
@@ -307,7 +317,7 @@ class StreamPool:
             buf_start=lo, n_frames=c["n_frames"],
             frames_mel=mel_row[:, : c["n_frames"] - c["mel_start"]],
             mel_start=c["mel_start"], emitted=c["emitted"],
-            qparams=self._qparams)
+            qparams=self._qparams, stream_fns=self._stream_fns)
         return self._drain(h, rem)
 
     @staticmethod

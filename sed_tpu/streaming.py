@@ -41,6 +41,50 @@ from sed_tpu.ops import stft as stft_ops
 from sed_tpu.ops.featurizer import realimag_to_log_mel
 
 
+def make_stream_fns(model, params, batch_stats,
+                    cfg: SpectrogramConfig = DEFAULT_SPECTROGRAM,
+                    mean=None, std=None, qparams=None):
+    """ONE pair of jitted closures ``(featurize, forward)`` shareable by
+    every :class:`BatchedStreamingDetector` serving the same model and
+    normalization (the spectrogram twin of waveform_streaming.make_m5_score_fn).
+
+    A fresh ``jax.jit`` closure per detector means a fresh trace cache per
+    stream lifecycle event: StreamPool constructs a detector on every
+    ``join()`` (startup) and ``leave()`` (exact drain), so each connection
+    re-compiled the identical featurize/forward programs — measured at ~29 s
+    per leave on the TPU relay, 492 s of a 614 s 16-stream socket bench
+    (benchmarks/SERVE_SOCKET_BENCH.json "profile").  Sharing these closures
+    makes every repeat shape a cache hit.
+    """
+    window = jnp.asarray(stft_ops.padded_window(cfg.frame_size, cfg.nfft))
+    mean_j = None if mean is None else jnp.asarray(np.asarray(mean, np.float32))
+    std_j = None if std is None else jnp.asarray(np.asarray(std, np.float32))
+
+    @jax.jit
+    def featurize(frames):  # (rows, nfft) across all streams -> (rows, mel)
+        re, im = stft_ops.rfft_matmul_realimag(frames * window, cfg.nfft)
+        lm = realimag_to_log_mel(re, im, cfg)
+        if mean_j is not None:
+            lm = (lm - mean_j) / std_j
+        return lm
+
+    if qparams is not None:
+        from sed_tpu.models.quantize import quantized_scores
+
+        @jax.jit
+        def forward(x):  # int8 serving forward (same shape contract)
+            return quantized_scores(qparams, x)
+    else:
+        @jax.jit
+        def forward(x):  # (batch, T, mel, 1) -> (batch, T', classes)
+            logits = model.apply(
+                {"params": params, "batch_stats": batch_stats}, x,
+                train=False)
+            return jax.nn.sigmoid(logits)
+
+    return featurize, forward
+
+
 def emission_upto(n_frames: int, stride: int, halo: int, final: bool) -> int:
     """Highest frame index (exclusive) whose score is final: stride-aligned,
     with ``halo`` frames of right context unless the stream ended.  The ONE
@@ -145,11 +189,17 @@ class BatchedStreamingDetector:
         mean: Optional[np.ndarray] = None,
         std: Optional[np.ndarray] = None,
         qparams=None,
+        stream_fns=None,
     ):
         """``qparams``: an int8 serving artifact (models/quantize.py
         quantize_cnn / models/qat.py qat_export output) — scores with the
         int8 MXU forward instead of the float model (lossy serving mode,
-        same fidelity contract as the offline int8 path)."""
+        same fidelity contract as the offline int8 path).
+
+        ``stream_fns``: optionally a shared ``(featurize, forward)`` pair
+        from :func:`make_stream_fns` (must have been built with the SAME
+        model/params/cfg/mean/std/qparams) — pools pass one pair to every
+        per-stream detector so join/leave never re-compiles."""
         assert halo % total_stride == 0
         rf = None
         if hasattr(model, "model_config"):
@@ -184,37 +234,19 @@ class BatchedStreamingDetector:
         self._frames_mel = np.zeros((batch, 0, cfg.mel_bins), np.float32)
         self._mel_start = 0          # absolute frame index of _frames_mel[:, 0]
         self._emitted = 0            # frames whose scores have been emitted
-        self._window = jnp.asarray(stft_ops.padded_window(cfg.frame_size, cfg.nfft))
-
-        def featurize(frames):  # (rows, nfft) across all streams
-            re, im = stft_ops.rfft_matmul_realimag(frames * self._window, cfg.nfft)
-            lm = realimag_to_log_mel(re, im, cfg)
-            if self.mean is not None:
-                lm = (lm - self.mean) / self.std
-            return lm
-
-        self._featurize = jax.jit(featurize)
 
         self.qparams = qparams
-        if qparams is not None:
-            from sed_tpu.models.quantize import quantized_scores
-
-            def forward(x):  # int8 serving forward (same shape contract)
-                return quantized_scores(qparams, x)
-        else:
-            def forward(x):  # (batch, T, mel, 1) -> (batch, T', classes)
-                logits = model.apply(
-                    {"params": params, "batch_stats": batch_stats}, x,
-                    train=False
-                )
-                return jax.nn.sigmoid(logits)
-
-        self._forward = jax.jit(forward)
+        if stream_fns is None:
+            stream_fns = make_stream_fns(model, params, batch_stats, cfg,
+                                         mean=self.mean, std=self.std,
+                                         qparams=qparams)
+        self._featurize, self._forward = stream_fns
 
     @classmethod
     def from_state(cls, model, params, batch_stats, cfg, *, batch, halo,
                    total_stride, bucket, mean, std, samples, buf_start,
-                   n_frames, frames_mel, mel_start, emitted, qparams=None):
+                   n_frames, frames_mel, mel_start, emitted, qparams=None,
+                   stream_fns=None):
         """Rebuild a detector around externally-held streaming state (the
         device-resident pipeline migrates back through this for flush()).
         Keeps the state contract in ONE place: any field this class's
@@ -222,7 +254,7 @@ class BatchedStreamingDetector:
         injection."""
         det = cls(model, params, batch_stats, cfg, batch=batch, halo=halo,
                   total_stride=total_stride, bucket=bucket, mean=mean, std=std,
-                  qparams=qparams)
+                  qparams=qparams, stream_fns=stream_fns)
         det._samples = np.asarray(samples, np.float32)
         det._buf_start = int(buf_start)
         det._n_frames = int(n_frames)
@@ -368,10 +400,11 @@ class StreamingDetector(BatchedStreamingDetector):
                  cfg: SpectrogramConfig = DEFAULT_SPECTROGRAM, halo: int = 64,
                  total_stride: int = 8, bucket: int = 128,
                  mean: Optional[np.ndarray] = None,
-                 std: Optional[np.ndarray] = None, qparams=None):
+                 std: Optional[np.ndarray] = None, qparams=None,
+                 stream_fns=None):
         super().__init__(model, params, batch_stats, cfg, batch=1, halo=halo,
                          total_stride=total_stride, bucket=bucket, mean=mean,
-                         std=std, qparams=qparams)
+                         std=std, qparams=qparams, stream_fns=stream_fns)
 
     def push(self, chunk: np.ndarray) -> np.ndarray:
         """Feed (samples,) float32 audio; returns newly finalized

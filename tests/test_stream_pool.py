@@ -483,3 +483,65 @@ def test_pool_int8_qparams_matches_quantized_fresh_stream():
     ref = np.concatenate([o for o in fresh if o.shape[0]], axis=0)
     assert pooled.shape == ref.shape
     np.testing.assert_allclose(pooled, ref, atol=1e-5)
+
+
+def test_pool_lifecycle_shares_one_jit_pair():
+    """Every per-stream host detector the pool constructs (join startup,
+    leave drain) must reuse the pool's ONE (featurize, forward) jit pair —
+    a fresh jax.jit closure per lifecycle event re-compiles the identical
+    programs on every connection (measured ~29 s per leave on the TPU
+    relay; benchmarks/SERVE_SOCKET_BENCH.json "profile")."""
+    rng = np.random.default_rng(7)
+    model, state = _model_state()
+    pool = StreamPool(model, state.params, state.batch_stats, CFG, slots=2,
+                      chunk_samples=CHUNK, halo=64, total_stride=8, bucket=64)
+    feat, fwd = pool._stream_fns
+
+    a = pool.join()
+    assert pool._pending[a]._featurize is feat
+    assert pool._pending[a]._forward is fwd
+
+    # Drive past admission so leave() goes through from_state, then verify
+    # the drain detector also reuses the pair.
+    from sed_tpu.streaming import BatchedStreamingDetector as BSD
+    orig = BSD.from_state.__func__
+    seen = {}
+
+    def spy(cls, *args, **kw):
+        det = orig(cls, *args, **kw)
+        seen["featurize"], seen["forward"] = det._featurize, det._forward
+        return det
+
+    audio = (0.1 * rng.standard_normal((6, CHUNK))).astype(np.float32)
+    for c in audio:
+        pool.push({a: c})
+    assert a in pool._admitted  # startup complete: drain will use from_state
+    BSD.from_state = classmethod(spy)
+    try:
+        pool.leave(a)
+    finally:
+        BSD.from_state = classmethod(orig)
+    assert seen["featurize"] is feat
+    assert seen["forward"] is fwd
+
+
+def test_shared_stream_fns_detectors_match_independent():
+    """Two detectors sharing one make_stream_fns pair score identically to
+    detectors with their own private jits (sharing is a pure cache merge)."""
+    from sed_tpu.streaming import make_stream_fns
+
+    rng = np.random.default_rng(21)
+    model, state = _model_state()
+    fns = make_stream_fns(model, state.params, state.batch_stats, CFG)
+    audio = (0.1 * rng.standard_normal((4, CHUNK))).astype(np.float32)
+
+    shared = BatchedStreamingDetector(model, state.params, state.batch_stats,
+                                      CFG, batch=1, halo=64, total_stride=8,
+                                      bucket=64, stream_fns=fns)
+    outs = [shared.push(c[None])[0] for c in audio] + [shared.flush()[0]]
+    ref_outs, ref_tail = _fresh_run(model, state, audio)
+    got = np.concatenate([o for o in outs if o.shape[0]], axis=0)
+    ref = np.concatenate([r for r in ref_outs + [ref_tail] if r.shape[0]],
+                         axis=0)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, atol=1e-6)
