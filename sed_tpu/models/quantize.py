@@ -396,7 +396,8 @@ def quantize_m5(model, params, batch_stats, calib_batches: Sequence[jnp.ndarray]
     }
 
 
-def quantized_m5_forward(qparams, x: jnp.ndarray) -> jnp.ndarray:
+def quantized_m5_forward(qparams, x: jnp.ndarray, *,
+                         conv1_impl: str = "direct") -> jnp.ndarray:
     """int8 M5 forward: (batch, samples, channels) float -> (batch, classes)
     logits.  Close over ``qparams`` when jitting (static pool/stride fields).
 
@@ -406,14 +407,27 @@ def quantized_m5_forward(qparams, x: jnp.ndarray) -> jnp.ndarray:
     pooling runs on int8 — 4x less HBM traffic between the convs, which is
     what bounds this model (the f32-activation variant measured no int8
     speedup at all).
+
+    ``conv1_impl='s2d'`` evaluates the k=79 stem via the space-to-depth
+    re-tiling (models/m5.py s2d_conv1) — BIT-EXACT here (integer
+    accumulation is order-independent; the scattered weight entries are
+    int8 zeros), pending a hardware A/B before becoming the default.
     """
+    from sed_tpu.models.m5 import s2d_conv1
+
     convs = qparams["convs"]
     xq = _quantize_act(x, convs[0]["act_scale"])
     for i, conv in enumerate(convs):
         sa = conv["act_scale"]
-        acc = jax.lax.conv_general_dilated(
-            xq, conv["qweight"], (conv["stride"],), [(conv["pad"], conv["pad"])],
-            dimension_numbers=DN1, preferred_element_type=jnp.int32)
+        if i == 0 and conv1_impl == "s2d":
+            acc = s2d_conv1(xq, conv["qweight"], None, stride=conv["stride"],
+                            pad=conv["pad"],
+                            preferred_element_type=jnp.int32)
+        else:
+            acc = jax.lax.conv_general_dilated(
+                xq, conv["qweight"], (conv["stride"],),
+                [(conv["pad"], conv["pad"])],
+                dimension_numbers=DN1, preferred_element_type=jnp.int32)
         y = acc.astype(jnp.float32) * (sa * conv["w_scale"])
         y = jnp.maximum(y * conv["bn_gain"] + conv["bn_bias"], 0.0)
         s_next = (convs[i + 1]["act_scale"] if i + 1 < len(convs)

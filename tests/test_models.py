@@ -200,3 +200,44 @@ def test_bf16_fast_mode():
     vm = m5_16.init(jax.random.key(0), w, train=False)
     out = m5_16.apply(vm, w, train=False)
     assert out.dtype == jnp.float32 and np.isfinite(np.asarray(out)).all()
+
+
+def test_s2d_conv1_matches_direct_conv():
+    """Space-to-depth stem == lax direct conv to f32 rounding, across
+    geometries (incl. n_out not a multiple of the phase count)."""
+    from sed_tpu.models.m5 import s2d_conv1
+
+    rng = np.random.default_rng(11)
+    for n in (31680, 1024, 1000, 517):
+        x = jnp.asarray(rng.standard_normal((3, n, 1)), jnp.float32)
+        w = jnp.asarray(rng.standard_normal((79, 1, 64)) * 0.05, jnp.float32)
+        b = jnp.asarray(rng.standard_normal(64) * 0.01, jnp.float32)
+        ref = jax.lax.conv_general_dilated(
+            x, w, (4,), [(39, 39)],
+            dimension_numbers=("NWC", "WIO", "NWC")) + b
+        got = s2d_conv1(x, w, b)
+        assert got.shape == ref.shape, (n, got.shape, ref.shape)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-5, rtol=1e-5)
+
+
+def test_m5_s2d_same_params_same_logits():
+    """M5(conv1_s2d=True) loads the identical param tree and scores within
+    f32 reassociation noise of the direct stem, eval and train modes."""
+    rng = np.random.default_rng(12)
+    x = jnp.asarray(rng.standard_normal((2, 31680, 1)) * 0.1, jnp.float32)
+    direct = M5(classes_num=1)
+    s2d = M5(classes_num=1, conv1_s2d=True)
+    v = direct.init(jax.random.key(5), x, train=False)
+    # Identical tree: the s2d model runs with the direct model's variables.
+    v2 = s2d.init(jax.random.key(5), x, train=False)
+    assert jax.tree.structure(v) == jax.tree.structure(v2)
+    out_d = np.asarray(direct.apply(v, x, train=False))
+    out_s = np.asarray(s2d.apply(v, x, train=False))
+    np.testing.assert_allclose(out_s, out_d, atol=1e-3)
+
+    (od, upd_d) = direct.apply(v, x, train=True, mutable=["batch_stats"])
+    (os_, upd_s) = s2d.apply(v, x, train=True, mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(os_), np.asarray(od), atol=1e-3)
+    for a, b in zip(jax.tree.leaves(upd_d), jax.tree.leaves(upd_s)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)

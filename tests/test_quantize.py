@@ -142,3 +142,24 @@ def test_quantized_forward_jits_and_is_deterministic():
     a = np.asarray(f(x))
     b = np.asarray(f(x))
     np.testing.assert_array_equal(a, b)
+
+
+def test_quantized_m5_s2d_stem_bit_exact():
+    """conv1_impl='s2d' must be BIT-identical to the direct int8 stem:
+    integer accumulation is order-independent and the scattered weight
+    entries are int8 zeros (models/m5.py s2d_conv1_kernel)."""
+    from sed_tpu.configs import WaveformConfig
+    from sed_tpu.models.m5 import M5
+    from sed_tpu.models.quantize import quantize_m5, quantized_m5_forward
+
+    wcfg = WaveformConfig()
+    model = M5(classes_num=wcfg.classes_num)
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.standard_normal((3, wcfg.frame_size, 1)) * 0.1,
+                    jnp.float32)
+    variables = model.init(jax.random.key(9), x, train=False)
+    q = quantize_m5(model, variables["params"], variables["batch_stats"],
+                    [np.asarray(x)])
+    direct = np.asarray(quantized_m5_forward(q, x))
+    s2d = np.asarray(quantized_m5_forward(q, x, conv1_impl="s2d"))
+    assert np.array_equal(direct, s2d)
