@@ -115,15 +115,21 @@ class M5(nn.Module):
     # logits cast back to f32.
     dtype: type = jnp.float32
     # Space-to-depth stem (see module docstring): same math re-tiled for the
-    # MXU; f32 summation order differs from the direct conv.  Param tree is
-    # identical either way, so any checkpoint loads under either setting.
-    conv1_s2d: bool = False
+    # MXU; f32 summation order differs from the direct conv (6.3e-5 max
+    # sigmoid dev measured).  Param tree is identical either way, so any
+    # checkpoint loads under either setting.  Default None = dtype-aware
+    # (hardware A/B, benchmarks/M5_S2D_BENCH.json): f32 uses s2d (1.55x);
+    # bf16 keeps the direct conv (s2d measured 0.98x — unity within spread);
+    # the int8 serving path (models/quantize.py) keeps direct too (0.29x).
+    conv1_s2d: bool | None = None
 
     def _conv_bn_relu(self, x, idx: int, features: int, kernel: int,
                       stride: int, pad: int, train: bool):
         # Explicit names pin the tree to the historical auto-named layout
         # (Conv_i/BatchNorm_i) regardless of which stem class is used.
-        if idx == 0 and self.conv1_s2d:
+        s2d = (self.dtype == jnp.float32 if self.conv1_s2d is None
+               else self.conv1_s2d)
+        if idx == 0 and s2d:
             x = _Conv1S2D(features, kernel, stride, pad, dtype=self.dtype,
                           name="Conv_0")(x)
         else:

@@ -411,7 +411,10 @@ def quantized_m5_forward(qparams, x: jnp.ndarray, *,
     ``conv1_impl='s2d'`` evaluates the k=79 stem via the space-to-depth
     re-tiling (models/m5.py s2d_conv1) — BIT-EXACT here (integer
     accumulation is order-independent; the scattered weight entries are
-    int8 zeros), pending a hardware A/B before becoming the default.
+    int8 zeros) but measured 0.29x on hardware (M5_S2D_BENCH.json: the
+    int8 16-channel k=7 conv lowers far worse than the thin direct one),
+    so 'direct' stays the int8 default; 's2d' is the kept measurement
+    record.
     """
     from sed_tpu.models.m5 import s2d_conv1
 

@@ -226,7 +226,7 @@ def test_m5_s2d_same_params_same_logits():
     f32 reassociation noise of the direct stem, eval and train modes."""
     rng = np.random.default_rng(12)
     x = jnp.asarray(rng.standard_normal((2, 31680, 1)) * 0.1, jnp.float32)
-    direct = M5(classes_num=1)
+    direct = M5(classes_num=1, conv1_s2d=False)
     s2d = M5(classes_num=1, conv1_s2d=True)
     v = direct.init(jax.random.key(5), x, train=False)
     # Identical tree: the s2d model runs with the direct model's variables.
@@ -241,3 +241,22 @@ def test_m5_s2d_same_params_same_logits():
     np.testing.assert_allclose(np.asarray(os_), np.asarray(od), atol=1e-3)
     for a, b in zip(jax.tree.leaves(upd_d), jax.tree.leaves(upd_s)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_m5_s2d_default_is_dtype_aware():
+    """Default stem policy (hardware A/B, M5_S2D_BENCH.json): f32 -> s2d
+    (1.55x), bf16 -> direct (s2d unity-within-spread there)."""
+    rng = np.random.default_rng(13)
+    x = jnp.asarray(rng.standard_normal((1, 31680, 1)) * 0.1, jnp.float32)
+    v = M5(classes_num=1).init(jax.random.key(3), x, train=False)
+
+    def run(m):
+        return np.asarray(m.apply(v, x, train=False))
+
+    # f32 default == explicit s2d, != explicit direct (bitwise: same program)
+    assert np.array_equal(run(M5(classes_num=1)),
+                          run(M5(classes_num=1, conv1_s2d=True)))
+    # bf16 default == explicit direct
+    assert np.array_equal(run(M5(classes_num=1, dtype=jnp.bfloat16)),
+                          run(M5(classes_num=1, dtype=jnp.bfloat16,
+                                 conv1_s2d=False)))
