@@ -102,6 +102,7 @@ class StreamServer:
         self.tick_interval = max(float(tick_interval), 1e-3)
         self._lock = threading.Lock()          # guards pool host state
         self._conns: Dict[int, socket.socket] = {}   # slot -> client socket
+        self._drainq: Dict[int, dict] = {}     # slot -> pending drain request
         self._done = threading.Event()
         self._srv = socket.create_server((host, port))
         self.address = self._srv.getsockname()
@@ -203,38 +204,64 @@ class StreamServer:
         except (OSError, RuntimeError, ValueError):
             payload = None  # reset/garbage frame: drain without replying
         finally:
-            # Tail is sent under the SAME lock as the tick sends, so frames
-            # on one socket never interleave across threads.
+            # Queue the drain rather than draining inline: concurrently-
+            # leaving streams coalesce into ONE batched pool.leave_many
+            # (shared featurize + stacked forward dispatches — drains used
+            # to dominate the serving wall clock on RPC-floored hosts at
+            # ~3 s each, SERVE_SOCKET_BENCH.json).  The first reader into
+            # the lock after its gather window drains the whole queue; tick
+            # scores keep flowing to a queued slot's socket in the meantime
+            # (see _tick_loop), so no frames are lost to the handoff.
+            req = {"conn": conn, "orderly": payload is not None,
+                   "event": threading.Event(), "tail": None}
             with self._lock:
                 self._conns.pop(slot, None)
-                try:
-                    tail = self.pool.leave(slot)
-                except ValueError as e:
-                    if "too short" not in str(e):
-                        raise  # ring/schedule invariant violation: surface it
-                    tail = None  # stream too short to featurize at all
-                except Exception as e:  # noqa: BLE001 — backend/transfer
-                    # fault during the drain (e.g. a transient accelerator
-                    # RPC error).  The pool freed the slot before scoring,
-                    # so nothing leaks; drop the tail, close the connection
-                    # (the client sees a connection error, not silence),
-                    # and keep serving the other slots.
-                    print(f"serve_socket: drain failed for slot {slot}: "
-                          f"{e!r}", file=sys.stderr, flush=True)
-                    payload = None
-                    tail = None
-                if payload is not None:  # orderly end: tail + completion
-                    try:
-                        if tail is not None and tail.shape[0]:
-                            _send_frame(conn, np.ascontiguousarray(
-                                tail, dtype="<f4").tobytes())
-                        conn.sendall(_U32.pack(0))
-                    except OSError:
-                        pass
+                self._drainq[slot] = req
+            self._done.wait(self.tick_interval)  # gather window (no lock)
+            with self._lock:
+                if not req["event"].is_set():
+                    self._flush_drains_locked()
+            req["event"].wait()  # safeguard; set by whoever drained it
             try:
                 conn.close()
             except OSError:
                 pass
+
+    def _flush_drains_locked(self) -> None:
+        """Drain every queued leave in one batched call (lock held).  Tails
+        are sent under the SAME lock as the tick sends, so frames on one
+        socket never interleave across threads."""
+        q, self._drainq = self._drainq, {}
+        if not q:
+            return
+        try:
+            tails = self.pool.leave_many(list(q))
+        except Exception as e:  # noqa: BLE001 — backend/transfer fault
+            # during a shared drain dispatch (e.g. a transient accelerator
+            # RPC error).  The pool freed the slots before scoring, so
+            # nothing leaks; drop these tails, close the connections (the
+            # clients see a connection error, not silence), and keep
+            # serving the other slots.
+            print(f"serve_socket: batched drain failed for slots "
+                  f"{sorted(q)}: {e!r}", file=sys.stderr, flush=True)
+            tails = {}
+        for slot, req in q.items():
+            tail = tails.get(slot)
+            if isinstance(tail, Exception):
+                # Per-slot host-side failure (a ring/schedule invariant
+                # violation would land here): say so loudly, drop the tail.
+                print(f"serve_socket: drain failed for slot {slot}: "
+                      f"{tail!r}", file=sys.stderr, flush=True)
+                tail = None
+            if req["orderly"] and tail is not None:
+                try:
+                    if tail.shape[0]:
+                        _send_frame(req["conn"], np.ascontiguousarray(
+                            tail, dtype="<f4").tobytes())
+                    req["conn"].sendall(_U32.pack(0))
+                except OSError:
+                    pass
+            req["event"].set()
 
     def _tick_loop(self) -> None:
         # Sends stay under the lock: score frames for one socket must never
@@ -247,6 +274,13 @@ class StreamServer:
                 out = self.pool.tick()
                 for slot, scores in out.items():
                     sock = self._conns.get(slot)
+                    if sock is None:
+                        # A slot queued for drain still ticks until the
+                        # batched drain claims it; its frames belong to the
+                        # (orderly) leaving client, not the floor.
+                        req = self._drainq.get(slot)
+                        if req is not None and req["orderly"]:
+                            sock = req["conn"]
                     if sock is None or not scores.shape[0]:
                         continue
                     try:

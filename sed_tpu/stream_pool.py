@@ -247,6 +247,20 @@ class StreamPool:
         self._step_fn = step  # un-jitted, for device-side scan benches
         self._step = jax.jit(step, donate_argnums=(0, 1))
 
+        # Slot-row migration helpers with the slot index as a TRACED scalar:
+        # ONE compiled program each, reused by every slot.  (Static indexing
+        # like ``self._buf[b]`` / ``.at[b].set`` builds a distinct program
+        # per slot id — 2*slots tiny programs whose first execution each
+        # pays the relay session floor.)
+        self._row_get = jax.jit(lambda buf, mel, b: (
+            jax.lax.dynamic_slice_in_dim(buf, b, 1, 0)[0],
+            jax.lax.dynamic_slice_in_dim(mel, b, 1, 0)[0]))
+        self._row_set = jax.jit(
+            lambda buf, mel, b, buf_row, mel_row: (
+                jax.lax.dynamic_update_slice_in_dim(buf, buf_row[None], b, 0),
+                jax.lax.dynamic_update_slice_in_dim(mel, mel_row[None], b, 0)),
+            donate_argnums=(0, 1))
+
     def _put(self, x):
         if self._sharding is not None:
             return jax.device_put(x, self._sharding)
@@ -283,32 +297,43 @@ class StreamPool:
         lo = t_total - self._l
         src_lo = max(h._buf_start, lo)
         buf_row[src_lo - lo:] = h._samples[0, src_lo - h._buf_start:]
-        self._buf = self._buf.at[b].set(jnp.asarray(buf_row))
 
         mel_row = np.zeros((self._m, self.cfg.mel_bins), np.float32)
         n = h._n_frames - h._mel_start
         mel_row[:n] = h._frames_mel[0, :n]
-        self._mel = self._mel.at[b].set(jnp.asarray(mel_row))
+        self._buf, self._mel = self._row_set(
+            self._buf, self._mel, b, jnp.asarray(buf_row),
+            jnp.asarray(mel_row))
         self._admitted[b] = counters
 
     def leave(self, b: int) -> np.ndarray:
         """End stream ``b``: exact tail via the host flush machinery (any
         audio still staged by :meth:`feed` is scored first); frees the slot.
         Returns the (frames, classes) tail block."""
+        h, rem = self._checkout(b)
+        if h is None:
+            # Never received audio: nothing to flush.
+            return np.zeros((0, self.cfg.classes_num), np.float32)
+        return self._drain(h, rem)
+
+    def _checkout(self, b: int):
+        """Pop slot ``b`` and rebuild its host detector WITHOUT scoring
+        anything; returns ``(detector | None, staged_remainder)`` (None when
+        the stream never received audio).  Frees the slot either way."""
         rem = self._staged.pop(b, None)
         if b in self._pending:
             h = self._pending.pop(b)
             if (h._buf_start + h._samples.shape[1] == 0
                     and (rem is None or rem.size == 0)):
-                # Never received audio: nothing to flush.
-                return np.zeros((0, self.cfg.classes_num), np.float32)
-            return self._drain(h, rem)
+                return None, None
+            return h, rem
         if b not in self._admitted:
             raise ValueError(f"slot {b} is not joined")
         c = self._admitted.pop(b)
         lo = max(0, c["t_total"] - self._l)
-        buf_row = np.asarray(self._buf[b])[None]
-        mel_row = np.asarray(self._mel[b])[None]
+        buf_row, mel_row = self._row_get(self._buf, self._mel, b)
+        buf_row = np.asarray(buf_row)[None]
+        mel_row = np.asarray(mel_row)[None]
         h = BatchedStreamingDetector.from_state(
             self._model, self._params, self._batch_stats, self.cfg,
             batch=1, halo=self.halo, total_stride=self.stride,
@@ -318,7 +343,84 @@ class StreamPool:
             frames_mel=mel_row[:, : c["n_frames"] - c["mel_start"]],
             mel_start=c["mel_start"], emitted=c["emitted"],
             qparams=self._qparams, stream_fns=self._stream_fns)
-        return self._drain(h, rem)
+        return h, rem
+
+    def leave_many(self, slots) -> Dict[int, np.ndarray]:
+        """Drain several leaving streams with SHARED device dispatches: one
+        featurize over every stream's remaining frames, and one stacked
+        forward per distinct tail-window shape (batch-padded to the pool
+        size, so each shape is ONE compiled program no matter how many
+        streams share a batch).  Per-slot results equal :meth:`leave` to jit
+        fusion rounding (tests/test_stream_pool.py pins schedule equality
+        and scores).
+
+        Returns ``{slot: (frames, classes) ndarray}``; a stream too short to
+        featurize maps to an empty ``(0, classes)`` block (same client-
+        visible outcome as leave()'s "too short" ValueError); any other
+        per-slot host-side failure maps to the exception instance — callers
+        (serve_socket) decide policy without one bad stream aborting the
+        batch.  Device-dispatch faults propagate to the caller."""
+        empty = np.zeros((0, self.cfg.classes_num), np.float32)
+        tails: Dict[int, np.ndarray] = {}
+        dets: Dict[int, BatchedStreamingDetector] = {}
+        frames: Dict[int, np.ndarray] = {}
+        for b in list(slots):
+            try:
+                h, rem = self._checkout(b)
+                if h is None:
+                    tails[b] = empty
+                    continue
+                if rem is not None and rem.size:
+                    h.stage(self._f32(rem)[None])
+                frames[b] = h._final_frames()
+                dets[b] = h
+            except ValueError as e:
+                if "too short" in str(e):
+                    tails[b] = empty
+                else:
+                    tails[b] = e  # invariant violation: surface per-slot
+            except Exception as e:  # noqa: BLE001 — host-side prep fault
+                tails[b] = e
+
+        # ONE featurize dispatch across every stream's remaining frames
+        # (rows bucketed to 64 so concurrent drains reuse a handful of
+        # compiled shapes regardless of the mix of tail lengths).
+        order = [b for b in dets if frames[b].shape[1]]
+        if order:
+            flat = np.concatenate(
+                [frames[b][0] for b in order], axis=0)  # (rows, nfft)
+            n = len(flat)
+            padded = 64 * (-(-n // 64))
+            if padded != n:
+                flat = np.pad(flat, ((0, padded - n), (0, 0)))
+            lm = np.asarray(self._stream_fns[0](jnp.asarray(flat)))[:n]
+            pos = 0
+            for b in order:
+                k = frames[b].shape[1]
+                dets[b]._install_final(lm[pos:pos + k][None])
+                pos += k
+
+        # One stacked forward per distinct window shape, batch-padded to the
+        # pool size (window lengths are bucket-gridded by _final_window, so
+        # the shape set stays <= stride variants per bucket bin).
+        groups: Dict[int, list] = {}
+        for b, h in dets.items():
+            fw = h._final_window()
+            if fw is None:
+                tails[b] = empty
+                continue
+            groups.setdefault(fw[0].shape[1], []).append((b, fw))
+        for members in groups.values():
+            stack = np.concatenate([fw[0] for _, fw in members], axis=0)
+            k = len(members)
+            if k < self.slots:
+                stack = np.pad(stack, ((0, self.slots - k), (0, 0), (0, 0)))
+            scores = np.asarray(
+                self._stream_fns[1](jnp.asarray(stack)[:, :, :, None]))
+            for i, (b, (window, s, upto, pad_l)) in enumerate(members):
+                tails[b] = dets[b]._final_trim(
+                    scores[i:i + 1], s, upto, pad_l)[0]
+        return tails
 
     @staticmethod
     def _f32(a: np.ndarray) -> np.ndarray:
@@ -335,12 +437,13 @@ class StreamPool:
         return a.astype(np.float32)
 
     def _drain(self, h: BatchedStreamingDetector, rem) -> np.ndarray:
-        """Score a staged remainder through the host machinery, then flush."""
-        outs = []
+        """Score a staged remainder and the ring tail in ONE flush (a single
+        featurize + forward dispatch — drains are dispatch-count-bound on
+        RPC-floored hosts; same scores as push-then-flush by the streaming
+        exactness invariant, same frame count by emission_upto)."""
         if rem is not None and rem.size:
-            outs.append(h.push(self._f32(rem)[None])[0])
-        outs.append(h.flush()[0])
-        return np.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
+            h.stage(self._f32(rem)[None])
+        return h.flush()[0]
 
     # -- variable-size input: host staging over the fixed-chunk tick ---------
 

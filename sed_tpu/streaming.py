@@ -335,6 +335,15 @@ class BatchedStreamingDetector:
         scores = np.asarray(self._forward(x))
         return scores[:, self._emitted - s:upto - s]
 
+    def stage(self, chunk: np.ndarray) -> None:
+        """Append (batch, samples) audio WITHOUT featurizing or emitting.
+        Drain paths use this so a trailing remainder and the tail are scored
+        by ONE :meth:`flush` (one featurize + one forward dispatch) instead
+        of a push/flush pair — on RPC-floor-bound hosts (the TPU relay) the
+        dispatch count is the drain cost."""
+        chunk = np.asarray(chunk, np.float32).reshape(self.batch, -1)
+        self._samples = np.concatenate([self._samples, chunk], axis=1)
+
     def push(self, chunk: np.ndarray) -> np.ndarray:
         """Feed (batch, samples) float32 audio; returns newly finalized
         (batch, frames, classes) scores (possibly with 0 frames)."""
@@ -353,7 +362,22 @@ class BatchedStreamingDetector:
 
     def flush(self) -> np.ndarray:
         """End of stream: featurize remaining frames (end reflect padding) and
-        emit the exact tail."""
+        emit the exact tail.  Split into three phases (_final_frames /
+        _install_final / _final_window+_final_trim) so StreamPool.leave_many
+        can batch each device dispatch across concurrently-draining streams."""
+        new = self._final_frames()
+        if new.shape[1]:
+            self._install_final(self._featurize_bucketed(new))
+        fw = self._final_window()
+        if fw is None:
+            return np.zeros((self.batch, 0, self.cfg.classes_num), np.float32)
+        window, s, upto, pad_l = fw
+        scores = np.asarray(self._forward(jnp.asarray(window)[:, :, :, None]))
+        return self._final_trim(scores, s, upto, pad_l)
+
+    def _final_frames(self) -> np.ndarray:
+        """Flush phase 1 (host-only): validate, append the end reflection,
+        and frame the not-yet-featurized tail -> (batch, k, nfft), k >= 0."""
         cfg = self.cfg
         total = self._buf_start + self._samples.shape[1]
         if total <= self._pad:
@@ -372,17 +396,49 @@ class BatchedStreamingDetector:
         else:
             tail_pad = np.zeros((self.batch, self._pad), np.float32)
         self._samples = np.concatenate([self._samples, tail_pad], axis=1)
-        n_ready = n_total_frames
-        if n_ready > self._n_frames:
-            new = np.stack([self._frame_slice(t)
-                            for t in range(self._n_frames, n_ready)], axis=1)
-            lm = self._featurize_bucketed(new)
+        if n_total_frames <= self._n_frames:
+            return np.zeros((self.batch, 0, cfg.nfft), np.float32)
+        return np.stack([self._frame_slice(t)
+                         for t in range(self._n_frames, n_total_frames)],
+                        axis=1)
+
+    def _install_final(self, lm: np.ndarray) -> None:
+        """Flush phase 2: absorb the featurized (batch, k, mel) tail frames."""
+        if lm.shape[1]:
             self._frames_mel = np.concatenate([self._frames_mel, lm], axis=1)
-            self._n_frames = n_ready
+            self._n_frames += lm.shape[1]
+
+    def _final_window(self):
+        """Flush phase 3a (host-only): the tail mel window to score ->
+        ``(window, s, upto, pad_l)`` or None when nothing is left to emit.
+
+        The window is LEFT-padded with zero mel frames to the bucket grid in
+        multiples of the model stride (pooling phase preserved).  ``s > 0``
+        implies ``emitted - s >= halo`` (window_start subtracts halo then
+        stride-aligns down), so the padding sits beyond the receptive field
+        of every emitted score — values are unchanged; what changes is that
+        drains now reuse a handful of compiled forward shapes (<= stride
+        variants per bucket bin) instead of one shape per tail length, which
+        is what made leave() RPC/compile-bound on relay-attached hosts."""
         upto = self._emittable(final=True)
         if upto <= self._emitted:
-            return np.zeros((self.batch, 0, cfg.classes_num), np.float32)
-        out = self._run_model(upto, final=True)
+            return None
+        s = window_start(self._emitted, self.stride, self.halo)
+        window = self._frames_mel[:, s - self._mel_start:
+                                  self._n_frames - self._mel_start]
+        pad_l = 0
+        if s > 0:
+            n = window.shape[1]
+            target = self.bucket * (-(-n // self.bucket))
+            pad_l = ((target - n) // self.stride) * self.stride
+            if pad_l:
+                window = np.pad(window, ((0, 0), (pad_l, 0), (0, 0)))
+        return window, s, upto, pad_l
+
+    def _final_trim(self, scores: np.ndarray, s: int, upto: int,
+                    pad_l: int) -> np.ndarray:
+        """Flush phase 3b: trim the scored window to the exact emitted tail."""
+        out = scores[:, pad_l + self._emitted - s:pad_l + upto - s]
         self._emitted = upto
         return out
 

@@ -225,7 +225,17 @@ class WaveformStreamPool:
                 per.append((b, frames[0]))
         if not per:
             return {}
-        allf = np.concatenate([f for _, f in per], axis=0)  # (N, frame)
+        scores = self._score_rows(np.concatenate([f for _, f in per], axis=0))
+        out, pos = {}, 0
+        for b, f in per:
+            out[b] = scores[pos: pos + f.shape[0]]
+            pos += f.shape[0]
+        return out
+
+    def _score_rows(self, allf: np.ndarray) -> np.ndarray:
+        """Score (N, frame) rows in shared ``frame_bucket``-row dispatches
+        (zero-padding the tail block only); frames are independent rows to
+        M5, so batching across slots is exact."""
         n, fb = allf.shape[0], self._bucket
         outs = []
         for j in range(0, n, fb):
@@ -236,12 +246,7 @@ class WaveformStreamPool:
                                    np.float32)], axis=0)
             outs.append(np.asarray(self._score(
                 jnp.asarray(np.ascontiguousarray(blk)))))
-        scores = np.concatenate(outs, axis=0)[:n]
-        out, pos = {}, 0
-        for b, f in per:
-            out[b] = scores[pos: pos + f.shape[0]]
-            pos += f.shape[0]
-        return out
+        return np.concatenate(outs, axis=0)[:n]
 
     def leave(self, b: int) -> np.ndarray:
         """Frames are emitted as soon as they complete, so the tail is just
@@ -254,3 +259,35 @@ class WaveformStreamPool:
         if pieces:
             return det.push(np.concatenate(pieces))
         return np.zeros((0, self.cfg.classes_num), np.float32)
+
+    def leave_many(self, slots) -> dict:
+        """Drain several leaving streams at once, their completed tail
+        frames batched into the shared ``frame_bucket``-row dispatches (the
+        same block shape as tick()/leave(), so identical scores from ONE
+        compiled program).  Same result contract as StreamPool.leave_many:
+        ``{slot: (frames, classes) ndarray}``, with per-slot host-side
+        failures mapped to the exception instance."""
+        empty = np.zeros((0, self.cfg.classes_num), np.float32)
+        per, tails = [], {}
+        for b in list(slots):
+            try:
+                if b not in self._dets:
+                    raise ValueError(f"slot {b} is not joined")
+                pieces = self._staged.pop(b)
+                det = self._dets.pop(b)
+                frames = (det.extract_ready(np.concatenate(pieces)[None])
+                          if pieces else None)
+                if frames is not None and frames.shape[1]:
+                    per.append((b, frames[0]))
+                else:
+                    tails[b] = empty
+            except Exception as e:  # noqa: BLE001 — per-slot prep fault
+                tails[b] = e
+        if per:
+            scores = self._score_rows(
+                np.concatenate([f for _, f in per], axis=0))
+            pos = 0
+            for b, f in per:
+                tails[b] = scores[pos: pos + f.shape[0]]
+                pos += f.shape[0]
+        return tails

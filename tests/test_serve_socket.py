@@ -241,17 +241,17 @@ def test_server_survives_backend_fault_during_drain(model_state):
     model, state = model_state
     pool = StreamPool(model, state.params, state.batch_stats, CFG, slots=1,
                       chunk_samples=CHUNK, halo=64, total_stride=8, bucket=64)
-    orig_leave = pool.leave
+    orig_leave_many = pool.leave_many
     fail_once = [True]
 
-    def flaky_leave(b):
+    def flaky_leave_many(slots):
         if fail_once[0]:
             fail_once[0] = False
-            orig_leave(b)  # free the slot the way a mid-drain fault does
+            orig_leave_many(slots)  # free slots the way a mid-drain fault does
             raise RuntimeError("transient backend fault (simulated)")
-        return orig_leave(b)
+        return orig_leave_many(slots)
 
-    pool.leave = flaky_leave
+    pool.leave_many = flaky_leave_many
     server = StreamServer(pool, tick_interval=0.01)
     server.start()
     try:

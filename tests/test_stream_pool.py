@@ -545,3 +545,76 @@ def test_shared_stream_fns_detectors_match_independent():
                          axis=0)
     assert got.shape == ref.shape
     np.testing.assert_allclose(got, ref, atol=1e-6)
+
+
+def test_leave_many_matches_per_slot_leave():
+    """leave_many (ONE shared featurize + stacked per-shape forwards) must
+    equal per-slot leave() exactly in shape and to 1e-5 in scores, across a
+    mix of drain states: admitted with a staged remainder, admitted with a
+    different tail length, pending-only, never-fed, and too-short."""
+    rng = np.random.default_rng(31)
+    model, state = _model_state()
+
+    def build():
+        return StreamPool(model, state.params, state.batch_stats, CFG,
+                          slots=5, chunk_samples=CHUNK, halo=64,
+                          total_stride=8, bucket=64)
+
+    n_chunks = {"A": 5, "B": 3, "C": 1}
+    audio = {k: (0.1 * rng.standard_normal((n, CHUNK))).astype(np.float32)
+             for k, n in n_chunks.items()}
+    rem = (0.1 * rng.standard_normal(1234)).astype(np.float32)
+    tiny = (0.1 * rng.standard_normal(100)).astype(np.float32)  # < pad
+
+    def run(pool):
+        slots = {k: pool.join() for k in ("A", "B", "C", "D", "E")}
+        for t in range(5):
+            chunks = {slots[k]: audio[k][t] for k in n_chunks
+                      if t < n_chunks[k]}
+            pool.push(chunks)
+        pool.feed(slots["A"], rem)   # staged remainder on an admitted slot
+        pool.feed(slots["E"], tiny)  # too short to ever featurize
+        return slots
+
+    pool_ref, pool_many = build(), build()
+    slots_ref, slots_many = run(pool_ref), run(pool_many)
+
+    ref = {}
+    for k in ("A", "B", "C", "D"):
+        ref[k] = pool_ref.leave(slots_ref[k])
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="too short"):
+        pool_ref.leave(slots_ref["E"])
+
+    feat_calls, fwd_calls = [], []
+    f0, f1 = pool_many._stream_fns
+
+    def featspy(x):
+        feat_calls.append(tuple(x.shape))
+        return f0(x)
+
+    def fwdspy(x):
+        fwd_calls.append(tuple(x.shape))
+        return f1(x)
+
+    pool_many._stream_fns = (featspy, fwdspy)
+    tails = pool_many.leave_many([slots_many[k]
+                                  for k in ("A", "B", "C", "D", "E")])
+
+    for k in ("A", "B", "C", "D"):
+        got = tails[slots_many[k]]
+        assert got.shape == ref[k].shape, (k, got.shape, ref[k].shape)
+        if got.shape[0]:
+            np.testing.assert_allclose(got, ref[k], atol=1e-5, err_msg=k)
+    got_e = tails[slots_many["E"]]
+    assert isinstance(got_e, np.ndarray) and got_e.shape == (0, 1)
+
+    # Dispatch economy: every stream's remaining frames in ONE featurize;
+    # one stacked forward per distinct tail-window shape, batch = slots.
+    assert len(feat_calls) == 1, feat_calls
+    assert len(fwd_calls) == len({s[1] for s in fwd_calls}), fwd_calls
+    assert all(s[0] == 5 for s in fwd_calls), fwd_calls
+
+    # Slots are freed: a new join succeeds for each.
+    for _ in range(5):
+        pool_many.join()

@@ -203,3 +203,40 @@ def test_waveform_pool_batched_tick_matches_per_slot(m5_state):
                        for w in wavs)
     assert batched_calls <= -(-total_frames // 8) + len(wavs) + 2, \
         (batched_calls, total_frames)
+
+
+def test_waveform_pool_leave_many_matches_per_slot_leave(m5_state):
+    """WaveformStreamPool.leave_many must equal per-slot leave() (same
+    bucketed block shapes, so identical scores), including a never-fed slot
+    and a not-joined slot mapped to its exception."""
+    from sed_tpu.waveform_streaming import WaveformStreamPool
+
+    model, state = m5_state
+    rng = np.random.default_rng(7)
+    lens = [3 * WCFG.frame_size + 500, 2 * WCFG.frame_size + 4567]
+    wavs = [(0.1 * rng.standard_normal(n)).astype(np.float32) for n in lens]
+
+    def build_and_feed():
+        pool = WaveformStreamPool(model, state.params, state.batch_stats,
+                                  WCFG, slots=4, frame_bucket=8)
+        slots = [pool.join() for _ in range(3)]  # third: never fed
+        for s, w in zip(slots, wavs):
+            pool.feed(s, w[: WCFG.frame_size])
+        out = pool.tick()
+        for s, w in zip(slots, wavs):
+            pool.feed(s, w[WCFG.frame_size:])
+        return pool, slots, out
+
+    pool_ref, slots_ref, _ = build_and_feed()
+    ref = [pool_ref.leave(s) for s in slots_ref]
+
+    pool_many, slots_many, _ = build_and_feed()
+    tails = pool_many.leave_many(slots_many + [99])
+    for s, r in zip(slots_many, ref):
+        got = tails[s]
+        assert got.shape == r.shape
+        if got.shape[0]:
+            np.testing.assert_allclose(got, r, atol=1e-6)
+    assert isinstance(tails[99], ValueError)
+    for _ in range(3):
+        pool_many.join()  # slots freed
