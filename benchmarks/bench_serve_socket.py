@@ -109,7 +109,17 @@ def main():
     for _ in range(4):
         pool.feed(ws, warm_piece)
         pool.tick()
-    pool.leave(ws)
+    if hasattr(pool, "ROUNDS_PER_CALL"):
+        # Compile the scanned multi-round tick (full ROUNDS_PER_CALL block)
+        # and the batched-drain programs (shared featurize + stacked
+        # forward) before measurement, not during it.
+        need = (pool.ROUNDS_PER_CALL + 1) * pool.chunk
+        reps = -(-need // len(warm_piece))
+        pool.feed(ws, np.tile(warm_piece, reps))
+        pool.tick()
+        pool.leave_many([ws])
+    else:
+        pool.leave(ws)
     log(f"warmup (direct pool, wire={wire}): "
         f"{time.perf_counter() - t_warm:.1f}s")
 
@@ -137,6 +147,16 @@ def main():
                 "leave_s": 0.0, "leaves": 0, "feed_s": 0.0, "feeds": 0}
     if prof:
         _t, _l, _f = pool.tick, pool.leave, pool.feed
+        _lm = pool.leave_many
+
+        def leave_many_timed(slots):
+            t = time.perf_counter()
+            o = _lm(slots)
+            prof_acc["leave_s"] += time.perf_counter() - t
+            prof_acc["leaves"] += len(list(slots))
+            return o
+
+        pool.leave_many = leave_many_timed
 
         def tick_timed():
             t = time.perf_counter()

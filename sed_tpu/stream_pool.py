@@ -247,6 +247,26 @@ class StreamPool:
         self._step_fn = step  # un-jitted, for device-side scan benches
         self._step = jax.jit(step, donate_argnums=(0, 1))
 
+        def steps(buf, mel_ring, chunks, active, offs, n_new, write_pos,
+                  win_off, e_off, shift):
+            """K consecutive tick rounds in ONE dispatch (lax.scan over the
+            single-round step; every operand gains a leading round axis).
+            On dispatch-floor-bound hosts the per-round launch cost is the
+            serving bottleneck once drains/startup are batched — this is the
+            tick analog of the train loop's steps_per_call."""
+            def body(carry, xs):
+                b, m = carry
+                b, m, o = step(b, m, *xs)
+                return (b, m), o
+
+            (buf, mel_ring), outs = jax.lax.scan(
+                body, (buf, mel_ring),
+                (chunks, active, offs, n_new, write_pos, win_off, e_off,
+                 shift))
+            return buf, mel_ring, outs
+
+        self._steps = jax.jit(steps, donate_argnums=(0, 1))
+
         # Slot-row migration helpers with the slot index as a TRACED scalar:
         # ONE compiled program each, reused by every slot.  (Static indexing
         # like ``self._buf[b]`` / ``.at[b].set`` builds a distinct program
@@ -387,18 +407,9 @@ class StreamPool:
         # compiled shapes regardless of the mix of tail lengths).
         order = [b for b in dets if frames[b].shape[1]]
         if order:
-            flat = np.concatenate(
-                [frames[b][0] for b in order], axis=0)  # (rows, nfft)
-            n = len(flat)
-            padded = 64 * (-(-n // 64))
-            if padded != n:
-                flat = np.pad(flat, ((0, padded - n), (0, 0)))
-            lm = np.asarray(self._stream_fns[0](jnp.asarray(flat)))[:n]
-            pos = 0
-            for b in order:
-                k = frames[b].shape[1]
-                dets[b]._install_final(lm[pos:pos + k][None])
-                pos += k
+            lms = self._featurize_shared([frames[b][0] for b in order])
+            for b, lm in zip(order, lms):
+                dets[b]._install_final(lm[None])
 
         # One stacked forward per distinct window shape, batch-padded to the
         # pool size (window lengths are bucket-gridded by _final_window, so
@@ -421,6 +432,24 @@ class StreamPool:
                 tails[b] = dets[b]._final_trim(
                     scores[i:i + 1], s, upto, pad_l)[0]
         return tails
+
+    def _featurize_shared(self, rows) -> list:
+        """ONE bucketed featurize dispatch over concatenated ``(k_i, nfft)``
+        row blocks; returns the per-block log-mel results.  Featurize is
+        row-independent (window+rFFT+mel per row), so cross-stream batching
+        is exact; rows are padded to a multiple of 64 so concurrent
+        lifecycle events reuse a handful of compiled shapes."""
+        flat = np.concatenate(rows, axis=0)
+        n = len(flat)
+        padded = 64 * (-(-n // 64))
+        if padded != n:
+            flat = np.pad(flat, ((0, padded - n), (0, 0)))
+        lm = np.asarray(self._stream_fns[0](jnp.asarray(flat)))[:n]
+        outs, pos = [], 0
+        for r in rows:
+            outs.append(lm[pos:pos + len(r)])
+            pos += len(r)
+        return outs
 
     @staticmethod
     def _f32(a: np.ndarray) -> np.ndarray:
@@ -476,21 +505,101 @@ class StreamPool:
         st = self._staged.get(b)
         return 0 if st is None else int(st.size)
 
+    # Max rounds folded into one scanned dispatch: bounds the staged wire
+    # batch at ROUNDS_PER_CALL * slots * chunk samples host-side.
+    ROUNDS_PER_CALL = 16
+
     def tick(self) -> Dict[int, np.ndarray]:
         """Score one fixed-size chunk for EVERY slot with a full chunk
-        staged (one batched device dispatch per round, repeated until no
-        slot has a full chunk left).  Returns ``{slot: (frames, classes)}``
-        concatenated emissions for the slots that advanced."""
+        staged, repeating until no slot has a full chunk left.  Rounds that
+        involve a PENDING stream go through per-round :meth:`push` (startup
+        and admission must interleave rounds); once every remaining round is
+        admitted-only, up to ROUNDS_PER_CALL rounds ride ONE scanned device
+        dispatch (:meth:`_push_rounds`).  Returns ``{slot: (frames,
+        classes)}`` concatenated emissions for the slots that advanced."""
         out: Dict[int, list] = {}
         while True:
             chunks = {b: st[: self.chunk] for b, st in self._staged.items()
                       if st is not None and st.size >= self.chunk}
-            if not chunks:
+            if not chunks or not any(b in self._pending for b in chunks):
                 break
             o = self.push(chunks)
             for b in chunks:
                 self._staged[b] = self._staged[b][self.chunk:]
                 out.setdefault(b, []).append(o[b])
+        # Admitted-only rounds: build them WITHOUT consuming staged samples
+        # (consumed only after the dispatch succeeds, like push's
+        # counters-after-device-call rule), then scan them per block.
+        rounds, pos = [], {b: 0 for b in self._staged}
+        while True:
+            chunks = {b: st[pos[b]: pos[b] + self.chunk]
+                      for b, st in self._staged.items()
+                      if st is not None and st.size - pos[b] >= self.chunk}
+            if not chunks:
+                break
+            for b in chunks:
+                pos[b] += self.chunk
+            rounds.append(chunks)
+        for j in range(0, len(rounds), self.ROUNDS_PER_CALL):
+            block = rounds[j: j + self.ROUNDS_PER_CALL]
+            o = self._push_rounds(block)
+            for r in block:
+                for b in r:
+                    self._staged[b] = self._staged[b][self.chunk:]
+            for b, v in o.items():
+                out.setdefault(b, []).append(v)
+        return {b: (np.concatenate(v, axis=0) if len(v) > 1 else v[0])
+                for b, v in out.items()}
+
+    def _push_rounds(self, rounds) -> Dict[int, np.ndarray]:
+        """Score K consecutive full-chunk rounds of ADMITTED slots in one
+        scanned dispatch.  K > 1 is padded to the full ROUNDS_PER_CALL block
+        with inactive rounds (all-zero scalars are the proven no-op row
+        encoding, so a padded round is a no-op for every slot): exactly TWO
+        compiled tick programs ever exist (single-round and full-block) —
+        on relay-attached hosts every extra shape is a first-execution tax,
+        and a no-op round costs ~ms of device compute.  Schedule counters advance on a tentative
+        copy and commit only after the device call returns, so a dispatch
+        fault leaves the pool consistent.  Scores equal sequential push()
+        rounds exactly (same per-round schedule scalars through the same
+        step; pinned by tests/test_stream_pool.py)."""
+        assert all(b in self._admitted for r in rounds for b in r)
+        B, F, K = self.slots, self._frames_max, len(rounds)
+        Kp = 1 if K == 1 else self.ROUNDS_PER_CALL
+        counters = {b: dict(c) for b, c in self._admitted.items()}
+        active = np.zeros((Kp, B), bool)
+        offs = np.zeros((Kp, B, F), np.int32)
+        n_new = np.zeros((Kp, B), np.int32)
+        write_pos = np.zeros((Kp, B), np.int32)
+        win_off = np.zeros((Kp, B), np.int32)
+        e_off = np.zeros((Kp, B), np.int32)
+        shift = np.zeros((Kp, B), np.int32)
+        emit_n = [dict() for _ in range(Kp)]
+
+        dts = {r[b].dtype for r in rounds for b in r}
+        uniform = dts.pop() if len(dts) == 1 else None
+        dt = (uniform if uniform in (np.dtype(np.int16), np.dtype(np.uint8))
+              else np.float32)
+        chunk_batch = np.zeros((Kp, B, self.chunk), dt)
+        for k, r in enumerate(rounds):
+            for b, ck in r.items():
+                active[k, b] = True
+                (offs[k, b], n_new[k, b], write_pos[k, b], win_off[k, b],
+                 e_off[k, b], shift[k, b], emit_n[k][b],
+                 counters[b]) = self._slot_scalars(counters[b])
+                chunk_batch[k, b] = ck if ck.dtype == dt else self._f32(ck)
+
+        self._buf, self._mel, dev_out = self._steps(
+            self._buf, self._mel, self._put(chunk_batch),
+            jnp.asarray(active), jnp.asarray(offs), jnp.asarray(n_new),
+            jnp.asarray(write_pos), jnp.asarray(win_off),
+            jnp.asarray(e_off), jnp.asarray(shift))
+        dev_out = np.asarray(dev_out)  # (Kp, B, EM, classes)
+        out: Dict[int, list] = {}
+        for k, r in enumerate(rounds):
+            for b in r:
+                out.setdefault(b, []).append(dev_out[k, b, : emit_n[k][b]])
+        self._admitted.update(counters)
         return {b: (np.concatenate(v, axis=0) if len(v) > 1 else v[0])
                 for b, v in out.items()}
 
@@ -533,17 +642,31 @@ class StreamPool:
             arrs[b] = ck
         out: Dict[int, np.ndarray] = {}
 
-        # 1. pending streams: host-side startup.  Admission happens AFTER the
-        # device tick (step 3): the tick shifts every sample-ring row, so
-        # writing a freshly admitted stream's rows before it would corrupt
-        # them (and its chunk was already consumed host-side this tick).
+        # 1. pending streams: host-side startup, with every pending slot's
+        # new frames batched into ONE featurize dispatch (the join-startup
+        # analog of leave_many — per-slot pushes made churn-heavy serving
+        # pay one dispatch per joining stream per tick).  Admission happens
+        # AFTER the device tick (step 3): the tick shifts every sample-ring
+        # row, so writing a freshly admitted stream's rows before it would
+        # corrupt them (and its chunk was already consumed host-side this
+        # tick).
         to_admit = []
-        for b in list(self._pending):
-            if b not in arrs:
-                continue  # sparse tick: pending stream idles host-side too
-            ck = arrs[b]
-            out[b] = self._pending[b].push(self._f32(ck)[None])[0]
+        pend = [b for b in self._pending if b in arrs]
+        news = {}
+        for b in pend:
             h = self._pending[b]
+            h.stage(self._f32(arrs[b])[None])
+            news[b] = h._new_frames()
+        framed = [b for b in pend if news[b].shape[1]]
+        if framed:
+            lms = self._featurize_shared([news[b][0] for b in framed])
+            for b, lm in zip(framed, lms):
+                self._pending[b]._install_new(lm[None])
+        for b in pend:
+            h = self._pending[b]
+            if b not in framed:
+                h._install_new(news[b][:, :0, :])  # trim raw samples only
+            out[b] = h._emit()[0]
             if h._buf_start + h._samples.shape[1] >= self._switch_after:
                 to_admit.append(b)
 

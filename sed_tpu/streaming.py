@@ -282,20 +282,34 @@ class BatchedStreamingDetector:
         return out
 
     def _featurize_new(self, total_samples: int) -> None:
+        new = self._new_frames()
+        if new.shape[1]:
+            self._install_new(self._featurize_bucketed(new))
+
+    def _new_frames(self) -> np.ndarray:
+        """Push phase 1 (host-only): frame — but do not featurize — every
+        newly completed frame -> (batch, k, nfft), k >= 0.  Split out so
+        StreamPool can batch ONE featurize dispatch across every pending
+        stream's frames (the join-startup analog of leave_many)."""
         cfg = self.cfg
+        total = self._buf_start + self._samples.shape[1]
         # Frame t needs samples through t*hop + pad.
-        n_ready = max(0, (total_samples - self._pad) // cfg.hop_size + 1)
+        n_ready = max(0, (total - self._pad) // cfg.hop_size + 1)
         if n_ready <= self._n_frames:
-            return
-        new = np.stack([self._frame_slice(t)
-                        for t in range(self._n_frames, n_ready)], axis=1)
-        lm = self._featurize_bucketed(new)
-        self._frames_mel = np.concatenate([self._frames_mel, lm], axis=1)
-        self._n_frames = n_ready
-        # Drop raw samples no longer needed (keep reflect prefix until past
-        # it).  Always retain >= pad+1 tail samples so flush() can build the
-        # end reflection even for configs with hop >= nfft/2, where the
-        # "frames already featurized" trim point would otherwise pass it.
+            return np.zeros((self.batch, 0, cfg.nfft), np.float32)
+        return np.stack([self._frame_slice(t)
+                         for t in range(self._n_frames, n_ready)], axis=1)
+
+    def _install_new(self, lm: np.ndarray) -> None:
+        """Push phase 2: absorb featurized (batch, k, mel) frames and drop
+        raw samples no longer needed (keep reflect prefix until past it).
+        Always retain >= pad+1 tail samples so flush() can build the end
+        reflection even for configs with hop >= nfft/2, where the "frames
+        already featurized" trim point would otherwise pass it."""
+        cfg = self.cfg
+        if lm.shape[1]:
+            self._frames_mel = np.concatenate([self._frames_mel, lm], axis=1)
+            self._n_frames += lm.shape[1]
         total = self._buf_start + self._samples.shape[1]
         keep_from = max(0, self._n_frames * cfg.hop_size - self._pad)
         keep_from = min(keep_from, max(0, total - (self._pad + 1)))
@@ -351,7 +365,10 @@ class BatchedStreamingDetector:
         self._samples = np.concatenate([self._samples, chunk], axis=1)
         total = self._buf_start + self._samples.shape[1]
         self._featurize_new(total)
+        return self._emit()
 
+    def _emit(self) -> np.ndarray:
+        """Push phase 3: score and return every newly finalized frame."""
         upto = self._emittable(final=False)
         if upto <= self._emitted:
             return np.zeros((self.batch, 0, self.cfg.classes_num), np.float32)

@@ -618,3 +618,63 @@ def test_leave_many_matches_per_slot_leave():
     # Slots are freed: a new join succeeds for each.
     for _ in range(5):
         pool_many.join()
+
+
+def test_multi_round_scanned_tick_matches_per_round_push():
+    """A tick with many full chunks staged rides ONE scanned dispatch
+    (_push_rounds); scores must equal per-round push() exactly, across
+    sparse staging (slots at different rates), a pending slot joining
+    mid-stream, and block splitting (> ROUNDS_PER_CALL rounds)."""
+    rng = np.random.default_rng(41)
+    model, state = _model_state()
+
+    def build():
+        return StreamPool(model, state.params, state.batch_stats, CFG,
+                          slots=3, chunk_samples=CHUNK, halo=64,
+                          total_stride=8, bucket=64)
+
+    n = {"A": 21, "B": 13}  # > ROUNDS_PER_CALL rounds for A
+    audio = {k: (0.1 * rng.standard_normal((m, CHUNK))).astype(np.float32)
+             for k, m in n.items()}
+
+    # Reference: per-round push (the pre-scan path).
+    pool_ref = build()
+    slots_ref = {k: pool_ref.join() for k in n}
+    ref = {k: [] for k in n}
+    for t in range(max(n.values())):
+        chunks = {slots_ref[k]: audio[k][t] for k in n if t < n[k]}
+        o = pool_ref.push(chunks)
+        for k in n:
+            if t < n[k]:
+                ref[k].append(o[slots_ref[k]])
+    ref = {k: np.concatenate(v, axis=0) for k, v in ref.items()}
+
+    # Scanned: stage everything, then ONE tick.
+    pool = build()
+    slots = {k: pool.join() for k in n}
+    steps_calls = []
+    orig_steps = pool._steps
+
+    def steps_spy(*a):
+        steps_calls.append(a[2].shape)
+        return orig_steps(*a)
+
+    pool._steps = steps_spy
+    for k in n:
+        pool.feed(slots[k], audio[k].reshape(-1))
+    got = pool.tick()
+    for k in n:
+        have = got[slots[k]]
+        assert have.shape == ref[k].shape, (k, have.shape, ref[k].shape)
+        np.testing.assert_allclose(have, ref[k], atol=1e-5, err_msg=k)
+
+    # The startup rounds are per-round (pending); once admitted-only, the
+    # remaining ~19 rounds fold into 16-round + 4-round scanned dispatches.
+    assert len(steps_calls) == 2 and steps_calls[0][0] == 16, steps_calls
+
+    # Tails still drain exactly.
+    for k in n:
+        tail = pool.leave(slots[k])
+        tail_ref = pool_ref.leave(slots_ref[k])
+        assert tail.shape == tail_ref.shape
+        np.testing.assert_allclose(tail, tail_ref, atol=1e-5, err_msg=k)
