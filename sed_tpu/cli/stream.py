@@ -243,19 +243,21 @@ def main(argv=None):
         for slot, sc in out.items():
             if sc.shape[0]:
                 active[slot]["scores"].append(sc)
+        # Files finishing on the same tick drain together: ONE shared
+        # featurize + stacked forward (StreamPool.leave_many) instead of
+        # per-slot dispatches.  Too-short clips come back as empty blocks
+        # (same reflect-padding constraint as offline); surface them
+        # without aborting the other streams.
+        tails = pool.leave_many(leaving) if leaving else {}
         for slot in leaving:
             rec = active.pop(slot)
-            try:
-                tail = pool.leave(slot)
-            except ValueError as e:
-                if "too short" not in str(e):
-                    raise
-                # A clip shorter than nfft/2 samples cannot be featurized
-                # (same reflect-padding constraint as offline); skip it
-                # without aborting the other streams.
+            tail = tails[slot]
+            if isinstance(tail, Exception):
+                raise tail
+            if (tail.shape[0] == 0
+                    and len(rec["wav"]) <= getattr(cfg, "nfft", 0) // 2):
                 log(f"tick {tick}: {os.path.basename(rec['path'])} too "
-                    f"short to featurize ({e}); emitting empty scores")
-                tail = np.zeros((0, cfg.classes_num), np.float32)
+                    f"short to featurize; emitting empty scores")
             if tail.shape[0]:
                 rec["scores"].append(tail)
             _finalize(rec, cfg, args)

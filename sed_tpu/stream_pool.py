@@ -134,8 +134,15 @@ class StreamPool:
                 raise ValueError(
                     f"slots {slots} must divide over the {mesh.size}-device mesh")
             self._sharding = batch_sharding(mesh)
+            # The scanned multi-round tick's wire batch is (rounds, slots,
+            # chunk): replicate the rounds axis, shard the slot axis.
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            self._sharding_rounds = NamedSharding(
+                mesh, PartitionSpec(None, *self._sharding.spec))
         else:
             self._sharding = None
+            self._sharding_rounds = None
         self._buf = self._put(np.zeros((B, L), np.float32))
         self._mel = self._put(np.zeros((B, M, cfg.mel_bins), np.float32))
 
@@ -589,8 +596,10 @@ class StreamPool:
                  counters[b]) = self._slot_scalars(counters[b])
                 chunk_batch[k, b] = ck if ck.dtype == dt else self._f32(ck)
 
+        put_rounds = (jnp.asarray(chunk_batch) if self._sharding_rounds is None
+                      else jax.device_put(chunk_batch, self._sharding_rounds))
         self._buf, self._mel, dev_out = self._steps(
-            self._buf, self._mel, self._put(chunk_batch),
+            self._buf, self._mel, put_rounds,
             jnp.asarray(active), jnp.asarray(offs), jnp.asarray(n_new),
             jnp.asarray(write_pos), jnp.asarray(win_off),
             jnp.asarray(e_off), jnp.asarray(shift))

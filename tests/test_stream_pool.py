@@ -352,6 +352,13 @@ def test_pool_sharded_over_mesh_matches_plain():
             o = pool.push({s: audio[i, t] for i, s in enumerate(slots)})
             for s in slots:
                 outs[s].append(o[s])
+        # Multi-round scanned tick under the mesh: the (rounds, slots,
+        # chunk) wire batch shards the SLOT axis and replicates rounds.
+        for i, s in enumerate(slots):
+            pool.feed(s, audio[i, :4].reshape(-1))
+        o = pool.tick()
+        for s in slots:
+            outs[s].append(o[s])
         for i, s in enumerate(slots):
             outs[s].append(pool.leave(s))
         return {s: np.concatenate([x for x in outs[s] if x.shape[0]], axis=0)
