@@ -145,6 +145,8 @@ def main():
     prof = os.environ.get("SED_SOCK_PROFILE") == "1"
     prof_acc = {"tick_s": 0.0, "ticks": 0, "ticks_scoring": 0,
                 "leave_s": 0.0, "leaves": 0, "feed_s": 0.0, "feeds": 0}
+    if prof and hasattr(pool, "profile"):
+        pool.profile = {}  # per-phase breakdown inside the pool tick path
     if prof:
         _t, _l, _f = pool.tick, pool.leave, pool.feed
         _lm = pool.leave_many
@@ -188,6 +190,11 @@ def main():
         w.send(base[:piece])
     w.finish()
     log("socket warmup done")
+    if prof:  # count only the measured run, not the socket warmup
+        for k in prof_acc:
+            prof_acc[k] = 0.0 if isinstance(prof_acc[k], float) else 0
+        if hasattr(pool, "profile"):
+            pool.profile = {}
 
     t0 = time.perf_counter()
     threads = [threading.Thread(target=run, args=(i,))
@@ -204,6 +211,10 @@ def main():
     rtf = audio_total / wall
 
     if prof:
+        if getattr(pool, "profile", None):
+            prof_acc["pool_phases"] = {
+                k: (round(v, 3) if isinstance(v, float) else v)
+                for k, v in pool.profile.items()}
         log(f"profile: {json.dumps({k: round(v, 2) if isinstance(v, float) else v for k, v in prof_acc.items()})}")
 
     out = {

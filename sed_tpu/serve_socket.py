@@ -69,15 +69,20 @@ def _recv_exact(sock: socket.socket, n: int) -> Optional[bytes]:
     return buf
 
 
-def _recv_frame(sock: socket.socket) -> Optional[bytes]:
+def _recv_frame(sock: socket.socket,
+                max_bytes: Optional[int] = None) -> Optional[bytes]:
     """Returns payload bytes, b'' for an end marker, None on EOF/error.
-    Raises RuntimeError on the ERR_FULL join-refusal header."""
+    Raises RuntimeError on the ERR_FULL join-refusal header and ValueError
+    on a length prefix beyond ``max_bytes`` (a garbage/abusive header — the
+    u32 wire length is unsigned, so "negative" lengths land here too)."""
     head = _recv_exact(sock, 4)
     if head is None:
         return None
     n = _U32.unpack(head)[0]
     if n == ERR_FULL:
         raise RuntimeError("server pool is full")
+    if max_bytes is not None and n > max_bytes:
+        raise ValueError(f"frame length {n} exceeds the {max_bytes}-byte cap")
     if n == 0:
         return b""
     return _recv_exact(sock, n)
@@ -91,14 +96,44 @@ class StreamServer:
     >= 1 ms — the tick loop is timer-driven, not staged-gated).
     ``wire``: client audio encoding — 'pcm16' int16 (default) or 'mulaw'
     1-byte µ-law (see module docstring).
+    ``max_frame_bytes``: reject any client frame whose length prefix exceeds
+    this (default 64 MiB ≈ 11 min of 48 kHz PCM16 in ONE frame — far above
+    any sane piece size).  A public length-prefixed reader must bound what a
+    garbage or hostile header can make it buffer; an oversized prefix closes
+    only that connection (its slot drains and frees, like any reader error).
     """
 
     def __init__(self, pool, host: str = "127.0.0.1", port: int = 0,
-                 tick_interval: float = 0.05, wire: str = "pcm16"):
+                 tick_interval: float = 0.05, wire: str = "pcm16",
+                 max_frame_bytes: int = 64 << 20,
+                 idle_timeout: Optional[float] = None,
+                 drain_gather: float = 0.25):
         if wire not in ("pcm16", "mulaw"):
             raise ValueError(f"wire must be pcm16|mulaw, got {wire!r}")
         self.pool = pool
         self.wire = wire
+        self.max_frame_bytes = int(max_frame_bytes)
+        # How long a finishing stream waits for other finishers before its
+        # drain flushes: concurrent stream ends coalesce into ONE batched
+        # pool.leave_many (shared featurize + stacked forward).  The round-4
+        # gather window was tick_interval (5-50 ms) — too short to ever
+        # coalesce under churn, so 16 near-simultaneous finishers paid 16
+        # separate ~2 s drain dispatches (SERVE_SOCKET_BENCH.json profile).
+        # 250 ms of end-of-stream latency buys drain cost that amortizes
+        # across every concurrent finisher.
+        self.drain_gather = max(float(drain_gather), 1e-3)
+        # Pools whose feed() is thread-safe (THREAD_SAFE_FEED) stage audio
+        # WITHOUT the device lock: readers keep staging while a tick's
+        # device dispatch runs, so ticks see dense rounds instead of
+        # starving behind their own lock (the round-4 serving-gap root
+        # cause: mostly-padded scanned blocks shipping 6x the real bytes).
+        self._feed_locked = not getattr(pool, "THREAD_SAFE_FEED", False)
+        # Optional per-connection socket timeout: a client that stalls
+        # mid-frame (slow loris) holds its slot only this long — the recv
+        # timeout surfaces as an OSError on the reader, which drains and
+        # frees the slot.  None (default) keeps the trusted-client behavior
+        # of waiting indefinitely.
+        self.idle_timeout = idle_timeout
         self.tick_interval = max(float(tick_interval), 1e-3)
         self._lock = threading.Lock()          # guards pool host state
         self._conns: Dict[int, socket.socket] = {}   # slot -> client socket
@@ -165,6 +200,8 @@ class StreamServer:
                 except OSError:
                     pass
                 continue
+            if self.idle_timeout is not None:
+                conn.settimeout(self.idle_timeout)
             t = threading.Thread(target=self._reader, args=(slot, conn),
                                  daemon=True)
             with self._lock:
@@ -182,7 +219,7 @@ class StreamServer:
         payload = None
         try:
             while True:
-                payload = _recv_frame(conn)
+                payload = _recv_frame(conn, max_bytes=self.max_frame_bytes)
                 if payload:  # audio piece
                     if self.wire == "mulaw":
                         # Raw µ-law bytes go straight to the pool: the
@@ -197,7 +234,10 @@ class StreamServer:
                             payload = None  # malformed int16 frame: drop
                             break
                         pcm = np.frombuffer(payload, dtype="<i2")
-                    with self._lock:
+                    if self._feed_locked:
+                        with self._lock:
+                            self.pool.feed(slot, pcm)
+                    else:
                         self.pool.feed(slot, pcm)
                     continue
                 break  # b'' = explicit end; None = client vanished
@@ -213,15 +253,17 @@ class StreamServer:
             # scores keep flowing to a queued slot's socket in the meantime
             # (see _tick_loop), so no frames are lost to the handoff.
             req = {"conn": conn, "orderly": payload is not None,
-                   "event": threading.Event(), "tail": None}
+                   "event": threading.Event()}
             with self._lock:
                 self._conns.pop(slot, None)
                 self._drainq[slot] = req
-            self._done.wait(self.tick_interval)  # gather window (no lock)
+            self._done.wait(self.drain_gather)  # gather window (no lock)
             with self._lock:
                 if not req["event"].is_set():
                     self._flush_drains_locked()
-            req["event"].wait()  # safeguard; set by whoever drained it
+            # Set by whoever drained the queue; the timeout is a last-ditch
+            # safeguard so a reader thread can never hang forever.
+            req["event"].wait(timeout=120.0)
             try:
                 conn.close()
             except OSError:
@@ -246,22 +288,28 @@ class StreamServer:
                   f"{sorted(q)}: {e!r}", file=sys.stderr, flush=True)
             tails = {}
         for slot, req in q.items():
-            tail = tails.get(slot)
-            if isinstance(tail, Exception):
-                # Per-slot host-side failure (a ring/schedule invariant
-                # violation would land here): say so loudly, drop the tail.
-                print(f"serve_socket: drain failed for slot {slot}: "
-                      f"{tail!r}", file=sys.stderr, flush=True)
-                tail = None
-            if req["orderly"] and tail is not None:
-                try:
-                    if tail.shape[0]:
-                        _send_frame(req["conn"], np.ascontiguousarray(
-                            tail, dtype="<f4").tobytes())
-                    req["conn"].sendall(_U32.pack(0))
-                except OSError:
-                    pass
-            req["event"].set()
+            # try/finally: the event MUST be set no matter what escapes the
+            # per-slot send — a queued reader whose drainq entry was already
+            # swapped out would otherwise block forever on event.wait().
+            try:
+                tail = tails.get(slot)
+                if isinstance(tail, Exception):
+                    # Per-slot host-side failure (a ring/schedule invariant
+                    # violation would land here): say so loudly, drop the
+                    # tail.
+                    print(f"serve_socket: drain failed for slot {slot}: "
+                          f"{tail!r}", file=sys.stderr, flush=True)
+                    tail = None
+                if req["orderly"] and tail is not None:
+                    try:
+                        if tail.shape[0]:
+                            _send_frame(req["conn"], np.ascontiguousarray(
+                                tail, dtype="<f4").tobytes())
+                        req["conn"].sendall(_U32.pack(0))
+                    except OSError:
+                        pass
+            finally:
+                req["event"].set()
 
     def _tick_loop(self) -> None:
         # Sends stay under the lock: score frames for one socket must never

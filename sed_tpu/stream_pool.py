@@ -38,7 +38,8 @@ only); this extends SURVEY.md's long-context/serving analog.
 
 from __future__ import annotations
 
-from typing import Dict, Optional
+import threading
+from typing import Dict, List, Optional
 
 import jax
 import jax.numpy as jnp
@@ -124,7 +125,25 @@ class StreamPool:
             qparams=qparams)
         self._pending: Dict[int, BatchedStreamingDetector] = {}
         self._admitted: Dict[int, dict] = {}   # slot -> schedule counters
-        self._staged: Dict[int, np.ndarray] = {}  # slot -> un-pushed samples
+        # Staged audio is a per-slot LIST of fed pieces guarded by its own
+        # small lock, so :meth:`feed` is safe to call from reader threads
+        # WITHOUT the caller's device lock (serve_socket relies on this:
+        # readers must keep staging while a multi-second tick dispatch runs,
+        # otherwise ticks starve and every scanned block ships mostly
+        # padding — the round-4 serving-gap root cause).  All other methods
+        # still require external serialization (one device-driving thread).
+        self._staged: Dict[int, List[np.ndarray]] = {}
+        self._staged_n: Dict[int, int] = {}
+        self._stage_lock = threading.Lock()
+        # Optional per-phase profile accumulator (set to {} to enable): the
+        # tick path records where wall time goes — pending-startup rounds,
+        # scanned-block host build, H2D staging, and device exec — plus the
+        # real-vs-padded round mix and wire bytes, so serving benches can
+        # attribute the tick wall clock instead of guessing
+        # (SERVE_SOCKET_BENCH.json round-4 verdict gap).  Profiling forces a
+        # sync after H2D staging to split it from exec; leave it None in
+        # production.
+        self.profile: Optional[dict] = None
 
         B, L, M = self.slots, self._l, self._m
         if mesh is not None:
@@ -310,8 +329,12 @@ class StreamPool:
 
     def _admit(self, b: int) -> None:
         """Migrate a pending stream's host state into slot ``b``'s ring rows
-        (the per-slot analog of DeviceStreamingDetector._migrate_to_device)."""
-        h = self._pending.pop(b)
+        (the per-slot analog of DeviceStreamingDetector._migrate_to_device).
+
+        Membership ordering matters for lock-free feed(): ``b`` enters
+        ``_admitted`` BEFORE leaving ``_pending`` so a concurrent feed's
+        joined-slot check never observes the slot in neither dict."""
+        h = self._pending[b]
         t_total = h._buf_start + h._samples.shape[1]
         counters = {
             "t_total": t_total,
@@ -332,6 +355,7 @@ class StreamPool:
             self._buf, self._mel, b, jnp.asarray(buf_row),
             jnp.asarray(mel_row))
         self._admitted[b] = counters
+        self._pending.pop(b)
 
     def leave(self, b: int) -> np.ndarray:
         """End stream ``b``: exact tail via the host flush machinery (any
@@ -347,7 +371,10 @@ class StreamPool:
         """Pop slot ``b`` and rebuild its host detector WITHOUT scoring
         anything; returns ``(detector | None, staged_remainder)`` (None when
         the stream never received audio).  Frees the slot either way."""
-        rem = self._staged.pop(b, None)
+        with self._stage_lock:
+            pieces = self._staged.pop(b, None)
+            self._staged_n.pop(b, None)
+        rem = self._flatten(pieces) if pieces else None
         if b in self._pending:
             h = self._pending.pop(b)
             if (h._buf_start + h._samples.shape[1] == 0
@@ -441,17 +468,23 @@ class StreamPool:
         return tails
 
     def _featurize_shared(self, rows) -> list:
-        """ONE bucketed featurize dispatch over concatenated ``(k_i, nfft)``
+        """Bucketed featurize dispatches over concatenated ``(k_i, nfft)``
         row blocks; returns the per-block log-mel results.  Featurize is
         row-independent (window+rFFT+mel per row), so cross-stream batching
-        is exact; rows are padded to a multiple of 64 so concurrent
-        lifecycle events reuse a handful of compiled shapes."""
+        is exact.  Dispatches are CAPPED at 64 rows — every lifecycle event
+        (join startup, batched drains, any coalesced mix) reuses the ONE
+        warmed (64, nfft) program; on relay-attached hosts a second
+        dispatch of a warm program is ~RPC-floor cheap while any NEW shape's
+        first execution costs minutes (ROADMAP environment notes)."""
         flat = np.concatenate(rows, axis=0)
         n = len(flat)
-        padded = 64 * (-(-n // 64))
-        if padded != n:
-            flat = np.pad(flat, ((0, padded - n), (0, 0)))
-        lm = np.asarray(self._stream_fns[0](jnp.asarray(flat)))[:n]
+        blocks = []
+        for j in range(0, n, 64):
+            blk = flat[j: j + 64]
+            if len(blk) != 64:
+                blk = np.pad(blk, ((0, 64 - len(blk)), (0, 0)))
+            blocks.append(np.asarray(self._stream_fns[0](jnp.asarray(blk))))
+        lm = np.concatenate(blocks, axis=0)[:n]
         outs, pos = [], 0
         for r in rows:
             outs.append(lm[pos:pos + len(r)])
@@ -483,6 +516,11 @@ class StreamPool:
 
     # -- variable-size input: host staging over the fixed-chunk tick ---------
 
+    # feed() may be called concurrently with tick()/push() from other
+    # threads (serve_socket reader threads stage while the ticker thread
+    # drives the device); every other method needs external serialization.
+    THREAD_SAFE_FEED = True
+
     def feed(self, b: int, samples: np.ndarray) -> None:
         """Stage ANY number of samples (int16 PCM, uint8 µ-law, or float32,
         1-D — the repo-wide ingest dtype conventions) for slot
@@ -490,6 +528,9 @@ class StreamPool:
         that has accumulated a full chunk, and :meth:`leave` drains a partial
         remainder exactly — so callers push audio as it arrives (sockets,
         files, uneven producers) without caring about chunk geometry.
+
+        Thread-safe against a concurrent :meth:`tick`: staging has its own
+        lock, so readers keep feeding while a tick's device dispatch runs.
 
         Drive a slot through either feed()/tick() or raw :meth:`push`, not
         both interleaved: push bypasses staging, so staged samples would be
@@ -499,22 +540,35 @@ class StreamPool:
         arr = np.asarray(samples)
         if arr.ndim != 1:
             raise ValueError(f"samples must be 1-D, got shape {arr.shape}")
-        cur = self._staged.get(b)
-        if cur is None or cur.size == 0:
-            self._staged[b] = arr.copy()
-        elif cur.dtype == arr.dtype:
-            self._staged[b] = np.concatenate([cur, arr])
-        else:  # mixed int16/float32 feeds: promote both de-quantized
-            self._staged[b] = np.concatenate([self._f32(cur), self._f32(arr)])
+        if arr.size == 0:
+            return
+        with self._stage_lock:
+            self._staged.setdefault(b, []).append(arr.copy())
+            self._staged_n[b] = self._staged_n.get(b, 0) + int(arr.size)
 
     def staged(self, b: int) -> int:
-        """Samples staged for slot ``b`` not yet scored by a tick."""
-        st = self._staged.get(b)
-        return 0 if st is None else int(st.size)
+        """Samples staged for slot ``b`` not yet scored by a tick (samples a
+        concurrently running tick has already claimed are not counted)."""
+        with self._stage_lock:
+            return self._staged_n.get(b, 0)
+
+    def _flatten(self, pieces: List[np.ndarray]) -> np.ndarray:
+        """Concatenate staged pieces; mixed wire dtypes promote through the
+        ingest de-quantization rules (the ONE PCM16/µ-law convention)."""
+        if len(pieces) == 1:
+            return pieces[0]
+        if len({p.dtype for p in pieces}) == 1:
+            return np.concatenate(pieces)
+        return np.concatenate([self._f32(p) for p in pieces])
 
     # Max rounds folded into one scanned dispatch: bounds the staged wire
     # batch at ROUNDS_PER_CALL * slots * chunk samples host-side.
     ROUNDS_PER_CALL = 16
+
+    def _prof(self, **kv) -> None:
+        if self.profile is not None:
+            for k, v in kv.items():
+                self.profile[k] = self.profile.get(k, 0) + v
 
     def tick(self) -> Dict[int, np.ndarray]:
         """Score one fixed-size chunk for EVERY slot with a full chunk
@@ -523,38 +577,70 @@ class StreamPool:
         and admission must interleave rounds); once every remaining round is
         admitted-only, up to ROUNDS_PER_CALL rounds ride ONE scanned device
         dispatch (:meth:`_push_rounds`).  Returns ``{slot: (frames,
-        classes)}`` concatenated emissions for the slots that advanced."""
+        classes)}`` concatenated emissions for the slots that advanced.
+
+        The tick claims a SNAPSHOT of the staged audio up front (under the
+        stage lock) and works from it, so reader threads keep feeding while
+        the device dispatches run; audio fed mid-tick waits for the next
+        tick.  Unconsumed samples — the sub-chunk remainder, or everything
+        not yet dispatched when a device fault aborts the tick — go back to
+        the FRONT of the staging queue, preserving both sample order and
+        push()'s consume-only-after-success rule."""
+        import time as _time
+
+        with self._stage_lock:
+            take: Dict[int, np.ndarray] = {}
+            for b in list(self._staged):
+                if self._staged_n.get(b, 0) >= self.chunk:
+                    take[b] = self._flatten(self._staged.pop(b))
+                    self._staged_n[b] = 0
+        if not take:
+            return {}
+        pos = {b: 0 for b in take}
         out: Dict[int, list] = {}
-        while True:
-            chunks = {b: st[: self.chunk] for b, st in self._staged.items()
-                      if st is not None and st.size >= self.chunk}
-            if not chunks or not any(b in self._pending for b in chunks):
-                break
-            o = self.push(chunks)
-            for b in chunks:
-                self._staged[b] = self._staged[b][self.chunk:]
-                out.setdefault(b, []).append(o[b])
-        # Admitted-only rounds: build them WITHOUT consuming staged samples
-        # (consumed only after the dispatch succeeds, like push's
-        # counters-after-device-call rule), then scan them per block.
-        rounds, pos = [], {b: 0 for b in self._staged}
-        while True:
-            chunks = {b: st[pos[b]: pos[b] + self.chunk]
-                      for b, st in self._staged.items()
-                      if st is not None and st.size - pos[b] >= self.chunk}
-            if not chunks:
-                break
-            for b in chunks:
-                pos[b] += self.chunk
-            rounds.append(chunks)
-        for j in range(0, len(rounds), self.ROUNDS_PER_CALL):
-            block = rounds[j: j + self.ROUNDS_PER_CALL]
-            o = self._push_rounds(block)
-            for r in block:
-                for b in r:
-                    self._staged[b] = self._staged[b][self.chunk:]
-            for b, v in o.items():
-                out.setdefault(b, []).append(v)
+        try:
+            t0 = _time.perf_counter()
+            while True:
+                chunks = {b: a[pos[b]: pos[b] + self.chunk]
+                          for b, a in take.items()
+                          if a.size - pos[b] >= self.chunk}
+                if not chunks or not any(b in self._pending for b in chunks):
+                    break
+                o = self.push(chunks)
+                self._prof(pending_rounds=1)
+                for b in chunks:
+                    pos[b] += self.chunk
+                    out.setdefault(b, []).append(o[b])
+            self._prof(pending_s=_time.perf_counter() - t0)
+            # Admitted-only rounds, scanned per block; per-slot consumption
+            # commits only after each block's dispatch returns.
+            rounds, rpos = [], dict(pos)
+            while True:
+                chunks = {b: a[rpos[b]: rpos[b] + self.chunk]
+                          for b, a in take.items()
+                          if a.size - rpos[b] >= self.chunk}
+                if not chunks:
+                    break
+                for b in chunks:
+                    rpos[b] += self.chunk
+                rounds.append(chunks)
+            for j in range(0, len(rounds), self.ROUNDS_PER_CALL):
+                block = rounds[j: j + self.ROUNDS_PER_CALL]
+                o = self._push_rounds(block)
+                for r in block:
+                    for b in r:
+                        pos[b] += self.chunk
+                for b, v in o.items():
+                    out.setdefault(b, []).append(v)
+        finally:
+            with self._stage_lock:
+                for b, a in take.items():
+                    rem = a[pos[b]:]
+                    pieces = ([rem] if rem.size else []) + \
+                        (self._staged.get(b) or [])
+                    if pieces:
+                        self._staged[b] = pieces
+                        self._staged_n[b] = sum(int(p.size) for p in pieces)
         return {b: (np.concatenate(v, axis=0) if len(v) > 1 else v[0])
                 for b, v in out.items()}
 
@@ -570,7 +656,10 @@ class StreamPool:
         fault leaves the pool consistent.  Scores equal sequential push()
         rounds exactly (same per-round schedule scalars through the same
         step; pinned by tests/test_stream_pool.py)."""
+        import time as _time
+
         assert all(b in self._admitted for r in rounds for b in r)
+        t0 = _time.perf_counter()
         B, F, K = self.slots, self._frames_max, len(rounds)
         Kp = 1 if K == 1 else self.ROUNDS_PER_CALL
         counters = {b: dict(c) for b, c in self._admitted.items()}
@@ -596,14 +685,24 @@ class StreamPool:
                  counters[b]) = self._slot_scalars(counters[b])
                 chunk_batch[k, b] = ck if ck.dtype == dt else self._f32(ck)
 
+        t1 = _time.perf_counter()
         put_rounds = (jnp.asarray(chunk_batch) if self._sharding_rounds is None
                       else jax.device_put(chunk_batch, self._sharding_rounds))
+        if self.profile is not None:  # split H2D from exec (forces a sync)
+            jax.block_until_ready(put_rounds)
+        t2 = _time.perf_counter()
         self._buf, self._mel, dev_out = self._steps(
             self._buf, self._mel, put_rounds,
             jnp.asarray(active), jnp.asarray(offs), jnp.asarray(n_new),
             jnp.asarray(write_pos), jnp.asarray(win_off),
             jnp.asarray(e_off), jnp.asarray(shift))
         dev_out = np.asarray(dev_out)  # (Kp, B, EM, classes)
+        n_real = int(active.sum())
+        self._prof(blocks=1, rounds_real=K, rounds_padded=Kp - K,
+                   chunks_real=n_real, chunks_shipped=Kp * B,
+                   h2d_bytes=chunk_batch.nbytes,
+                   build_s=t1 - t0, h2d_s=t2 - t1,
+                   exec_s=_time.perf_counter() - t2)
         out: Dict[int, list] = {}
         for k, r in enumerate(rounds):
             for b in r:

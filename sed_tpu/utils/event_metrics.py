@@ -35,34 +35,52 @@ def match_events(
     offset_ratio: float = 0.2,
     match_offset: bool = True,
 ) -> List[Tuple[int, int]]:
-    """Greedy onset-ordered matching of estimated to reference events.
+    """MAXIMUM bipartite matching of estimated to reference events.
 
     An (est, ref) pair is compatible when ``|est_on - ref_on| <=
     onset_collar`` and, if ``match_offset``, ``|est_off - ref_off| <=
-    max(offset_collar, offset_ratio * ref_length)`` (sed_eval's offset
-    condition).  Events are scanned in onset order and each side is matched
-    at most once — the standard sed_eval strategy.  Returns matched index
-    pairs ``(est_idx, ref_idx)``.
+    max(offset_collar, offset_ratio * ref_length)`` (sed_eval's onset/offset
+    conditions).  sed_eval computes the TP count as the maximum-cardinality
+    matching of the compatibility (hit) matrix — its util.bipartite_match —
+    not a greedy first-fit, and so does this (Kuhn augmenting paths; same
+    cardinality as sed_eval's Hopcroft–Karp).  The greedy matcher this
+    replaced could under-count TPs when an early estimate grabbed the only
+    reference a later estimate fit (round-5 oracle fuzz,
+    tests/test_event_metrics_oracle.py, pins equality against a literal
+    port of sed_eval's published algorithm).  Returns matched index pairs
+    ``(est_idx, ref_idx)``, est-onset-ordered.
     """
-    ref_order = sorted(range(len(ref)), key=lambda i: ref[i][0])
     est_order = sorted(range(len(est)), key=lambda i: est[i][0])
-    matched_ref: set = set()
-    pairs: List[Tuple[int, int]] = []
-    for ei in est_order:
+
+    def compatible(ei: int, ri: int) -> bool:
         e_on, e_off = est[ei]
-        for ri in ref_order:
-            if ri in matched_ref:
+        r_on, r_off = ref[ri]
+        if abs(e_on - r_on) > onset_collar:
+            return False
+        if match_offset:
+            tol = max(offset_collar, offset_ratio * (r_off - r_on))
+            if abs(e_off - r_off) > tol:
+                return False
+        return True
+
+    comp = {ei: [ri for ri in range(len(ref)) if compatible(ei, ri)]
+            for ei in est_order}
+    match_ref: Dict[int, int] = {}  # ref idx -> est idx
+
+    def try_assign(ei: int, seen: set) -> bool:
+        for ri in comp[ei]:
+            if ri in seen:
                 continue
-            r_on, r_off = ref[ri]
-            if abs(e_on - r_on) > onset_collar:
-                continue
-            if match_offset:
-                tol = max(offset_collar, offset_ratio * (r_off - r_on))
-                if abs(e_off - r_off) > tol:
-                    continue
-            matched_ref.add(ri)
-            pairs.append((ei, ri))
-            break
+            seen.add(ri)
+            if ri not in match_ref or try_assign(match_ref[ri], seen):
+                match_ref[ri] = ei
+                return True
+        return False
+
+    for ei in est_order:
+        try_assign(ei, set())
+    pairs = [(ei, ri) for ri, ei in match_ref.items()]
+    pairs.sort(key=lambda p: (est[p[0]][0], p[0]))
     return pairs
 
 

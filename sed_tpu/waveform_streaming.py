@@ -22,6 +22,7 @@ spectrogram detectors' int8 mode.
 
 from __future__ import annotations
 
+import threading
 from functools import partial
 
 import jax
@@ -186,6 +187,12 @@ class WaveformStreamPool:
             score_fn=shared)
         self._dets: dict = {}
         self._staged: dict = {}
+        # feed() appends under this small lock so reader threads can stage
+        # concurrently with the ticker thread's device work (same contract
+        # as StreamPool: every other method needs external serialization).
+        self._stage_lock = threading.Lock()
+
+    THREAD_SAFE_FEED = True
 
     def join(self) -> int:
         for b in range(self.slots):
@@ -204,10 +211,18 @@ class WaveformStreamPool:
         if arr.dtype == np.int16:
             arr = arr.astype(np.float32) / 32768.0
         elif arr.dtype == np.uint8:
+            # µ-law decodes at HOST ingest here (vs ON DEVICE in the
+            # spectrogram StreamPool): M5 streaming state is a host f32
+            # rolling buffer accepting mixed-dtype feeds, and tick
+            # dispatches ship extracted OVERLAPPING frames — never the wire
+            # bytes — so device decode has no H2D bytes to save.  Same
+            # "uint8 = µ-law, decoded by ingest" rule, different decode
+            # site by architecture (CLAUDE.md ingest invariant).
             from sed_tpu.ops.mulaw import mulaw_decode_np
 
             arr = mulaw_decode_np(arr)
-        self._staged[b].append(arr.astype(np.float32))
+        with self._stage_lock:
+            self._staged[b].append(arr.astype(np.float32))
 
     def tick(self) -> dict:
         """Score every completed frame of every slot's staged audio — all
@@ -215,12 +230,16 @@ class WaveformStreamPool:
         (frames are independent rows to M5, so cross-slot batching is
         exact)."""
         per = []  # (slot, (k_b, frame) frames) in slot order
-        for b, pieces in self._staged.items():
-            if not pieces:
-                continue
+        for b in list(self._staged):
+            # Swap the piece list out under the stage lock: a reader
+            # appending between the read and the clear must never be lost.
+            with self._stage_lock:
+                pieces = self._staged.get(b)
+                if not pieces:
+                    continue
+                self._staged[b] = []
             frames = self._dets[b].extract_ready(
                 np.concatenate(pieces)[None])
-            self._staged[b] = []
             if frames.shape[1]:
                 per.append((b, frames[0]))
         if not per:
@@ -254,7 +273,8 @@ class WaveformStreamPool:
         remainder is dropped (the offline splitter has no end padding)."""
         if b not in self._dets:
             raise ValueError(f"slot {b} is not joined")
-        pieces = self._staged.pop(b)
+        with self._stage_lock:
+            pieces = self._staged.pop(b)
         det = self._dets.pop(b)
         if pieces:
             return det.push(np.concatenate(pieces))
@@ -273,7 +293,8 @@ class WaveformStreamPool:
             try:
                 if b not in self._dets:
                     raise ValueError(f"slot {b} is not joined")
-                pieces = self._staged.pop(b)
+                with self._stage_lock:
+                    pieces = self._staged.pop(b)
                 det = self._dets.pop(b)
                 frames = (det.extract_ready(np.concatenate(pieces)[None])
                           if pieces else None)
