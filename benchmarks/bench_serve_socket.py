@@ -110,14 +110,22 @@ def main():
         pool.feed(ws, warm_piece)
         pool.tick()
     if hasattr(pool, "ROUNDS_PER_CALL"):
-        # Compile the scanned multi-round tick (full ROUNDS_PER_CALL block)
-        # and the batched-drain programs (shared featurize + stacked
-        # forward) before measurement, not during it.
-        need = (pool.ROUNDS_PER_CALL + 1) * pool.chunk
-        reps = -(-need // len(warm_piece))
-        pool.feed(ws, np.tile(warm_piece, reps))
-        pool.tick()
-        pool.leave_many([ws])
+        # Compile every program the measured run will hit: the single-round
+        # tick, the scanned block at each sparse-wire bucket (16/64/256
+        # cells — 1, 4, and all slots active for a full block), and the
+        # batched-drain programs (shared featurize + stacked forward).
+        K = pool.ROUNDS_PER_CALL
+        others = [pool.join() for _ in range(n_streams - 1)]
+        slots_all = [ws] + others
+        for _ in range(2):  # admit everyone (past the startup switch)
+            for s in slots_all:
+                pool.feed(s, warm_piece)
+            pool.tick()
+        for n_active in (1, 4, len(slots_all)):
+            for s in slots_all[:n_active]:
+                pool.feed(s, np.tile(warm_piece, K + 1))
+            pool.tick()
+        pool.leave_many(slots_all)
     else:
         pool.leave(ws)
     log(f"warmup (direct pool, wire={wire}): "

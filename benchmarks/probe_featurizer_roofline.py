@@ -114,6 +114,8 @@ def main():
     dot_macs = M * N * K
 
     def slope_time(inp, body_fn):
+        """Median of 3 positive two-point slopes (non-positive samples are
+        relay jitter — discarded and resampled, protocol.py style)."""
         def make_loop(iters):
             @jax.jit
             def loop(w):
@@ -125,19 +127,25 @@ def main():
                                          (w, jnp.float32(0.0)))[1]
             return loop
 
-        times = []
-        for iters in ITERS:
-            loop = make_loop(iters)
-            float(loop(inp))
-            best = float("inf")
-            for rep in range(3):
-                xr = inp + jnp.asarray(1e-5 * (rep + 1), inp.dtype)
+        loops = {it: make_loop(it) for it in ITERS}
+        for lp in loops.values():
+            float(lp(inp))  # compile + first run
+        slopes, k = [], 0
+        while len(slopes) < 3 and k < 12:
+            ts = {}
+            for it in ITERS:
+                xr = inp + jnp.asarray(1e-5 * (k + 1), inp.dtype)
                 xr.block_until_ready()
+                k += 1
                 t0 = time.perf_counter()
-                float(loop(xr))
-                best = min(best, time.perf_counter() - t0)
-            times.append(best)
-        return (times[1] - times[0]) / (ITERS[1] - ITERS[0])
+                float(loops[it](xr))
+                ts[it] = time.perf_counter() - t0
+            s = (ts[ITERS[1]] - ts[ITERS[0]]) / (ITERS[1] - ITERS[0])
+            if s > 0:
+                slopes.append(s)
+        if not slopes:
+            raise RuntimeError("no positive slope in 12 samples (relay)")
+        return float(np.median(slopes))
 
     bodies = {
         "full_parity": (wave,
@@ -225,15 +233,19 @@ def main():
         f"requirement: the FFT kernel's {out['work']['fft_gmacs']} GMACs at "
         f"HIGHEST (6 bf16 passes) run at "
         f"{out['roofline']['fftk_HIGHEST_mfu_vs_6pass_paper_peak']:.0%} of "
-        f"the 6-pass paper peak "
-        f"({out['roofline']['fftk_HIGHEST_frac_of_measured_dot_ceiling']:.0%}"
-        f" of the measured pure-dot HIGHEST ceiling); HBM floors are "
+        f"the 6-pass paper MXU peak = "
+        f"{out['roofline']['fftk_HIGHEST_frac_of_measured_dot_ceiling']:.0%}"
+        f" of the ACHIEVABLE ceiling (a pure XLA dot_general micro-loop at "
+        f"the same precision measures "
+        f"{out['calibration']['dot_HIGHEST_frac_of_6pass_paper_peak']:.0%} "
+        f"of paper through this stack).  HBM floors are "
         f"{out['roofline']['fft_hbm_floor_ms']:.1f}+"
         f"{out['roofline']['mel_hbm_floor_ms']:.1f} ms against "
-        f"{out['ms']['full_parity']:.1f} ms wall.  The only lever left is "
-        f"fewer passes — exactly the measured fast(bf16x3)/turbo(bf16x1) "
-        f"tiers — which the 1e-4 dB parity budget forbids "
-        f"(CLAUDE.md precision-tier invariant).  At roofline; done.")
+        f"{out['ms']['full_parity']:.1f} ms wall (not memory-bound).  The "
+        f"only lever left is fewer passes — exactly the measured "
+        f"fast(bf16x3)/turbo(bf16x1) tiers — which the 1e-4 dB parity "
+        f"budget forbids (CLAUDE.md precision-tier invariant).  At "
+        f"roofline; done.")
     with open(os.path.join(REPO, "benchmarks",
                            "FEATURIZER_ROOFLINE.json"), "w") as f:
         json.dump(out, f, indent=1)

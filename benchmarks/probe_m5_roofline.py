@@ -84,7 +84,7 @@ def main():
 
         depth: int
         dtype: type = jnp.float32
-        conv1_impl: str = "conv"  # 'conv' | 'patches'
+        conv1_impl: str = "conv"  # 'conv' | 'patches' | 's2d'
 
         def _cbr(self, x, feats, k, s, p):
             x = nn.Conv(feats, (k,), strides=(s,), padding=p,
@@ -106,6 +106,22 @@ def main():
                 x = patches.astype(self.dtype) @ w.astype(self.dtype) + b.astype(self.dtype)
                 x = nn.BatchNorm(use_running_average=True, momentum=BN_MOMENTUM,
                                  epsilon=BN_EPS, dtype=self.dtype)(x)
+                x = nn.relu(x)
+            elif self.conv1_impl == "s2d":
+                # The production space-to-depth stem (models/m5.py): free
+                # reshapes re-express k=79 s=4 as k=7 over 16-sample blocks
+                # (contraction 112 = 87.5% MXU lane fill, 1.42x MACs).
+                from sed_tpu.models.m5 import s2d_conv1
+
+                w = self.param("conv1_w", kaiming_uniform, (79, 1, 64),
+                               jnp.float32)
+                b = self.param("conv1_b", nn.initializers.zeros, (64,),
+                               jnp.float32)
+                x = s2d_conv1(x.astype(self.dtype), w.astype(self.dtype),
+                              b.astype(self.dtype))
+                x = nn.BatchNorm(use_running_average=True,
+                                 momentum=BN_MOMENTUM, epsilon=BN_EPS,
+                                 dtype=self.dtype)(x)
                 x = nn.relu(x)
             else:
                 x = self._cbr(x, 64, 79, 4, 39)
@@ -157,12 +173,24 @@ def main():
         log(f"compiling {name} ...")
         results[name] = timed(Stack(depth=d))
         log(f"  {name}: {1e3 * results[name]:.3f} ms")
-    log("compiling depth-5 bf16 ...")
-    results["depth-5 bf16"] = timed(Stack(depth=5, dtype=jnp.bfloat16))
-    log(f"  depth-5 bf16: {1e3 * results['depth-5 bf16']:.3f} ms")
-    log("compiling depth-1 conv1-as-patches-matmul ...")
-    results["depth-1 patches"] = timed(Stack(depth=1, conv1_impl="patches"))
-    log(f"  depth-1 patches: {1e3 * results['depth-1 patches']:.3f} ms")
+    variants = {
+        "depth-5 bf16": Stack(depth=5, dtype=jnp.bfloat16),
+        "depth-1 patches": Stack(depth=1, conv1_impl="patches"),
+        # Round-5 refresh: the shipped space-to-depth stem (f32 default
+        # since M5_S2D_BENCH) and the bf16-composition question in all
+        # four depth-1 combos.
+        "depth-1 s2d": Stack(depth=1, conv1_impl="s2d"),
+        "depth-5 s2d": Stack(depth=5, conv1_impl="s2d"),
+        "depth-1 bf16": Stack(depth=1, dtype=jnp.bfloat16),
+        "depth-1 s2d bf16": Stack(depth=1, conv1_impl="s2d",
+                                  dtype=jnp.bfloat16),
+        "depth-5 s2d bf16": Stack(depth=5, conv1_impl="s2d",
+                                  dtype=jnp.bfloat16),
+    }
+    for name, mod in variants.items():
+        log(f"compiling {name} ...")
+        results[name] = timed(mod)
+        log(f"  {name}: {1e3 * results[name]:.3f} ms")
 
     per_stage = {}
     stage_names = list(macs)
@@ -176,6 +204,15 @@ def main():
 
     total_macs = sum(macs.values())
     full = results["depth-5"]
+    # Stage-1 HBM floor: conv1 writes (B, frame/4, 64) activations + reads
+    # the (B, frame) waveform — dtype-dependent, compute-independent.  This
+    # is the term the s2d lane-fill fix CANNOT remove, and the candidate
+    # mechanism for bf16 non-composition (at bf16 the conv is cheap enough
+    # that the stage rides this floor either way).
+    hbm_gbps = 819e9
+    s1_bytes_f32 = BATCH * (frame // 4) * 64 * 4 + BATCH * frame * 4
+    s1_bytes_bf16 = BATCH * (frame // 4) * 64 * 2 + BATCH * frame * 4
+    s2d_macs1 = macs["stage1_conv79"] * 112 / 79  # zero-padded taps
     out = {
         "batch": BATCH,
         "frame_samples": frame,
@@ -194,6 +231,25 @@ def main():
         },
         "bf16_speedup": round(full / results["depth-5 bf16"], 3),
         "conv1_patches_vs_conv": round(results["depth-1"] / results["depth-1 patches"], 3),
+        "s2d": {  # round-5 refresh: the SHIPPED f32 stem is s2d
+            "full_model_s2d_f32_ms": round(1e3 * results["depth-5 s2d"], 4),
+            "frames_per_sec_s2d_f32": round(BATCH / results["depth-5 s2d"], 1),
+            "s2d_speedup_f32": round(full / results["depth-5 s2d"], 3),
+            "s2d_speedup_bf16": round(
+                results["depth-5 bf16"] / results["depth-5 s2d bf16"], 3),
+            "stage1_f32": {
+                "direct_ms": round(1e3 * results["depth-1"], 4),
+                "s2d_ms": round(1e3 * results["depth-1 s2d"], 4),
+                "s2d_mfu_vs_3pass_f32_peak": round(
+                    2 * s2d_macs1 / results["depth-1 s2d"] / eff_peak_f32, 4),
+                "hbm_floor_ms": round(1e3 * s1_bytes_f32 / hbm_gbps, 4),
+            },
+            "stage1_bf16": {
+                "direct_ms": round(1e3 * results["depth-1 bf16"], 4),
+                "s2d_ms": round(1e3 * results["depth-1 s2d bf16"], 4),
+                "hbm_floor_ms": round(1e3 * s1_bytes_bf16 / hbm_gbps, 4),
+            },
+        },
         "caveat": "per-stage attribution by truncated-stack differencing is "
                   "SUB-ADDITIVE: XLA pipelines work across fori_loop "
                   "iterations and each truncated stack materializes a "
@@ -210,6 +266,7 @@ def main():
                       "mfu_vs_3pass_f32_peak": out["full_model"]["mfu_vs_3pass_f32_peak"],
                       "per_stage": {k: v["ms"] for k, v in per_stage.items()},
                       "bf16_speedup": out["bf16_speedup"],
+                      "s2d": out["s2d"],
                       "conv1_patches_vs_conv": out["conv1_patches_vs_conv"]}))
 
 

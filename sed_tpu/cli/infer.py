@@ -96,10 +96,7 @@ def load_model_and_state(ckpt_path: str, cfg, batch_hint: int = 1,
     elif arch == "MobileNetV1":
         from sed_tpu.models.cnn import MobileNetV1
 
-        if bf16:
-            raise ValueError(
-                "--bf16 is implemented for CnnAvgPooling and M5 only")
-        model = MobileNetV1(classes_num=cfg.classes_num)
+        model = MobileNetV1(classes_num=cfg.classes_num, dtype=dtype)
         sample = jnp.zeros((batch_hint, cfg.train_crop_size, cfg.mel_bins, 1))
     elif arch == "M5":
         from sed_tpu.models.m5 import M5

@@ -76,9 +76,8 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    choices=["CnnAvgPooling", "MobileNetV1", "M5"],
                    help="model family: the spectrogram families "
                         "(CnnAvgPooling, MobileNetV1) stream over the "
-                        "HBM-ring pool (MobileNetV1 is float-only: its int8 "
-                        "path is batch serving, infer/serve); M5 streams "
-                        "hop-strided waveform frames")
+                        "HBM-ring pool; M5 streams hop-strided waveform "
+                        "frames")
     p.add_argument("--bf16", action="store_true", default=False,
                    help="bfloat16 model forward (params stay f32) — lossy "
                         "serving tier, measured 1.66x for M5 at <=6.4e-3 "
@@ -94,6 +93,7 @@ def main(argv=None):
 
     if args.device == "cpu":
         jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
 
     from sed_tpu.configs import SpectrogramConfig, WaveformConfig
     from sed_tpu.cli.infer import load_model_and_state
@@ -118,16 +118,16 @@ def main(argv=None):
     model, state = load_model_and_state(args.ckpt, cfg, arch=args.arch,
                                         bf16=args.bf16)
     if args.arch == "MobileNetV1":
-        if args.quantize == "int8":
-            raise SystemExit("--quantize int8 streaming is implemented for "
-                             "CnnAvgPooling and M5; MobileNetV1 int8 serving "
-                             "is the batched path (infer/serve --quantize)")
         # The streaming stack applies the serving sigmoid itself — use the
-        # logits-emitting view of the same params (models/cnn.py).
+        # logits-emitting view of the same params (models/cnn.py).  int8
+        # streaming dispatches through quantized_serving_scores (the
+        # MobileNet artifact already emits sigmoid).
         from sed_tpu.models.cnn import (MobileNetV1,
                                         mobilenet_receptive_field)
 
-        model = MobileNetV1(classes_num=cfg.classes_num, emit="logits")
+        model = MobileNetV1(classes_num=cfg.classes_num, emit="logits",
+                            dtype=jnp.bfloat16 if args.bf16
+                            else jnp.float32)
         rf_halo = 8 * (-(-((mobilenet_receptive_field() + 1) // 2) // 8))
         if args.halo < rf_halo:
             log(f"halo {args.halo} < MobileNetV1 receptive-field requirement "
@@ -170,17 +170,17 @@ def main(argv=None):
             qparams = quantize_m5(model, state.params, state.batch_stats,
                                   [np.transpose(frames, (0, 2, 1))])
         else:
-            import jax.numpy as jnp
-
-            from sed_tpu.models.quantize import quantize_cnn
+            from sed_tpu.models.quantize import quantize_cnn, quantize_mobilenet
             from sed_tpu.ops.featurizer import logmel_features_batch
 
             feats = np.asarray(logmel_features_batch(
                 jnp.asarray(calib_wav[None, :, None]), cfg))
             if mean is not None:
                 feats = (feats - mean) / std
-            qparams = quantize_cnn(model, state.params, state.batch_stats,
-                                   [np.transpose(feats, (0, 2, 3, 1))])
+            quantizer = (quantize_mobilenet
+                         if args.arch == "MobileNetV1" else quantize_cnn)
+            qparams = quantizer(model, state.params, state.batch_stats,
+                                [np.transpose(feats, (0, 2, 3, 1))])
         log("int8 serving mode: activation scales calibrated on "
             f"{queue[0]['path']}")
     if args.arch == "M5":

@@ -224,9 +224,9 @@ class DeviceStreamingDetector:
                 [mel_ring, jnp.zeros((B, M, mel_bins), jnp.float32)], axis=1)
             win = jax.lax.dynamic_slice(ext, (0, win_off, 0), (B, M, mel_bins))
             if qparams is not None:
-                from sed_tpu.models.quantize import quantized_scores
+                from sed_tpu.models.quantize import quantized_serving_scores
 
-                scores = quantized_scores(qparams, win[:, :, :, None])
+                scores = quantized_serving_scores(qparams, win[:, :, :, None])
             else:
                 scores = jax.nn.sigmoid(model.apply(
                     {"params": params, "batch_stats": batch_stats},

@@ -97,14 +97,17 @@ class _ConvBN(nn.Module):
 
     out_channels: int
     stride: int
+    dtype: type = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = nn.Conv(self.out_channels, (3, 3), strides=(1, 1), padding=1,
-                    use_bias=False, kernel_init=kaiming_uniform)(x)
+                    use_bias=False, kernel_init=kaiming_uniform,
+                    dtype=self.dtype)(x)
         if self.stride > 1:
             x = nn.avg_pool(x, (self.stride, self.stride), (self.stride, self.stride))
-        x = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM, epsilon=BN_EPS)(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
+                         epsilon=BN_EPS, dtype=self.dtype)(x)
         return nn.relu(x)
 
 
@@ -113,20 +116,24 @@ class _ConvDW(nn.Module):
 
     out_channels: int
     stride: int
+    dtype: type = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         in_channels = x.shape[-1]
         x = nn.Conv(in_channels, (3, 3), strides=(1, 1), padding=1,
                     feature_group_count=in_channels, use_bias=False,
-                    kernel_init=kaiming_uniform)(x)
+                    kernel_init=kaiming_uniform, dtype=self.dtype)(x)
         if self.stride > 1:
             x = nn.avg_pool(x, (self.stride, self.stride), (self.stride, self.stride))
-        x = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM, epsilon=BN_EPS)(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
+                         epsilon=BN_EPS, dtype=self.dtype)(x)
         x = nn.relu(x)
         x = nn.Conv(self.out_channels, (1, 1), strides=(1, 1), padding=0,
-                    use_bias=False, kernel_init=kaiming_uniform)(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM, epsilon=BN_EPS)(x)
+                    use_bias=False, kernel_init=kaiming_uniform,
+                    dtype=self.dtype)(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
+                         epsilon=BN_EPS, dtype=self.dtype)(x)
         return nn.relu(x)
 
 
@@ -153,15 +160,22 @@ class MobileNetV1(nn.Module):
 
     classes_num: int
     emit: str = "scores"  # 'scores' (reference parity) | 'logits' (trainable)
+    # bf16 serving tier (like CnnAvgPooling/M5): params stay f32, compute in
+    # ``dtype``.  Hardware record: benchmarks/MOBILENET_TIERS.json.
+    dtype: type = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        x = x.astype(self.dtype)
         blocks = {"bn": _ConvBN, "dw": _ConvDW}
         for kind, out_channels, stride in MOBILENET_STACK:
-            x = blocks[kind](out_channels, stride)(x, train=train)
+            x = blocks[kind](out_channels, stride, dtype=self.dtype)(x, train=train)
         x = jnp.mean(x, axis=2)  # (batch, frames', 1024)
-        x = nn.relu(nn.Dense(1024, kernel_init=kaiming_uniform)(x))
-        x = nn.Dense(self.classes_num, kernel_init=kaiming_uniform)(x)
+        x = nn.relu(nn.Dense(1024, kernel_init=kaiming_uniform,
+                             dtype=self.dtype)(x))
+        x = nn.Dense(self.classes_num, kernel_init=kaiming_uniform,
+                     dtype=self.dtype)(x)
+        x = x.astype(jnp.float32)
         if self.emit == "scores":
             x = nn.sigmoid(x)  # reference forward (spectogram_models.py:117)
         return interpolate(x, 2 ** 3)  # self.num_pools = 3 (spectogram_models.py:77)

@@ -176,6 +176,19 @@ def quantized_scores(qparams, x: jnp.ndarray) -> jnp.ndarray:
     return jax.nn.sigmoid(quantized_cnn_forward(qparams, x))
 
 
+def quantized_serving_scores(qparams, x: jnp.ndarray) -> jnp.ndarray:
+    """Sigmoid confidences from ANY 2-D-family int8 artifact, arch inferred
+    from the artifact's own structure: MobileNetV1 artifacts carry the
+    'dense1' head (quantize_mobilenet; its forward already emits sigmoid,
+    reference spectogram_models.py:117), CnnAvgPooling ones the single
+    'dense' head (logits; sigmoid applied here).  The ONE dispatch the
+    streaming stack uses, so every spectrogram family serves int8 ticks
+    through the same pool code."""
+    if "dense1" in qparams:
+        return quantized_mobilenet_forward(qparams, x)
+    return jax.nn.sigmoid(quantized_cnn_forward(qparams, x))
+
+
 # ---------------------------------------------------------------------------
 # MobileNetV1 (models/cnn.py; reference spectogram_models.py:42-125)
 # ---------------------------------------------------------------------------

@@ -36,9 +36,13 @@ benchmarks/MULAW_INGEST.json).  µ-law frames are decoded on the reader
 thread (vectorized numpy) and fed to the pool as float32, so the device
 tick path is identical in both modes.
 
-Threading: per-connection reader threads only STAGE audio (host numpy); all
-device work happens on the single ticker thread, so JAX dispatch is never
-concurrent.  One lock guards the pool's host state.
+Threading: per-connection reader threads only STAGE audio (host numpy) —
+through the pool's own thread-safe feed() (no server lock), so clients keep
+staging WHILE a tick's device dispatch runs; without this, flooding clients
+could only stage between ticks and every scanned tick block shipped mostly
+padding (the round-4 serving-gap root cause).  Device work (ticks, batched
+drains) is serialized under the server lock, so JAX dispatch is never
+concurrent.
 """
 
 from __future__ import annotations
@@ -272,10 +276,25 @@ class StreamServer:
     def _flush_drains_locked(self) -> None:
         """Drain every queued leave in one batched call (lock held).  Tails
         are sent under the SAME lock as the tick sends, so frames on one
-        socket never interleave across threads."""
-        q, self._drainq = self._drainq, {}
-        if not q:
+        socket never interleave across threads.
+
+        A tick runs FIRST, while the drain queue is still intact: a
+        faster-than-real-time client can stage a deep backlog and then
+        signal end-of-stream — scoring that backlog through leave_many's
+        host flush would ship every frame as f32 (4 bytes x nfft per frame
+        ≈ 8x the raw wire bytes; measured as an 88 s drain wall on the
+        round-5 profile) where the ring tick path ships raw chunks once.
+        The tick's scores route to the leaving clients THROUGH their drainq
+        entries, so the queue must not be swapped out before it runs
+        (swap-first dropped the backlog scores on the floor — a round-5
+        hardware run delivered 64 of ~176 frames;
+        tests/test_serve_socket.py::test_flooding_client_receives_every_frame
+        pins the full count).  New drains cannot enqueue mid-call: the lock
+        is held."""
+        if not self._drainq:
             return
+        self._tick_once_locked()
+        q, self._drainq = self._drainq, {}
         try:
             tails = self.pool.leave_many(list(q))
         except Exception as e:  # noqa: BLE001 — backend/transfer fault
@@ -311,6 +330,28 @@ class StreamServer:
             finally:
                 req["event"].set()
 
+    def _tick_once_locked(self) -> None:
+        """One pool tick + score delivery (lock held).  Shared by the timer
+        loop and the drain flush (which ticks to consume a leaver's staged
+        backlog through the ring path before the exact tail flush)."""
+        out = self.pool.tick()
+        for slot, scores in out.items():
+            sock = self._conns.get(slot)
+            if sock is None:
+                # A slot queued for drain still ticks until the
+                # batched drain claims it; its frames belong to the
+                # (orderly) leaving client, not the floor.
+                req = self._drainq.get(slot)
+                if req is not None and req["orderly"]:
+                    sock = req["conn"]
+            if sock is None or not scores.shape[0]:
+                continue
+            try:
+                _send_frame(sock, np.ascontiguousarray(
+                    scores, dtype="<f4").tobytes())
+            except OSError:
+                pass  # client vanished; its reader handles the leave
+
     def _tick_loop(self) -> None:
         # Sends stay under the lock: score frames for one socket must never
         # interleave with the reader's tail send.  A client that stops
@@ -319,23 +360,7 @@ class StreamServer:
         # front if exposed to untrusted consumers.
         while not self._done.wait(self.tick_interval):
             with self._lock:
-                out = self.pool.tick()
-                for slot, scores in out.items():
-                    sock = self._conns.get(slot)
-                    if sock is None:
-                        # A slot queued for drain still ticks until the
-                        # batched drain claims it; its frames belong to the
-                        # (orderly) leaving client, not the floor.
-                        req = self._drainq.get(slot)
-                        if req is not None and req["orderly"]:
-                            sock = req["conn"]
-                    if sock is None or not scores.shape[0]:
-                        continue
-                    try:
-                        _send_frame(sock, np.ascontiguousarray(
-                            scores, dtype="<f4").tobytes())
-                    except OSError:
-                        pass  # client vanished; its reader handles the leave
+                self._tick_once_locked()
 
 
 class StreamClient:

@@ -251,9 +251,9 @@ class StreamPool:
                 lambda extrow, wo: jax.lax.dynamic_slice(
                     extrow, (wo, 0), (M, mel_bins)))(ext, win_off)
             if qparams is not None:
-                from sed_tpu.models.quantize import quantized_scores
+                from sed_tpu.models.quantize import quantized_serving_scores
 
-                scores = quantized_scores(qparams, win[:, :, :, None])
+                scores = quantized_serving_scores(qparams, win[:, :, :, None])
             else:
                 scores = jax.nn.sigmoid(model.apply(
                     {"params": params, "batch_stats": batch_stats},
@@ -292,6 +292,25 @@ class StreamPool:
             return buf, mel_ring, outs
 
         self._steps = jax.jit(steps, donate_argnums=(0, 1))
+
+        def steps_sparse(buf, mel_ring, flat, idx, active, offs, n_new,
+                         write_pos, win_off, e_off, shift):
+            """The scanned multi-round tick with a SPARSE wire: ``flat`` is
+            (bucket, chunk) holding ONLY the real chunks; ``idx`` (K, B)
+            maps each round/slot cell to its flat row.  Inactive cells
+            point at row 0 — harmless, because ``active`` already masks
+            their ring shift (the proven no-op row encoding), so their
+            gathered content is never observed.  The dense wire shipped
+            K*B*chunk bytes regardless of activity (a flooding/staggered
+            serving mix measured 6-9x padding waste over the relay,
+            SERVE_SOCKET_BENCH.json round-5 profile); this ships the real
+            bytes rounded up to a bucket.  One XLA program per bucket size
+            (host buckets to powers of 4: 16, 64, 256, ...)."""
+            chunks = jnp.take(flat, idx, axis=0)  # (K, B, chunk)
+            return steps(buf, mel_ring, chunks, active, offs, n_new,
+                         write_pos, win_off, e_off, shift)
+
+        self._steps_sparse = jax.jit(steps_sparse, donate_argnums=(0, 1))
 
         # Slot-row migration helpers with the slot index as a TRACED scalar:
         # ONE compiled program each, reused by every slot.  (Static indexing
@@ -478,6 +497,14 @@ class StreamPool:
         first execution costs minutes (ROADMAP environment notes)."""
         flat = np.concatenate(rows, axis=0)
         n = len(flat)
+        if n <= 8:
+            # Small-block shape for cheap lifecycle events (join startups
+            # stage ~3 frames): 1/8th the H2D of the 64-row block.  Two
+            # warmed shapes total (8 and 64).
+            blk = np.pad(flat, ((0, 8 - n), (0, 0))) if n != 8 else flat
+            return list(np.split(
+                np.asarray(self._stream_fns[0](jnp.asarray(blk)))[:n],
+                np.cumsum([len(r) for r in rows])[:-1]))
         blocks = []
         for j in range(0, n, 64):
             blk = flat[j: j + 64]
@@ -676,31 +703,55 @@ class StreamPool:
         uniform = dts.pop() if len(dts) == 1 else None
         dt = (uniform if uniform in (np.dtype(np.int16), np.dtype(np.uint8))
               else np.float32)
-        chunk_batch = np.zeros((Kp, B, self.chunk), dt)
+        cells = [(k, b) for k, r in enumerate(rounds) for b in r]
         for k, r in enumerate(rounds):
-            for b, ck in r.items():
+            for b in r:
                 active[k, b] = True
                 (offs[k, b], n_new[k, b], write_pos[k, b], win_off[k, b],
                  e_off[k, b], shift[k, b], emit_n[k][b],
                  counters[b]) = self._slot_scalars(counters[b])
-                chunk_batch[k, b] = ck if ck.dtype == dt else self._f32(ck)
+
+        sparse = self._sharding_rounds is None and Kp > 1
+        if sparse:
+            # Sparse wire: ship only the real chunks, bucketed to powers of
+            # 4 so the program count stays tiny (16/64/256/...; inactive
+            # cells gather row 0, masked by ``active``).
+            bucket = 16
+            while bucket < len(cells):
+                bucket *= 4
+            wire = np.zeros((bucket, self.chunk), dt)
+            idx = np.zeros((Kp, B), np.int32)
+            for j, (k, b) in enumerate(cells):
+                ck = rounds[k][b]
+                wire[j] = ck if ck.dtype == dt else self._f32(ck)
+                idx[k, b] = j
+        else:
+            wire = np.zeros((Kp, B, self.chunk), dt)
+            for k, r in enumerate(rounds):
+                for b, ck in r.items():
+                    wire[k, b] = ck if ck.dtype == dt else self._f32(ck)
 
         t1 = _time.perf_counter()
-        put_rounds = (jnp.asarray(chunk_batch) if self._sharding_rounds is None
-                      else jax.device_put(chunk_batch, self._sharding_rounds))
+        put_rounds = (jnp.asarray(wire) if self._sharding_rounds is None
+                      else jax.device_put(wire, self._sharding_rounds))
         if self.profile is not None:  # split H2D from exec (forces a sync)
             jax.block_until_ready(put_rounds)
         t2 = _time.perf_counter()
-        self._buf, self._mel, dev_out = self._steps(
-            self._buf, self._mel, put_rounds,
-            jnp.asarray(active), jnp.asarray(offs), jnp.asarray(n_new),
-            jnp.asarray(write_pos), jnp.asarray(win_off),
-            jnp.asarray(e_off), jnp.asarray(shift))
+        scalars = (jnp.asarray(active), jnp.asarray(offs),
+                   jnp.asarray(n_new), jnp.asarray(write_pos),
+                   jnp.asarray(win_off), jnp.asarray(e_off),
+                   jnp.asarray(shift))
+        if sparse:
+            self._buf, self._mel, dev_out = self._steps_sparse(
+                self._buf, self._mel, put_rounds, jnp.asarray(idx), *scalars)
+        else:
+            self._buf, self._mel, dev_out = self._steps(
+                self._buf, self._mel, put_rounds, *scalars)
         dev_out = np.asarray(dev_out)  # (Kp, B, EM, classes)
-        n_real = int(active.sum())
         self._prof(blocks=1, rounds_real=K, rounds_padded=Kp - K,
-                   chunks_real=n_real, chunks_shipped=Kp * B,
-                   h2d_bytes=chunk_batch.nbytes,
+                   chunks_real=len(cells), chunks_shipped=wire.nbytes // (
+                       self.chunk * wire.dtype.itemsize),
+                   h2d_bytes=wire.nbytes,
                    build_s=t1 - t0, h2d_s=t2 - t1,
                    exec_s=_time.perf_counter() - t2)
         out: Dict[int, list] = {}

@@ -69,11 +69,13 @@ def make_stream_fns(model, params, batch_stats,
         return lm
 
     if qparams is not None:
-        from sed_tpu.models.quantize import quantized_scores
+        from sed_tpu.models.quantize import quantized_serving_scores
 
         @jax.jit
-        def forward(x):  # int8 serving forward (same shape contract)
-            return quantized_scores(qparams, x)
+        def forward(x):  # int8 serving forward (same shape contract,
+            # arch dispatched from the artifact: CnnAvgPooling or
+            # MobileNetV1)
+            return quantized_serving_scores(qparams, x)
     else:
         @jax.jit
         def forward(x):  # (batch, T, mel, 1) -> (batch, T', classes)

@@ -984,11 +984,18 @@ def test_stream_cli_arch_mobilenet_matches_infer(tmp_path):
         assert got.shape == ref.shape, base
         np.testing.assert_allclose(got, ref, atol=1e-5, err_msg=base)
 
-    # int8 streaming stays gated for this family.
-    with pytest.raises(SystemExit):
-        stream_main(paths + ["--ckpt", ckpt, "--arch", "MobileNetV1",
-                             "--device", "cpu", "--outputs_dir", s_dir,
-                             "--quantize", "int8"])
+    # int8 pool streaming (round-5 tier-matrix fill): scores stay within
+    # the int8 serving fidelity band of the float infer output.
+    q_dir = str(tmp_path / "mns_stream_int8")
+    stream_main(paths + ["--ckpt", ckpt, "--arch", "MobileNetV1",
+                         "--device", "cpu", "--outputs_dir", q_dir,
+                         "--chunk_seconds", "1.0", "--quantize", "int8"])
+    for p in paths:
+        base = os.path.splitext(os.path.basename(p))[0]
+        got = np.load(os.path.join(q_dir, f"{base}_scores.npy"))
+        ref = np.load(os.path.join(i_dir, f"{base}_scores.npy"))
+        assert got.shape == ref.shape, base
+        assert float(np.abs(got - ref).max()) < 0.05, base
 
 
 def test_stream_cli_arch_m5_matches_infer(tmp_path):

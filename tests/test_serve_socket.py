@@ -310,3 +310,33 @@ def test_server_reclaims_slot_when_client_vanishes(model_state):
         assert second is not None, "slot was never reclaimed after the RST"
     finally:
         server.stop()
+
+
+def test_flooding_client_receives_every_frame(model_state):
+    """A faster-than-real-time client that stages its WHOLE stream and
+    immediately signals end-of-stream must still receive every score frame:
+    the drain flush ticks the staged backlog through the ring path and
+    routes those scores to the leaving client's connection (round-5
+    regression: the flush used to swap the drain queue out BEFORE ticking,
+    dropping the backlog scores on the floor — only visible when staging
+    outruns the tick clock)."""
+    model, state = model_state
+    pool = StreamPool(model, state.params, state.batch_stats, CFG, slots=2,
+                      chunk_samples=CHUNK, halo=64, total_stride=8, bucket=64)
+    # A slow tick clock guarantees the backlog is still staged at finish().
+    server = StreamServer(pool, tick_interval=5.0, drain_gather=0.05)
+    server.start()
+    try:
+        # Long enough that the backlog tick EMITS past the halo window
+        # (~3 frames/chunk vs halo 64): a short stream would emit nothing
+        # until the flush and could not expose dropped tick scores.
+        pcm = (3000 * np.random.default_rng(23)
+               .standard_normal(40 * CHUNK + 999)).astype(np.int16)
+        c = StreamClient(*server.address, classes_num=CFG.classes_num)
+        c.send(pcm)  # the whole stream in one piece
+        got = c.finish()  # immediate end-of-stream: backlog still staged
+        ref = _offline(model, state, pcm.astype(np.float32) / 32768.0)
+        assert got.shape == ref.shape, (got.shape, ref.shape)
+        np.testing.assert_allclose(got, ref, atol=1e-5)
+    finally:
+        server.stop()

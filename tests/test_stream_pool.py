@@ -659,14 +659,14 @@ def test_multi_round_scanned_tick_matches_per_round_push():
     # Scanned: stage everything, then ONE tick.
     pool = build()
     slots = {k: pool.join() for k in n}
-    steps_calls = []
-    orig_steps = pool._steps
+    steps_calls = []  # (wire shape, rounds in block) per scanned dispatch
+    orig_sparse = pool._steps_sparse
 
-    def steps_spy(*a):
-        steps_calls.append(a[2].shape)
-        return orig_steps(*a)
+    def sparse_spy(buf, mel, flat, idx, active, *rest):
+        steps_calls.append((flat.shape, int(np.asarray(active).sum())))
+        return orig_sparse(buf, mel, flat, idx, active, *rest)
 
-    pool._steps = steps_spy
+    pool._steps_sparse = sparse_spy
     for k in n:
         pool.feed(slots[k], audio[k].reshape(-1))
     got = pool.tick()
@@ -676,8 +676,13 @@ def test_multi_round_scanned_tick_matches_per_round_push():
         np.testing.assert_allclose(have, ref[k], atol=1e-5, err_msg=k)
 
     # The startup rounds are per-round (pending); once admitted-only, the
-    # remaining ~19 rounds fold into 16-round + 4-round scanned dispatches.
-    assert len(steps_calls) == 2 and steps_calls[0][0] == 16, steps_calls
+    # remaining ~19 rounds fold into 16-round + 4-round scanned dispatches
+    # over the SPARSE wire: only the real chunks ship, bucketed to powers
+    # of 4 (two streams x 16 rounds = <=32 cells -> 64-bucket; the 4-round
+    # tail block has <=8 cells -> 16-bucket).
+    assert len(steps_calls) == 2, steps_calls
+    assert steps_calls[0][0][0] == 64 and steps_calls[0][1] <= 32, steps_calls
+    assert steps_calls[1][0][0] == 16, steps_calls
 
     # Tails still drain exactly.
     for k in n:
@@ -685,3 +690,71 @@ def test_multi_round_scanned_tick_matches_per_round_push():
         tail_ref = pool_ref.leave(slots_ref[k])
         assert tail.shape == tail_ref.shape
         np.testing.assert_allclose(tail, tail_ref, atol=1e-5, err_msg=k)
+
+
+def test_pool_int8_mobilenet_matches_quantized_fresh_stream():
+    """MobileNetV1 int8 streaming (round-5 tier-matrix fill): an int8 pool
+    slot's scores equal a fresh int8 single-stream detector on the same
+    audio.  The pool tick and the host startup/flush all dispatch through
+    quantized_serving_scores, which routes a MobileNet artifact (its
+    'dense1' head) to the sigmoid-emitting quantized forward."""
+    from sed_tpu.models.cnn import MobileNetV1, mobilenet_receptive_field
+    from sed_tpu.models.quantize import quantize_mobilenet
+
+    rng = np.random.default_rng(29)
+    model = MobileNetV1(classes_num=1, emit="logits")
+    tx = make_optimizer(1e-3)
+    sample = jnp.zeros((1, CFG.train_crop_size, CFG.mel_bins, 1))
+    state = init_state(model, jax.random.key(0), sample, tx)
+    calib = rng.standard_normal(
+        (2, CFG.train_crop_size, CFG.mel_bins, 1)).astype(np.float32)
+    q = quantize_mobilenet(model, state.params, state.batch_stats, [calib])
+
+    halo = 8 * (-(-((mobilenet_receptive_field() + 1) // 2) // 8))
+    n = 10
+    audio = (0.1 * rng.standard_normal((n, CHUNK))).astype(np.float32)
+
+    pool = StreamPool(model, state.params, state.batch_stats, CFG,
+                      slots=2, chunk_samples=CHUNK, halo=halo,
+                      total_stride=8, bucket=128, qparams=q)
+    s = pool.join()
+    outs = [pool.push({s: c})[s] for c in audio]
+    outs.append(pool.leave(s))
+    pooled = np.concatenate([o for o in outs if o.shape[0]], axis=0)
+
+    det = BatchedStreamingDetector(model, state.params, state.batch_stats,
+                                   CFG, batch=1, halo=halo, total_stride=8,
+                                   bucket=128, qparams=q)
+    fresh = [det.push(c[None])[0] for c in audio]
+    fresh.append(det.flush()[0])
+    ref = np.concatenate([o for o in fresh if o.shape[0]], axis=0)
+    assert pooled.shape == ref.shape
+    np.testing.assert_allclose(pooled, ref, atol=1e-5)
+    # Output really is the int8 MobileNet sigmoid path: confidences in (0,1).
+    assert pooled.min() >= 0.0 and pooled.max() <= 1.0
+
+
+def test_mobilenet_bf16_scores_within_band():
+    """MobileNetV1 --bf16 tier (round-5 tier-matrix fill): the bf16-compute
+    forward loads the SAME f32 params and its sigmoid scores stay within the
+    serving fidelity band of the f32 forward (the int8 tier's <=0.05
+    contract; hardware throughput record in MOBILENET_TIERS.json)."""
+    from sed_tpu.models.cnn import MobileNetV1
+
+    rng = np.random.default_rng(31)
+    f32 = MobileNetV1(classes_num=1)
+    tx = make_optimizer(1e-3)
+    sample = jnp.zeros((1, CFG.train_crop_size, CFG.mel_bins, 1))
+    state = init_state(f32, jax.random.key(0), sample, tx)
+    bf16 = MobileNetV1(classes_num=1, dtype=jnp.bfloat16)
+
+    x = jnp.asarray(rng.standard_normal(
+        (2, CFG.train_crop_size, CFG.mel_bins, 1)).astype(np.float32))
+    ref = np.asarray(f32.apply(
+        {"params": state.params, "batch_stats": state.batch_stats}, x,
+        train=False))
+    got = np.asarray(bf16.apply(
+        {"params": state.params, "batch_stats": state.batch_stats}, x,
+        train=False))
+    assert got.dtype == np.float32  # cast back at the head
+    assert float(np.abs(got - ref).max()) < 0.05
