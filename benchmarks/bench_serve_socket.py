@@ -56,18 +56,26 @@ def main():
     log(f"device: {dev} ({dev.device_kind}); {n_streams} streams x "
         f"{seconds:.0f}s, arch={arch}, wire={wire}")
 
-    if arch == "m5":
+    if arch in ("m5", "m5dev"):
         from sed_tpu.models.m5 import M5
-        from sed_tpu.waveform_streaming import WaveformStreamPool
+        from sed_tpu.waveform_streaming import (DeviceWaveformStreamPool,
+                                                WaveformStreamPool)
 
         cfg = WaveformConfig()
         model = M5(classes_num=cfg.classes_num)
         state = init_state(model, jax.random.key(0),
                            jnp.zeros((1, cfg.frame_size, 1)),
                            make_optimizer(1e-4))
-        fb = int(os.environ.get("SED_SOCK_FRAME_BUCKET", "64"))
-        pool = WaveformStreamPool(model, state.params, state.batch_stats,
-                                  cfg, slots=n_streams, frame_bucket=fb)
+        if arch == "m5dev":
+            # Device-resident rings + raw sparse wire: ~1/8th the H2D of
+            # the host pool's f32 overlapping frames.
+            pool = DeviceWaveformStreamPool(
+                model, state.params, state.batch_stats, cfg,
+                slots=n_streams, chunk_samples=cfg.working_sample_rate)
+        else:
+            fb = int(os.environ.get("SED_SOCK_FRAME_BUCKET", "64"))
+            pool = WaveformStreamPool(model, state.params, state.batch_stats,
+                                      cfg, slots=n_streams, frame_bucket=fb)
     else:
         from sed_tpu.models.cnn import CnnAvgPooling, TRAIN_CHANNEL_AND_POOL
         from sed_tpu.stream_pool import StreamPool

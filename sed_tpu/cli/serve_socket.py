@@ -55,6 +55,14 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         "HBM-ring pool (MobileNetV1 float-only); M5 streams "
                         "hop-strided waveform frames (scored the moment "
                         "each completes)")
+    p.add_argument("--m5_pool", choices=["device", "host"], default="device",
+                   help="M5 serving pool: 'device' (default — HBM sample "
+                        "rings + raw wire; 165.7x vs the host pool's 53.6x "
+                        "aggregate real-time, hardware A/B in "
+                        "SERVE_SOCKET_BENCH_M5DEV.json; scores emit per "
+                        "1 s chunk) or 'host' (rolling host buffers; "
+                        "lowest latency — a frame scores on the tick after "
+                        "its last sample arrives)")
     p.add_argument("--bf16", action="store_true", default=False,
                    help="bfloat16 model forward (params stay f32) — lossy "
                         "serving tier, measured 1.66x for M5 at <=6.4e-3 "
@@ -150,7 +158,8 @@ def main(argv=None):
         print(f"int8 serving mode: calibrated on {args.calib_wav}",
               file=sys.stderr)
     if args.arch == "M5":
-        from sed_tpu.waveform_streaming import WaveformStreamPool
+        from sed_tpu.waveform_streaming import (DeviceWaveformStreamPool,
+                                                WaveformStreamPool)
 
         ignored = [f for f, on in (
             ("--chunk_seconds", args.chunk_seconds != 1.0),
@@ -163,9 +172,19 @@ def main(argv=None):
             print(f"note: {', '.join(ignored)} have no effect on the M5 "
                   f"pool (frames finalize per hop, no featurizer)",
                   file=sys.stderr)
-        pool = WaveformStreamPool(model, state.params, state.batch_stats,
-                                  cfg, slots=args.slots, qparams=qparams)
-        chunk = cfg.frame_size  # informational: frames finalize per hop
+        if args.m5_pool == "device":
+            # Default by hardware A/B: 165.7x vs the host pool's 53.6x
+            # aggregate real-time on the same 16x60 s run (device rings +
+            # raw sparse wire vs host-extracted f32 frames at 8x the
+            # bytes; SERVE_SOCKET_BENCH_M5DEV.json).
+            pool = DeviceWaveformStreamPool(
+                model, state.params, state.batch_stats, cfg,
+                slots=args.slots, qparams=qparams)
+            chunk = pool.chunk
+        else:
+            pool = WaveformStreamPool(model, state.params, state.batch_stats,
+                                      cfg, slots=args.slots, qparams=qparams)
+            chunk = cfg.frame_size  # informational: frames finalize per hop
     else:
         from sed_tpu.stream_pool import StreamPool
 

@@ -78,6 +78,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         "(CnnAvgPooling, MobileNetV1) stream over the "
                         "HBM-ring pool; M5 streams hop-strided waveform "
                         "frames")
+    p.add_argument("--m5_pool", choices=["device", "host"], default="device",
+                   help="M5 pool: 'device' (default — HBM rings + raw "
+                        "sparse wire; hardware A/B "
+                        "SERVE_SOCKET_BENCH_M5DEV.json) or 'host' "
+                        "(rolling host buffers; per-frame latency)")
     p.add_argument("--bf16", action="store_true", default=False,
                    help="bfloat16 model forward (params stay f32) — lossy "
                         "serving tier, measured 1.66x for M5 at <=6.4e-3 "
@@ -184,7 +189,8 @@ def main(argv=None):
         log("int8 serving mode: activation scales calibrated on "
             f"{queue[0]['path']}")
     if args.arch == "M5":
-        from sed_tpu.waveform_streaming import WaveformStreamPool
+        from sed_tpu.waveform_streaming import (DeviceWaveformStreamPool,
+                                                WaveformStreamPool)
 
         if mesh is not None:
             raise SystemExit("--num_devices applies to the spectrogram pool")
@@ -196,8 +202,15 @@ def main(argv=None):
         ) if on]
         if ignored:
             log(f"note: {', '.join(ignored)} have no effect on the M5 pool")
-        pool = WaveformStreamPool(model, state.params, state.batch_stats,
-                                  cfg, slots=slots, qparams=qparams)
+        if args.m5_pool == "device":
+            # Default by hardware A/B (SERVE_SOCKET_BENCH_M5DEV.json):
+            # device rings + raw sparse wire = 165.7x vs host 53.6x.
+            pool = DeviceWaveformStreamPool(
+                model, state.params, state.batch_stats, cfg, slots=slots,
+                qparams=qparams)
+        else:
+            pool = WaveformStreamPool(model, state.params, state.batch_stats,
+                                      cfg, slots=slots, qparams=qparams)
     else:
         from sed_tpu.stream_pool import StreamPool
 

@@ -312,3 +312,390 @@ class WaveformStreamPool:
                 tails[b] = scores[pos: pos + f.shape[0]]
                 pos += f.shape[0]
         return tails
+
+
+class DeviceWaveformStreamPool:
+    """M5 serving pool with DEVICE-RESIDENT sample rings and a raw-wire
+    tick: the answer to the host pool's H2D bill.
+
+    :class:`WaveformStreamPool` keeps per-slot host buffers and ships the
+    extracted frames to the device as float32 — 4 bytes/sample TIMES the 2x
+    hop overlap (hop = frame/2) = **8x the raw wire bytes** (a 16x60 s
+    serving run ships ~372 MB for 92 MB of audio; the entire 17.9 s tick
+    wall of the round-5 M5 socket profile was this transfer).  Here each
+    slot owns a row of an HBM sample ring; a tick ships ONE raw
+    ``chunk_samples`` block per pushing slot (int16 PCM or uint8 µ-law
+    decoded ON DEVICE — the repo ingest conventions), extracts the newly
+    completed hop-strided frames with vmapped dynamic slices IN the jitted
+    step, and scores them in the same dispatch.  Multi-round backlogs ride
+    a lax.scan block over a SPARSE wire (flat real-chunk array + index
+    gather, the stream_pool.py design; buckets are powers of 4).
+
+    M5 needs none of the spectrogram pool's startup machinery: frames
+    start at sample 0 (no reflect padding), each frame is independent (no
+    halo), and a frame's score finalizes the moment its last sample
+    arrives — so every slot is ring-admitted AT JOIN and the only host
+    work left is the sub-chunk tail at leave.
+
+    Same ``join/feed/tick/leave/leave_many`` surface as the host pool;
+    scores equal the offline splitter exactly
+    (tests/test_waveform_streaming.py pins all three against each other).
+    """
+
+    THREAD_SAFE_FEED = True
+    ROUNDS_PER_CALL = 16
+
+    def __init__(self, model, params, batch_stats,
+                 cfg: WaveformConfig = DEFAULT_WAVEFORM, slots: int = 8,
+                 chunk_samples: int | None = None, qparams=None):
+        self.cfg = cfg
+        self.slots = B = int(slots)
+        self.chunk = C = int(chunk_samples or cfg.working_sample_rate)
+        self._frame = F_len = 2 * (cfg.frame_size // 2)
+        self._hop = hop = cfg.hop_size
+        if C < F_len:
+            # One chunk must be able to complete at least the frame that
+            # ends inside it even when it starts mid-frame; C >= frame
+            # keeps F small and the ring bound simple.
+            raise ValueError(f"chunk_samples {C} < frame {F_len}")
+        self._F = F = (C - 1) // hop + 1  # max frames completing per chunk
+        self._L = L = C + F_len + hop    # ring length
+        classes = cfg.classes_num
+
+        from sed_tpu.ops.featurizer import ingest_to_f32
+
+        if qparams is not None:
+            from sed_tpu.models.quantize import quantized_m5_forward
+
+            fwd = partial(quantized_m5_forward, qparams)
+        else:
+            def fwd(x):
+                return model.apply(
+                    {"params": params, "batch_stats": batch_stats},
+                    x, train=False)
+        self._qparams = qparams
+        # Shared host-side scorer for the leave tails (fixed 64-row block,
+        # the same program the host pool and detectors warm).
+        self._score = make_m5_score_fn(model, params, batch_stats, qparams)
+
+        def step(buf, chunk, active, offs, n_new):
+            """One pool tick round: shift active rows' rings by the
+            ingested chunk, extract each slot's newly completed frames
+            (ring-relative ``offs``, ``n_new`` <= F real), score them
+            fused.  Rows absent from the round (active=False, all-zero
+            scalars) are bit-untouched; their extracted junk is masked by
+            the host (n_new=0)."""
+            newc = ingest_to_f32(chunk)
+            buf = jnp.where(active[:, None],
+                            jnp.concatenate([buf[:, C:], newc], axis=1), buf)
+
+            def extract(row, offrow):  # (L,), (F,) -> (F, frame)
+                return jnp.stack([
+                    jax.lax.dynamic_slice(row, (offrow[j],), (F_len,))
+                    for j in range(F)
+                ])
+
+            frames = jax.vmap(extract)(buf, offs)         # (B, F, frame)
+            scores = jax.nn.sigmoid(
+                fwd(frames.reshape(B * F, F_len)[:, :, None]))
+            return buf, scores.reshape(B, F, classes)
+
+        self._step = jax.jit(step, donate_argnums=(0,))
+
+        def steps_sparse(buf, flat, idx, active, offs, n_new):
+            """K rounds in one dispatch over the sparse wire (see
+            stream_pool.steps_sparse — same design: inactive cells gather
+            row 0, masked by ``active``)."""
+            chunks = jnp.take(flat, idx, axis=0)  # (K, B, chunk)
+
+            def body(b, xs):
+                b, o = step(b, *xs)
+                return b, o
+
+            buf, outs = jax.lax.scan(body, buf, (chunks, active, offs, n_new))
+            return buf, outs
+
+        self._steps_sparse = jax.jit(steps_sparse, donate_argnums=(0,))
+        self._buf = jnp.zeros((B, L), jnp.float32)
+        self._row_get = jax.jit(lambda buf, b: (
+            jax.lax.dynamic_slice_in_dim(buf, b, 1, 0)[0]))
+
+        self._counters: dict = {}   # slot -> {"total", "emitted"}
+        self._staged: dict = {}     # slot -> [pieces]
+        self._staged_n: dict = {}
+        self._stage_lock = threading.Lock()
+
+    # -- lifecycle -----------------------------------------------------------
+
+    def join(self) -> int:
+        for b in range(self.slots):
+            if b not in self._counters:
+                # No ring-row reset needed: a fresh stream's frames only
+                # ever read samples it pushed (off >= L - total always).
+                self._counters[b] = {"total": 0, "emitted": 0}
+                return b
+        raise RuntimeError(f"all {self.slots} slots are occupied")
+
+    def feed(self, b: int, samples: np.ndarray) -> None:
+        """Stage ANY number of samples (int16 PCM / uint8 µ-law / float32
+        — the ingest dtype conventions; µ-law decodes ON DEVICE in the
+        tick, this being the device-resident pool).  Thread-safe against a
+        concurrent tick (same contract as StreamPool.feed)."""
+        if b not in self._counters:
+            raise ValueError(f"slot {b} is not joined")
+        arr = np.asarray(samples)
+        if arr.ndim != 1:
+            raise ValueError(f"samples must be 1-D, got shape {arr.shape}")
+        if arr.size == 0:
+            return
+        with self._stage_lock:
+            self._staged.setdefault(b, []).append(arr.copy())
+            self._staged_n[b] = self._staged_n.get(b, 0) + int(arr.size)
+
+    @staticmethod
+    def _f32(a: np.ndarray) -> np.ndarray:
+        a = np.asarray(a)
+        if a.dtype == np.int16:
+            return a.astype(np.float32) / 32768.0
+        if a.dtype == np.uint8:
+            from sed_tpu.ops.mulaw import mulaw_decode_np
+
+            return mulaw_decode_np(a)
+        return a.astype(np.float32)
+
+    def _flatten(self, pieces):
+        if len(pieces) == 1:
+            return pieces[0]
+        if len({p.dtype for p in pieces}) == 1:
+            return np.concatenate(pieces)
+        return np.concatenate([self._f32(p) for p in pieces])
+
+    def _slot_scalars(self, c: dict):
+        """Ring-relative schedule for one slot consuming one chunk."""
+        total2 = c["total"] + self.chunk
+        ready = (0 if total2 < self._frame
+                 else (total2 - self._frame) // self._hop + 1)
+        n_new = ready - c["emitted"]
+        offs = np.zeros(self._F, np.int32)
+        for j in range(n_new):
+            offs[j] = (c["emitted"] + j) * self._hop - (total2 - self._L)
+        return offs, n_new, {"total": total2, "emitted": ready}
+
+    # -- tick ----------------------------------------------------------------
+
+    def push(self, chunks: dict) -> dict:
+        """One ``(chunk_samples,)`` block for ANY subset of joined slots;
+        returns ``{slot: (new_frames, classes)}``."""
+        extra = set(chunks) - set(self._counters)
+        if extra:
+            raise ValueError(f"push for non-joined slots {sorted(extra)}")
+        B, F = self.slots, self._F
+        arrs = {}
+        for b, ck in chunks.items():
+            ck = np.asarray(ck)
+            if ck.shape != (self.chunk,):
+                raise ValueError(
+                    f"slot {b}: chunk must be ({self.chunk},), got {ck.shape}")
+            arrs[b] = ck
+        if not arrs:
+            return {}
+        active = np.zeros(B, bool)
+        offs = np.zeros((B, F), np.int32)
+        n_new = np.zeros(B, np.int32)
+        counters = {}
+        dts = {a.dtype for a in arrs.values()}
+        uniform = dts.pop() if len(dts) == 1 else None
+        dt = (uniform if uniform in (np.dtype(np.int16), np.dtype(np.uint8))
+              else np.float32)
+        batch = np.zeros((B, self.chunk), dt)
+        for b, ck in arrs.items():
+            active[b] = True
+            offs[b], n_new[b], counters[b] = self._slot_scalars(
+                self._counters[b])
+            batch[b] = ck if ck.dtype == dt else self._f32(ck)
+        self._buf, out = self._step(
+            self._buf, jnp.asarray(batch), jnp.asarray(active),
+            jnp.asarray(offs), jnp.asarray(n_new))
+        out = np.asarray(out)
+        self._counters.update(counters)
+        return {b: out[b, : n_new[b]] for b in arrs}
+
+    def tick(self) -> dict:
+        """Score every staged full chunk of every slot (multi-round
+        backlogs ride scanned sparse-wire blocks); same snapshot/restore
+        semantics as StreamPool.tick."""
+        with self._stage_lock:
+            take = {}
+            for b in list(self._staged):
+                if self._staged_n.get(b, 0) >= self.chunk:
+                    take[b] = self._flatten(self._staged.pop(b))
+                    self._staged_n[b] = 0
+        if not take:
+            return {}
+        pos = {b: 0 for b in take}
+        out: dict = {}
+        try:
+            rounds, rpos = [], dict(pos)
+            while True:
+                chunks = {b: a[rpos[b]: rpos[b] + self.chunk]
+                          for b, a in take.items()
+                          if a.size - rpos[b] >= self.chunk}
+                if not chunks:
+                    break
+                for b in chunks:
+                    rpos[b] += self.chunk
+                rounds.append(chunks)
+            for j in range(0, len(rounds), self.ROUNDS_PER_CALL):
+                block = rounds[j: j + self.ROUNDS_PER_CALL]
+                o = self._push_rounds(block)
+                for r in block:
+                    for b in r:
+                        pos[b] += self.chunk
+                for b, v in o.items():
+                    out.setdefault(b, []).append(v)
+        finally:
+            with self._stage_lock:
+                for b, a in take.items():
+                    rem = a[pos[b]:]
+                    pieces = ([rem] if rem.size else []) + \
+                        (self._staged.get(b) or [])
+                    if pieces:
+                        self._staged[b] = pieces
+                        self._staged_n[b] = sum(int(p.size) for p in pieces)
+        return {b: (np.concatenate(v, axis=0) if len(v) > 1 else v[0])
+                for b, v in out.items()}
+
+    def _push_rounds(self, rounds) -> dict:
+        """K rounds in one scanned dispatch over the sparse wire.  K == 1
+        short-circuits to the dense single-round step; counters commit
+        after the device call (fault-consistent, like push)."""
+        if len(rounds) == 1:
+            return self.push(rounds[0])
+        B, F, K = self.slots, self._F, len(rounds)
+        Kp = self.ROUNDS_PER_CALL
+        assert K <= Kp
+        counters = {b: dict(c) for b, c in self._counters.items()}
+        active = np.zeros((Kp, B), bool)
+        offs = np.zeros((Kp, B, F), np.int32)
+        n_new = np.zeros((Kp, B), np.int32)
+        emit_n = [dict() for _ in range(Kp)]
+        dts = {r[b].dtype for r in rounds for b in r}
+        uniform = dts.pop() if len(dts) == 1 else None
+        dt = (uniform if uniform in (np.dtype(np.int16), np.dtype(np.uint8))
+              else np.float32)
+        cells = [(k, b) for k, r in enumerate(rounds) for b in r]
+        bucket = 16
+        while bucket < len(cells):
+            bucket *= 4
+        wire = np.zeros((bucket, self.chunk), dt)
+        idx = np.zeros((Kp, B), np.int32)
+        for j, (k, b) in enumerate(cells):
+            ck = rounds[k][b]
+            wire[j] = ck if ck.dtype == dt else self._f32(ck)
+            idx[k, b] = j
+            active[k, b] = True
+            (offs[k, b], n_new[k, b], counters[b]) = self._slot_scalars(
+                counters[b])
+            emit_n[k][b] = int(n_new[k, b])
+        self._buf, dev_out = self._steps_sparse(
+            self._buf, jnp.asarray(wire), jnp.asarray(idx),
+            jnp.asarray(active), jnp.asarray(offs), jnp.asarray(n_new))
+        dev_out = np.asarray(dev_out)  # (Kp, B, F, classes)
+        out: dict = {}
+        for k, r in enumerate(rounds):
+            for b in r:
+                out.setdefault(b, []).append(dev_out[k, b, : emit_n[k][b]])
+        self._counters.update(counters)
+        return {b: (np.concatenate(v, axis=0) if len(v) > 1 else v[0])
+                for b, v in out.items()}
+
+    # -- leave ---------------------------------------------------------------
+
+    def _tail_frames(self, b: int, rem) -> np.ndarray:
+        """Frames completed by the sub-chunk remainder: ring tail + rem,
+        extracted host-side (few rows; the device rings hold everything
+        already consumed)."""
+        c = self._counters[b]
+        total = c["total"]
+        rem = self._f32(rem) if rem is not None and rem.size else \
+            np.zeros(0, np.float32)
+        total2 = total + rem.size
+        ready = (0 if total2 < self._frame
+                 else (total2 - self._frame) // self._hop + 1)
+        k = ready - c["emitted"]
+        if k <= 0:
+            return np.zeros((0, self._frame), np.float32)
+        row = np.asarray(self._row_get(self._buf, b))
+        hist = min(total, self._L)
+        sig = np.concatenate([row[self._L - hist:], rem])  # samples since
+        base = total2 - sig.size                           # sig[0]'s index
+        frames = np.stack([
+            sig[(c["emitted"] + j) * self._hop - base:
+                (c["emitted"] + j) * self._hop - base + self._frame]
+            for j in range(k)
+        ])
+        return frames
+
+    def leave(self, b: int) -> np.ndarray:
+        """End stream ``b``: score the frames its staged remainder
+        completes (the offline splitter drops the sub-frame tail), free
+        the slot."""
+        if b not in self._counters:
+            raise ValueError(f"slot {b} is not joined")
+        with self._stage_lock:
+            pieces = self._staged.pop(b, None)
+            self._staged_n.pop(b, None)
+        rem = self._flatten(pieces) if pieces else None
+        frames = self._tail_frames(b, rem)
+        del self._counters[b]
+        if not frames.shape[0]:
+            return np.zeros((0, self.cfg.classes_num), np.float32)
+        pad = np.zeros((64, self._frame), np.float32)
+        pad[: frames.shape[0]] = frames[:64]
+        out = [np.asarray(self._score(jnp.asarray(pad)))[: min(
+            frames.shape[0], 64)]]
+        for j in range(64, frames.shape[0], 64):
+            blk = frames[j: j + 64]
+            pad = np.zeros((64, self._frame), np.float32)
+            pad[: blk.shape[0]] = blk
+            out.append(np.asarray(self._score(jnp.asarray(pad)))[
+                : blk.shape[0]])
+        return np.concatenate(out, axis=0)
+
+    def leave_many(self, slots) -> dict:
+        """Batched drains: every leaving slot's tail frames share the
+        64-row score dispatches; per-slot host faults map to the exception
+        instance (the serve_socket containment contract)."""
+        empty = np.zeros((0, self.cfg.classes_num), np.float32)
+        per, tails = [], {}
+        for b in list(slots):
+            try:
+                if b not in self._counters:
+                    raise ValueError(f"slot {b} is not joined")
+                with self._stage_lock:
+                    pieces = self._staged.pop(b, None)
+                    self._staged_n.pop(b, None)
+                rem = self._flatten(pieces) if pieces else None
+                frames = self._tail_frames(b, rem)
+                del self._counters[b]
+                if frames.shape[0]:
+                    per.append((b, frames))
+                else:
+                    tails[b] = empty
+            except Exception as e:  # noqa: BLE001 — per-slot prep fault
+                tails[b] = e
+        if per:
+            allf = np.concatenate([f for _, f in per], axis=0)
+            outs = []
+            for j in range(0, allf.shape[0], 64):
+                blk = allf[j: j + 64]
+                pad = np.zeros((64, self._frame), np.float32)
+                pad[: blk.shape[0]] = blk
+                outs.append(np.asarray(self._score(jnp.asarray(pad)))[
+                    : blk.shape[0]])
+            scores = np.concatenate(outs, axis=0)
+            pos = 0
+            for b, f in per:
+                tails[b] = scores[pos: pos + f.shape[0]]
+                pos += f.shape[0]
+        return tails

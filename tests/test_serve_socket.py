@@ -340,3 +340,44 @@ def test_flooding_client_receives_every_frame(model_state):
         np.testing.assert_allclose(got, ref, atol=1e-5)
     finally:
         server.stop()
+
+
+def test_server_m5_device_pool_matches_offline_split():
+    """The TCP server drives the DEVICE M5 pool (HBM rings, raw sparse
+    wire) blindly through the same join/feed/tick/leave surface; a
+    connection's scores equal the offline hop-strided split."""
+    from sed_tpu.configs import WaveformConfig
+    from sed_tpu.data.events import frame_coverage_labels
+    from sed_tpu.models.m5 import M5
+    from sed_tpu.train.state import make_eval_forward
+    from sed_tpu.waveform_streaming import DeviceWaveformStreamPool
+
+    wcfg = WaveformConfig(working_sample_rate=8000, time_margin=0.33)
+    model = M5(classes_num=1)
+    tx = make_optimizer(1e-3)
+    state = init_state(model, jax.random.key(0),
+                       jnp.zeros((1, wcfg.frame_size, 1)), tx)
+    pool = DeviceWaveformStreamPool(model, state.params, state.batch_stats,
+                                    wcfg, slots=2,
+                                    chunk_samples=wcfg.working_sample_rate)
+    server = StreamServer(pool, tick_interval=0.01, drain_gather=0.05)
+    server.start()
+    try:
+        rng = np.random.default_rng(33)
+        pcm = (3000 * rng.standard_normal(5 * wcfg.frame_size + 321)
+               ).astype(np.int16)
+        c = StreamClient(*server.address, classes_num=1)
+        for i in range(0, len(pcm), 4321):
+            c.send(pcm[i: i + 4321])
+        got = c.finish()
+
+        frames, _ = frame_coverage_labels(
+            (pcm.astype(np.float32) / 32768.0)[None], [], [], wcfg)
+        fwd = make_eval_forward(model)
+        ref = np.asarray(jax.nn.sigmoid(fwd(
+            state.params, state.batch_stats,
+            jnp.asarray(np.transpose(frames, (0, 2, 1))))))
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(got, ref, atol=1e-5)
+    finally:
+        server.stop()

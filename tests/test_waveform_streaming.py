@@ -240,3 +240,114 @@ def test_waveform_pool_leave_many_matches_per_slot_leave(m5_state):
     assert isinstance(tails[99], ValueError)
     for _ in range(3):
         pool_many.join()  # slots freed
+
+
+def test_device_waveform_pool_matches_offline_and_host_pool(m5_state):
+    """DeviceWaveformStreamPool (round 5: HBM rings + raw sparse wire +
+    on-device frame extraction): scores over a slot's lifetime equal BOTH
+    the offline hop-strided split and the host-buffer WaveformStreamPool
+    on the same audio, across uneven feed sizes, slot churn, multi-round
+    backlogs (the scanned sparse block), and mixed int16/float feeds."""
+    from sed_tpu.waveform_streaming import (DeviceWaveformStreamPool,
+                                            WaveformStreamPool)
+
+    model, state = m5_state
+    rng = np.random.default_rng(17)
+    chunk = WCFG.working_sample_rate
+    wavs = {
+        "a": (0.1 * rng.standard_normal(5 * WCFG.frame_size + 4321)
+              ).astype(np.float32),
+        "b": (3000 * rng.standard_normal(9 * WCFG.frame_size + 999)
+              ).astype(np.int16),   # int16 wire + long backlog
+        "c": (0.1 * rng.standard_normal(2 * WCFG.frame_size + 77)
+              ).astype(np.float32),
+    }
+
+    dev = DeviceWaveformStreamPool(model, state.params, state.batch_stats,
+                                   WCFG, slots=2, chunk_samples=chunk)
+    host = WaveformStreamPool(model, state.params, state.batch_stats,
+                              WCFG, slots=2)
+
+    def run(pool, flood):
+        got = {}
+        for name, wav in wavs.items():
+            s = pool.join()
+            acc = []
+            if flood:  # everything staged at once -> multi-round scan
+                pool.feed(s, wav)
+                o = pool.tick()
+                if s in o:
+                    acc.append(o[s])
+            else:
+                pos = 0
+                while pos < len(wav):
+                    n = int(rng.integers(500, 2 * chunk))
+                    pool.feed(s, wav[pos: pos + n])
+                    pos += n
+                    o = pool.tick()
+                    if s in o:
+                        acc.append(o[s])
+            acc.append(pool.leave(s))
+            got[name] = np.concatenate(
+                [x for x in acc if x.shape[0]], axis=0)
+        return got
+
+    got_flood = run(dev, flood=True)
+    dev2 = DeviceWaveformStreamPool(model, state.params, state.batch_stats,
+                                    WCFG, slots=2, chunk_samples=chunk)
+    got_paced = run(dev2, flood=False)
+    got_host = run(host, flood=False)
+
+    for name, wav in wavs.items():
+        f32 = wav.astype(np.float32) / 32768.0 if wav.dtype == np.int16 \
+            else wav
+        ref = _offline_scores(model, state, f32)
+        for label, got in (("flood", got_flood), ("paced", got_paced),
+                           ("host", got_host)):
+            assert got[name].shape == ref.shape, (name, label,
+                                                  got[name].shape, ref.shape)
+            np.testing.assert_allclose(got[name], ref, atol=1e-5,
+                                       err_msg=f"{name}/{label}")
+
+
+def test_device_waveform_pool_sparse_slots_and_leave_many(m5_state):
+    """Sparse ticks (slots at different rates) keep idle slots'
+    rings/counters untouched; leave_many drains batched and equals
+    per-slot leave."""
+    from sed_tpu.waveform_streaming import DeviceWaveformStreamPool
+
+    model, state = m5_state
+    rng = np.random.default_rng(23)
+    chunk = WCFG.working_sample_rate
+    pool = DeviceWaveformStreamPool(model, state.params, state.batch_stats,
+                                    WCFG, slots=3, chunk_samples=chunk)
+    wav_a = (0.1 * rng.standard_normal(4 * WCFG.frame_size + 100)
+             ).astype(np.float32)
+    wav_b = (0.1 * rng.standard_normal(6 * WCFG.frame_size + 3000)
+             ).astype(np.float32)
+    a, b = pool.join(), pool.join()
+    acc = {a: [], b: []}
+    pa = pb = 0
+    step_a, step_b = chunk // 2, 2 * chunk  # different rates
+    while pa < len(wav_a) or pb < len(wav_b):
+        if pa < len(wav_a):
+            pool.feed(a, wav_a[pa: pa + step_a])
+            pa += step_a
+        if pb < len(wav_b):
+            pool.feed(b, wav_b[pb: pb + step_b])
+            pb += step_b
+        o = pool.tick()
+        for s in o:
+            acc[s].append(o[s])
+    tails = pool.leave_many([a, b])
+    for s in (a, b):
+        acc[s].append(tails[s])
+    got_a = np.concatenate([x for x in acc[a] if x.shape[0]], axis=0)
+    got_b = np.concatenate([x for x in acc[b] if x.shape[0]], axis=0)
+    np.testing.assert_allclose(got_a, _offline_scores(model, state, wav_a),
+                               atol=1e-5)
+    np.testing.assert_allclose(got_b, _offline_scores(model, state, wav_b),
+                               atol=1e-5)
+    # Slots freed; rejoin works.
+    c = pool.join()
+    assert c in (a, b)
