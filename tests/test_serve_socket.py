@@ -381,3 +381,47 @@ def test_server_m5_device_pool_matches_offline_split():
         np.testing.assert_allclose(got, ref, atol=1e-5)
     finally:
         server.stop()
+
+
+def test_server_m5_device_pool_mulaw_wire():
+    """wire='mulaw' over the DEVICE M5 pool: raw uint8 rides the socket AND
+    the device wire (decoded in the tick's ingest — this pool follows the
+    device-decode convention); scores equal offline scoring of the decoded
+    audio."""
+    from sed_tpu.configs import WaveformConfig
+    from sed_tpu.data.events import frame_coverage_labels
+    from sed_tpu.models.m5 import M5
+    from sed_tpu.ops.mulaw import mulaw_decode_np, mulaw_encode
+    from sed_tpu.train.state import make_eval_forward
+    from sed_tpu.waveform_streaming import DeviceWaveformStreamPool
+
+    wcfg = WaveformConfig(working_sample_rate=8000, time_margin=0.33)
+    model = M5(classes_num=1)
+    tx = make_optimizer(1e-3)
+    state = init_state(model, jax.random.key(0),
+                       jnp.zeros((1, wcfg.frame_size, 1)), tx)
+    pool = DeviceWaveformStreamPool(model, state.params, state.batch_stats,
+                                    wcfg, slots=2,
+                                    chunk_samples=wcfg.working_sample_rate)
+    server = StreamServer(pool, tick_interval=0.01, wire="mulaw",
+                          drain_gather=0.05)
+    server.start()
+    try:
+        rng = np.random.default_rng(41)
+        pcm = (3000 * rng.standard_normal(4 * wcfg.frame_size + 777)
+               ).astype(np.int16)
+        c = StreamClient(*server.address, classes_num=1, wire="mulaw")
+        for i in range(0, len(pcm), 5000):
+            c.send(pcm[i: i + 5000])
+        got = c.finish()
+
+        decoded = mulaw_decode_np(mulaw_encode(pcm))
+        frames, _ = frame_coverage_labels(decoded[None], [], [], wcfg)
+        fwd = make_eval_forward(model)
+        ref = np.asarray(jax.nn.sigmoid(fwd(
+            state.params, state.batch_stats,
+            jnp.asarray(np.transpose(frames, (0, 2, 1))))))
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(got, ref, atol=1e-5)
+    finally:
+        server.stop()
