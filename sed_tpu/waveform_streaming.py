@@ -347,7 +347,13 @@ class DeviceWaveformStreamPool:
 
     def __init__(self, model, params, batch_stats,
                  cfg: WaveformConfig = DEFAULT_WAVEFORM, slots: int = 8,
-                 chunk_samples: int | None = None, qparams=None):
+                 chunk_samples: int | None = None, qparams=None, mesh=None):
+        """``mesh``: optional jax.sharding.Mesh — the slot axis of the ring
+        and every tick batch shards over it (data-parallel serving, same
+        contract as StreamPool's mesh mode).  Multi-round backlogs run
+        sequential single-round dispatches under a mesh (the sparse-wire
+        gather is a single-device optimization for relay-attached hosts;
+        a real pod is direct-attached and per-round dispatch is cheap)."""
         self.cfg = cfg
         self.slots = B = int(slots)
         self.chunk = C = int(chunk_samples or cfg.working_sample_rate)
@@ -416,7 +422,18 @@ class DeviceWaveformStreamPool:
             return buf, outs
 
         self._steps_sparse = jax.jit(steps_sparse, donate_argnums=(0,))
-        self._buf = jnp.zeros((B, L), jnp.float32)
+        if mesh is not None:
+            from sed_tpu.parallel.mesh import batch_sharding
+
+            if B % mesh.size != 0:
+                raise ValueError(
+                    f"slots {B} must divide over the {mesh.size}-device mesh")
+            self._sharding = batch_sharding(mesh)
+            self._buf = jax.device_put(np.zeros((B, L), np.float32),
+                                       self._sharding)
+        else:
+            self._sharding = None
+            self._buf = jnp.zeros((B, L), jnp.float32)
         self._row_get = jax.jit(lambda buf, b: (
             jax.lax.dynamic_slice_in_dim(buf, b, 1, 0)[0]))
 
@@ -513,8 +530,10 @@ class DeviceWaveformStreamPool:
             offs[b], n_new[b], counters[b] = self._slot_scalars(
                 self._counters[b])
             batch[b] = ck if ck.dtype == dt else self._f32(ck)
+        put = (jnp.asarray(batch) if self._sharding is None
+               else jax.device_put(batch, self._sharding))
         self._buf, out = self._step(
-            self._buf, jnp.asarray(batch), jnp.asarray(active),
+            self._buf, put, jnp.asarray(active),
             jnp.asarray(offs), jnp.asarray(n_new))
         out = np.asarray(out)
         self._counters.update(counters)
@@ -568,9 +587,17 @@ class DeviceWaveformStreamPool:
     def _push_rounds(self, rounds) -> dict:
         """K rounds in one scanned dispatch over the sparse wire.  K == 1
         short-circuits to the dense single-round step; counters commit
-        after the device call (fault-consistent, like push)."""
+        after the device call (fault-consistent, like push).  Under a mesh
+        every round dispatches dense/sharded (see __init__)."""
         if len(rounds) == 1:
             return self.push(rounds[0])
+        if self._sharding is not None:
+            out: dict = {}
+            for r in rounds:
+                for b, v in self.push(r).items():
+                    out.setdefault(b, []).append(v)
+            return {b: (np.concatenate(v, axis=0) if len(v) > 1 else v[0])
+                    for b, v in out.items()}
         B, F, K = self.slots, self._F, len(rounds)
         Kp = self.ROUNDS_PER_CALL
         assert K <= Kp

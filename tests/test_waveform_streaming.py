@@ -351,3 +351,36 @@ def test_device_waveform_pool_sparse_slots_and_leave_many(m5_state):
     # Slots freed; rejoin works.
     c = pool.join()
     assert c in (a, b)
+
+
+def test_device_waveform_pool_mesh_matches_single_device(m5_state):
+    """mesh= shards the device pool's ring and tick batches over the slot
+    axis; scores equal the no-mesh pool exactly (rows are independent)."""
+    from sed_tpu.parallel.mesh import create_mesh
+    from sed_tpu.waveform_streaming import DeviceWaveformStreamPool
+
+    model, state = m5_state
+    mesh = create_mesh(len(jax.devices()))
+    chunk = WCFG.working_sample_rate
+    rng = np.random.default_rng(51)
+    wav = (3000 * rng.standard_normal(5 * WCFG.frame_size + 1234)
+           ).astype(np.int16)
+
+    def run(mesh_arg):
+        pool = DeviceWaveformStreamPool(
+            model, state.params, state.batch_stats, WCFG,
+            slots=2 * len(jax.devices()), chunk_samples=chunk,
+            mesh=mesh_arg)
+        s = pool.join()
+        pool.feed(s, wav)  # flood: multi-round path
+        acc = [pool.tick().get(s)]
+        acc.append(pool.leave(s))
+        return np.concatenate([x for x in acc
+                               if x is not None and x.shape[0]], axis=0)
+
+    got = run(mesh)
+    ref = run(None)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, atol=1e-5)
+    off = _offline_scores(model, state, wav.astype(np.float32) / 32768.0)
+    np.testing.assert_allclose(got, off, atol=1e-5)
