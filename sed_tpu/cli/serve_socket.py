@@ -68,6 +68,18 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         "serving tier, measured 1.66x for M5 at <=6.4e-3 "
                         "sigmoid deviation (benchmarks/M5_BENCH.json); "
                         "CnnAvgPooling/M5 only")
+    p.add_argument("--max_frame_bytes", type=int, default=64 << 20,
+                   help="reject client frames with a length prefix beyond "
+                        "this (garbage/hostile header containment)")
+    p.add_argument("--idle_timeout", type=float, default=0.0,
+                   help="per-connection socket timeout in seconds; a "
+                        "client stalled mid-frame loses its slot after "
+                        "this (0 = wait forever, the trusted-client "
+                        "default)")
+    p.add_argument("--drain_gather", type=float, default=0.25,
+                   help="seconds a finishing stream waits for other "
+                        "finishers so concurrent drains share one batched "
+                        "leave dispatch")
     p.add_argument("--mean_std_file", type=str, default="")
     p.add_argument("--device", default="tpu", type=str)
     p.add_argument("--tau_labels", type=str, default="doorslam")
@@ -196,7 +208,10 @@ def main(argv=None):
             featurizer_precision=args.featurizer_precision, qparams=qparams)
         chunk = pool.chunk
     server = StreamServer(pool, host=args.host, port=args.port,
-                          tick_interval=args.tick_interval, wire=args.wire)
+                          tick_interval=args.tick_interval, wire=args.wire,
+                          max_frame_bytes=args.max_frame_bytes,
+                          idle_timeout=args.idle_timeout or None,
+                          drain_gather=args.drain_gather)
     server.start()
     print(json.dumps({"host": server.address[0], "port": server.address[1],
                       "slots": args.slots, "arch": args.arch,
