@@ -11,6 +11,11 @@ weights, and reload it with no compilation — the cold-start story for batch
 serving (fresh-process load->first-result is seconds; see
 benchmarks/SERVING_AOT.json for the measured number).
 
+Part 3 (DeviceWaveformStreamPool, sed_tpu/waveform_streaming.py): the M5
+serving default — per-slot HBM sample rings, raw int16 chunks on the wire,
+frames extracted and scored in one jitted step (165.7x aggregate real-time
+over live sockets, benchmarks/SERVE_SOCKET_BENCH_M5DEV.json).
+
 Runs on CPU or TPU:  python examples/lifecycle_serving.py [--device cpu]
 """
 
@@ -129,6 +134,43 @@ def main():
     scores = call(pcm)
     print(f"  load->first-result {time.time() - t0:.2f}s "
           f"(no compilation), scores {scores.shape}")
+
+    print("== Part 3: M5 device-resident stream pool ==")
+    from sed_tpu.configs import WaveformConfig
+    from sed_tpu.data.events import frame_coverage_labels
+    from sed_tpu.models.m5 import M5
+    from sed_tpu.train.state import make_eval_forward
+    from sed_tpu.waveform_streaming import DeviceWaveformStreamPool
+
+    wcfg = WaveformConfig(working_sample_rate=8000, time_margin=0.33)
+    m5 = M5(classes_num=1)
+    wv = m5.init(jax.random.key(1), jnp.zeros((1, wcfg.frame_size, 1)),
+                 train=False)
+    wpool = DeviceWaveformStreamPool(m5, wv["params"], wv["batch_stats"],
+                                     wcfg, slots=2)
+    wav16 = (3000 * rng.standard_normal(4 * wcfg.frame_size + 777)
+             ).astype(np.int16)
+    ws = wpool.join()
+    wouts, pos = [], 0
+    while pos < len(wav16):
+        n = int(rng.integers(2000, 20000))
+        wpool.feed(ws, wav16[pos:pos + n])  # raw int16 rides the wire
+        pos += n
+        o = wpool.tick()
+        if ws in o:
+            wouts.append(o[ws])
+    wouts.append(wpool.leave(ws))
+    frames, _ = frame_coverage_labels(
+        (wav16.astype(np.float32) / 32768.0)[None], [], [], wcfg)
+    fwd = make_eval_forward(m5)
+    wref = np.asarray(jax.nn.sigmoid(fwd(
+        wv["params"], wv["batch_stats"],
+        jnp.asarray(np.transpose(frames, (0, 2, 1))))))
+    wmine = np.concatenate([x for x in wouts if x.shape[0]])
+    wd = float(np.abs(wmine - wref).max())
+    print(f"  device-ring M5 stream -> {wmine.shape[0]} frames, "
+          f"max diff vs offline split {wd:.2e}")
+    assert wd < 1e-5
 
 
 if __name__ == "__main__":

@@ -1040,3 +1040,17 @@ def test_stream_cli_arch_m5_matches_infer(tmp_path):
         ref = np.load(os.path.join(i_dir, f"{base}_scores.npy"))
         assert got.shape == ref.shape, base
         np.testing.assert_allclose(got, ref, atol=1e-6, err_msg=base)
+
+    # Both pool implementations serve the flag surface: the default above
+    # is the device-ring pool; --m5_pool host runs the rolling-buffer pool
+    # and must score identically.
+    h_dir = str(tmp_path / "m5s_stream_host")
+    stream_main(paths + ["--ckpt", ckpt, "--arch", "M5", "--device", "cpu",
+                         "--m5_pool", "host", "--outputs_dir", h_dir,
+                         "--chunk_seconds", "0.5"])
+    for p in paths:
+        base = os.path.splitext(os.path.basename(p))[0]
+        got = np.load(os.path.join(h_dir, f"{base}_scores.npy"))
+        ref = np.load(os.path.join(i_dir, f"{base}_scores.npy"))
+        assert got.shape == ref.shape, base
+        np.testing.assert_allclose(got, ref, atol=1e-6, err_msg=base)
