@@ -19,6 +19,8 @@ import json
 import sys
 import time
 
+import numpy as np
+
 
 def build_arg_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="Live PCM streaming scorer")
@@ -68,6 +70,9 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         "serving tier, measured 1.66x for M5 at <=6.4e-3 "
                         "sigmoid deviation (benchmarks/M5_BENCH.json); "
                         "CnnAvgPooling/M5 only")
+    p.add_argument("--no_warmup", action="store_true", default=False,
+                   help="skip the pre-serve program warmup (the first "
+                        "clients then pay each program's first compile)")
     p.add_argument("--max_frame_bytes", type=int, default=64 << 20,
                    help="reject client frames with a length prefix beyond "
                         "this (garbage/hostile header containment)")
@@ -137,7 +142,6 @@ def main(argv=None):
         if not args.calib_wav:
             raise SystemExit("--quantize int8 requires --calib_wav")
         import jax.numpy as jnp
-        import numpy as np
 
         from sed_tpu.io.audio import read_multichannel_audio
 
@@ -207,6 +211,46 @@ def main(argv=None):
             halo=args.halo, mean=mean, std=std, featurizer=args.featurizer,
             featurizer_precision=args.featurizer_precision, qparams=qparams)
         chunk = pool.chunk
+    import jax
+
+    if not args.no_warmup and jax.default_backend() != "cpu":
+        # Compile every tick/drain program BEFORE accepting connections:
+        # the single-round tick, the scanned sparse-wire buckets (1, 4,
+        # and all-slots-active full blocks), and the batched-drain
+        # programs.  Without this the first clients' traffic pays each
+        # first compile (minutes per program on relay-attached hosts;
+        # seconds direct-attached).  Mirrors bench_serve_socket.py's
+        # warmup ladder.
+        t_w = time.time()
+        rng_w = np.random.default_rng(0)
+        base = (3000 * rng_w.standard_normal(chunk)).astype(np.int16)
+        if args.wire == "mulaw":
+            from sed_tpu.ops.mulaw import mulaw_encode
+
+            warm_piece = mulaw_encode(base)
+        else:
+            warm_piece = base
+        ws0 = pool.join()
+        for _ in range(4):
+            pool.feed(ws0, warm_piece)
+            pool.tick()
+        if hasattr(pool, "ROUNDS_PER_CALL"):
+            K = pool.ROUNDS_PER_CALL
+            others = [pool.join() for _ in range(args.slots - 1)]
+            slots_all = [ws0] + others
+            for _ in range(2):
+                for s in slots_all:
+                    pool.feed(s, warm_piece)
+                pool.tick()
+            for n_active in (1, 4, len(slots_all)):
+                for s in slots_all[:n_active]:
+                    pool.feed(s, np.tile(warm_piece, K + 1))
+                pool.tick()
+            pool.leave_many(slots_all)
+        else:
+            pool.leave(ws0)
+        print(f"warmup: {time.time() - t_w:.1f}s (all serving programs "
+              f"compiled)", file=sys.stderr, flush=True)
     server = StreamServer(pool, host=args.host, port=args.port,
                           tick_interval=args.tick_interval, wire=args.wire,
                           max_frame_bytes=args.max_frame_bytes,
